@@ -1,0 +1,279 @@
+"""Background equation-of-motion solver: batched adaptive Runge-Kutta on device.
+
+Reference parity: ``background.solve_eom`` (background.py:30-49) driving the
+Rust ``RKNSolver`` (background_solver.rs:72-336).  Semantics preserved:
+
+* the integrated system is the multi-field background EoM in e-fold/physical
+  time form used by the reference (background_solver.rs:50-59):
+
+      φ'^a   = χ^a
+      χ'^a   = −eom_a(φ, χ) − 3 H χ^a         (eom_a = Γ^a_bc χ^b χ^c + g^ab ∂_b V)
+      H'     = −½ G_ab χ^a χ^b                 (= eomhdot)
+
+  with H initialised from the Friedmann constraint ``eomh`` at the first
+  step (background_solver.rs:279-281);
+* each output row records the state after **one accepted adaptive step**
+  (the reference's `while solver.step() {}` per row,
+  background_solver.rs:283-295); step control matches: start dt = 1e-10,
+  reject when err/max_err > 1.1, dt *= (max_err/err)^(1/(s+1))
+  (background_solver.rs:178-187, 227).
+
+Documented divergences (the reference integrator is numerically suspect —
+see SURVEY.md §2.2 — so the Butcher tableaus are implemented from the
+textbook, not bug-for-bug):
+
+* stage accumulation uses the standard ``y + dt Σ a_nm k_m`` form (the
+  reference's stage loops drop the last sub-diagonal coefficient and its
+  step accumulators add ``b_i + k_i`` where ``b_i·k_i`` is required,
+  background_solver.rs:99-107, 157-160);
+* H is advanced with ``eomhdot`` (= −½G_ab χχ) rather than ``V − 3H²``; the
+  two agree exactly on the constraint surface and the former does not
+  require the (reference-buggy) unhalved constraint;
+* ``solver="rk4"`` uses classical RK4 with step-doubling error control — the
+  reference's "adaptive" RK4 has b ≡ bbar so its error estimate is
+  identically zero (background_solver.rs:208-209) and its dt update
+  divides by that zero;
+* row 0 of the output holds the *initial* state (with H from the
+  constraint); the reference overwrites it with the first step's result;
+* the entry point actually works — the reference's `solve_eom` passes one
+  argument to a two-argument opener and raises TypeError as shipped
+  (background.py:44 vs lib.rs:109).
+
+Everything is jit-compiled; :func:`solve_eom_batch` vmaps the whole
+integration over initial conditions and/or parameter sets, which is how
+parameter-sweep trajectory studies scale on TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .compiler import CompiledModel
+from .utils.errors import ShapeError
+
+__all__ = ["solve_eom", "solve_eom_batch"]
+
+
+# ----------------------------------------------------------------------- #
+# Butcher tableaus (textbook values)                                      #
+# ----------------------------------------------------------------------- #
+
+# Fehlberg 4(5): same coefficient set the reference intends
+# (background_solver.rs:231-259)
+_RKF_A = np.zeros((6, 6))
+_RKF_A[1, 0] = 1 / 4
+_RKF_A[2, :2] = (3 / 32, 9 / 32)
+_RKF_A[3, :3] = (1932 / 2197, -7200 / 2197, 7296 / 2197)
+_RKF_A[4, :4] = (439 / 216, -8.0, 3680 / 513, -845 / 4104)
+_RKF_A[5, :5] = (-8 / 27, 2.0, -3544 / 2565, 1859 / 4104, -11 / 40)
+_RKF_B5 = np.array([16 / 135, 0.0, 6656 / 12825, 28561 / 56430, -9 / 50, 2 / 55])
+_RKF_B4 = np.array([25 / 216, 0.0, 1408 / 2565, 2197 / 4104, -1 / 5, 0.0])
+
+_RK4_A = np.zeros((4, 4))
+_RK4_A[1, 0] = 0.5
+_RK4_A[2, 1] = 0.5
+_RK4_A[3, 2] = 1.0
+_RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+
+_DT_INIT = 1e-10  # background_solver.rs:227
+_DT_FLOOR = 1e-250  # bail-out: forcibly accept rather than loop forever
+
+
+def _state_derivative(model: CompiledModel, dtype):
+    """RHS of the first-order system over the flat state y = (φ, χ, H)."""
+    d = model.n_fields
+
+    def f(y, args):
+        x = y[:d]
+        chi = y[d : 2 * d]
+        hubble = y[2 * d]
+        eom = model.eom(x, chi, args)  # tuple of d scalars
+        acc = jnp.stack([-eom[a] - 3.0 * hubble * chi[a] for a in range(d)])
+        hdot = model.eom_hdot(x, chi, args)
+        return jnp.concatenate([chi, acc, jnp.reshape(hdot, (1,))]).astype(dtype)
+
+    return f
+
+
+def _rk_step(f, y, dt, args, a_mat, b_hi, b_lo):
+    """One embedded RK step: returns (y_high, y_low)."""
+    stages = a_mat.shape[0]
+    ks = []
+    for n in range(stages):
+        yn = y
+        for m in range(n):
+            if a_mat[n, m] != 0.0:
+                yn = yn + dt * a_mat[n, m] * ks[m]
+        ks.append(f(yn, args))
+    hi = y
+    lo = y
+    for n in range(stages):
+        if b_hi[n] != 0.0:
+            hi = hi + dt * b_hi[n] * ks[n]
+        if b_lo[n] != 0.0:
+            lo = lo + dt * b_lo[n] * ks[n]
+    return hi, lo
+
+
+def _build_solver(model: CompiledModel, solver: str, steps: int, dtype, max_err: float):
+    """jit-compiled single-trajectory integrator (closure over max_err)."""
+    f = _state_derivative(model, dtype)
+    d = model.n_fields
+
+    if solver == "rkf":
+        stages = 6
+
+        def embedded(y, dt, args):
+            return _rk_step(f, y, dt, args, _RKF_A, _RKF_B5, _RKF_B4)
+
+    elif solver == "rk4":
+        stages = 4
+
+        def embedded(y, dt, args):
+            big, _ = _rk_step(f, y, dt, args, _RK4_A, _RK4_B, _RK4_B)
+            half1, _ = _rk_step(f, y, dt / 2.0, args, _RK4_A, _RK4_B, _RK4_B)
+            small, _ = _rk_step(f, half1, dt / 2.0, args, _RK4_A, _RK4_B, _RK4_B)
+            return small, big
+
+    else:
+        raise ValueError(f'unknown solver {solver!r}; expected "rk4" or "rkf"')
+
+    exponent = 1.0 / (stages + 1)
+    max_err_c = float(max_err)
+
+    def one_row(args, carry):
+        y, dt, t = carry
+
+        def body(state):
+            y_s, dt_s, t_s, _ = state
+            hi, lo = embedded(y_s, dt_s, args)
+            err = jnp.sqrt(jnp.sum((hi - lo) ** 2))
+            ratio = err / max_err_c
+            q = jnp.where(
+                err > 0.0,
+                jnp.clip((max_err_c / jnp.maximum(err, 1e-300)) ** exponent, 0.1, 5.0),
+                5.0,  # zero error: grow at the cap
+            )
+            # non-finite error (diverging state): shrink and retry
+            q = jnp.where(jnp.isfinite(err), q, 0.1)
+            accept = jnp.logical_or(ratio <= 1.1, dt_s <= _DT_FLOOR)
+            y_next = jnp.where(accept, hi, y_s)
+            t_next = jnp.where(accept, t_s + dt_s, t_s)
+            return y_next, dt_s * q, t_next, accept
+
+        def cond(state):
+            return jnp.logical_not(state[3])
+
+        y, dt, t, _ = lax.while_loop(cond, body, (y, dt, t, jnp.asarray(False)))
+        return y, dt, t
+
+    def run(fields_init, derivs_init, args):
+        x0 = jnp.asarray(fields_init, dtype)
+        chi0 = jnp.asarray(derivs_init, dtype)
+        args = jnp.asarray(args, dtype)
+        h0 = model.eom_h(x0, chi0, args)
+        y0 = jnp.concatenate([x0, chi0, jnp.reshape(h0, (1,))]).astype(dtype)
+
+        def scan_body(carry, _):
+            y, dt, t = one_row(args, carry)
+            return (y, dt, t), jnp.concatenate([y, jnp.reshape(t, (1,))])
+
+        carry0 = (y0, jnp.asarray(_DT_INIT, dtype), jnp.asarray(0.0, dtype))
+        _, rows = lax.scan(scan_body, carry0, None, length=steps - 1)
+        row0 = jnp.concatenate([y0, jnp.zeros((1,), dtype)])
+        return jnp.concatenate([row0[None, :], rows], axis=0)  # (steps, 2d+2)
+
+    return jax.jit(run), d
+
+
+_solver_cache: dict = {}
+
+
+def _get_solver(model, solver, steps, dtype, max_err):
+    key = (id(model), solver, steps, jnp.dtype(dtype).name, float(max_err))
+    entry = _solver_cache.get(key)
+    if entry is None:
+        entry = _build_solver(model, solver, steps, dtype, max_err)
+        _solver_cache[key] = entry
+    return entry
+
+
+def solve_eom(
+    artifact: CompiledModel,
+    pars,
+    steps: int,
+    fields_init,
+    derivatives_init,
+    max_err: float = 1e-6,
+    solver: str = "rk4",
+    return_time: bool = False,
+):
+    """Integrate the background EoM for one trajectory.
+
+    Args mirror reference background.py:30-38.  Returns a (steps, 2n+1)
+    array: fields, field derivatives, Hubble parameter per row; row 0 is the
+    initial state with H from the Friedmann constraint.  With
+    ``return_time=True`` also returns the (steps,) array of physical times of
+    each row (the reference discards this information, making its output
+    hard to interpret — each row is one adaptive step of unknown size).
+    """
+    n = artifact.n_fields
+    fields_init = np.asarray(fields_init, dtype=float)
+    derivatives_init = np.asarray(derivatives_init, dtype=float)
+    pars = np.asarray(pars, dtype=float)
+    if fields_init.shape != (n,) or derivatives_init.shape != (n,):
+        raise ShapeError(
+            (n,), fields_init.shape, "initial conditions must have one entry per field"
+        )
+    if pars.shape != (artifact.n_parameters,):
+        raise ShapeError(
+            (artifact.n_parameters,), pars.shape,
+            f'model "{artifact.model_name}" has {artifact.n_parameters} parameters',
+        )
+    run, _ = _get_solver(artifact, solver, int(steps), jnp.float64, max_err)
+    rows = np.asarray(run(fields_init, derivatives_init, pars))
+    out, times = rows[:, :-1], rows[:, -1]
+    if return_time:
+        return out, times
+    return out
+
+
+def solve_eom_batch(
+    artifact: CompiledModel,
+    pars,
+    steps: int,
+    fields_init,
+    derivatives_init,
+    max_err: float = 1e-6,
+    solver: str = "rk4",
+    return_time: bool = False,
+):
+    """Integrate a batch of trajectories in one device launch.
+
+    ``fields_init``/``derivatives_init`` have shape (B, n); ``pars`` is
+    either (k,) (shared) or (B, k) (per-trajectory — this is how parameter
+    sweeps of background evolutions run on TPU).  Returns (B, steps, 2n+1)
+    [+ (B, steps) times].  No reference equivalent (the reference is
+    strictly sequential, one trajectory per call)."""
+    n = artifact.n_fields
+    fields_init = np.asarray(fields_init, dtype=float)
+    derivatives_init = np.asarray(derivatives_init, dtype=float)
+    pars = np.asarray(pars, dtype=float)
+    if fields_init.ndim != 2 or fields_init.shape[1] != n:
+        raise ShapeError(
+            (-1, n), fields_init.shape, "batched initial conditions must be (B, n_fields)"
+        )
+    run, _ = _get_solver(artifact, solver, int(steps), jnp.float64, max_err)
+    if pars.ndim == 1:
+        batched = jax.vmap(run, in_axes=(0, 0, None))
+    else:
+        batched = jax.vmap(run, in_axes=(0, 0, 0))
+    rows = np.asarray(jax.jit(batched)(fields_init, derivatives_init, pars))
+    out, times = rows[:, :, :-1], rows[:, :, -1]
+    if return_time:
+        return out, times
+    return out

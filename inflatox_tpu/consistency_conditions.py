@@ -1,0 +1,644 @@
+"""User-facing numerics API: potential/Hesse evaluation and AL-condition scans.
+
+Reference parity: ``python/inflatox/consistency_conditions.py`` plus the
+Rust grid drivers it calls (anguelova.rs, lib.rs pymethods).  The per-pixel
+FFI fan-out of the reference (5 dlopen'd C calls per grid point across a
+rayon thread pool) becomes a single fused XLA launch per scan: coordinates
+are generated on device from iota, every output quantity is computed in one
+elementwise pass, and the only HBM traffic is writing the results.
+
+The ``threads`` keyword of the reference is accepted for compatibility and
+ignored (parallelism is the device's job); multi-chip scans go through
+:mod:`inflatox_tpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .compiler import CompiledModel
+from .ops.anguelova import (
+    complete_analysis_op,
+    consistency_only_op,
+    consistency_rapidturn_only_op,
+    epsilon_v_only_op,
+    flag_quantum_diff_op,
+)
+from .ops.grid import grid_coords
+from .utils.errors import BasisNormError, BasisOrthogonalityError, ShapeError
+from .utils.logging import Progress, log_warn
+
+__all__ = ["InflationCondition", "GeneralisedAL"]
+
+_DBL_MIN = 2.2250738585072014e-308
+
+
+def _is_normal(value: float) -> bool:
+    """f64::is_normal semantics (finite, nonzero, not subnormal) — the
+    reference's NaN/degenerate test in basis validation (lib.rs:172,182)."""
+    return np.isfinite(value) and abs(value) >= _DBL_MIN
+
+
+class InflationCondition:
+    """Base class owning a compiled model; point and grid evaluation of the
+    potential and projected Hesse matrix.
+
+    Reference parity: ``InflationCondition`` (consistency_conditions.py:31-196)
+    + the pymethods it calls (lib.rs:309-463)."""
+
+    def __init__(self, compiled_artifact: CompiledModel, validate_basis: bool = True):
+        """Args mirror the reference (consistency_conditions.py:38-50):
+        when ``validate_basis`` is true the vielbein is checked for
+        orthonormality at 100 random field-space points (x ∈ [-1,1)^d,
+        params ∈ [-10,10)^k, tolerance 1e-3 — lib.rs:142-203); NaN results
+        produce warnings, out-of-tolerance results raise."""
+        self.artifact = compiled_artifact
+        self.dtype = jnp.float64
+        self._grid_fn_cache: dict = {}
+        if validate_basis:
+            self._validate_basis_at_random()
+
+    # ------------------------------------------------------------------ #
+    # basis validation                                                   #
+    # ------------------------------------------------------------------ #
+
+    def _basis_inner_products(self, xs, p):
+        """All pairwise basis inner products at the given points.
+
+        Returns dict {(i, j): array} for i <= j."""
+        m = self.artifact
+        d = m.n_fields
+
+        def compute(xs, p):
+            flat = m.basis_tuple(xs, p)
+            vecs = [flat[i * d : (i + 1) * d] for i in range(d)]
+            return {
+                (i, j): m.inner_prod(xs, p, vecs[i], vecs[j])
+                for i in range(d)
+                for j in range(i, d)
+            }
+
+        return jax.jit(compute)(xs, p)
+
+    def _check_basis_points(self, xs_np, p, accuracy: float) -> None:
+        """Shared warn/raise logic of lib.rs:142-203 and lib.rs:205-307."""
+        d = self.artifact.n_fields
+        xs = tuple(jnp.asarray(c.ravel(), self.dtype) for c in xs_np)
+        ips = self._basis_inner_products(xs, jnp.asarray(p, self.dtype))
+        ips = {k: np.asarray(v) for k, v in ips.items()}
+        n_points = xs[0].shape[0]
+
+        failed = 0
+        for point_idx in range(n_points):
+            point = [float(c.ravel()[point_idx]) for c in xs_np]
+            encountered_nan = False
+            for i in range(d):
+                for j in range(i, d):
+                    ip = float(np.ravel(ips[(i, j)])[point_idx])
+                    if i == j:
+                        if not _is_normal(ip):
+                            log_warn(
+                                f"Norm of basisvector {i} is {ip} at "
+                                f"field-space point {point}.\n"
+                                "Are we outside the model's domain?"
+                            )
+                            encountered_nan = True
+                        elif abs(ip - 1.0) >= accuracy:
+                            raise BasisNormError(ip, i, point)
+                    else:
+                        if not _is_normal(ip) and ip != 0.0:
+                            log_warn(
+                                f"w{i}•w{j} = {ip} at field-space point "
+                                f"{point}.\nAre we outside the model's domain?"
+                            )
+                            encountered_nan = True
+                        elif abs(ip) >= accuracy:
+                            raise BasisOrthogonalityError(ip, (i, j), point)
+            if encountered_nan:
+                failed += 1
+
+        if failed != 0:
+            log_warn(
+                f"Inflatox was unable to verify basis orthonormality at "
+                f"{failed} out of {n_points} tested points.\nThis could be "
+                f"indicative of a defective model.\nUsed parameter values: "
+                f"p={list(np.asarray(p))}"
+            )
+
+    def _validate_basis_at_random(self, num_points: int = 100) -> None:
+        m = self.artifact
+        rng = np.random.default_rng()
+        # distributions match lib.rs:144-161: params U[-10,10), x U[-1,1)
+        p = 10.0 * (-1.0 + 2.0 * rng.random(m.n_parameters))
+        xs = tuple(
+            -1.0 + 2.0 * rng.random(num_points) for _ in range(m.n_fields)
+        )
+        self._check_basis_points(xs, p, accuracy=1e-3)
+
+    def validate_basis_on_domain(
+        self,
+        args,
+        start,
+        stop,
+        N=100,
+        accuracy: float = 1e-3,
+    ) -> None:
+        """Check basis orthonormality on a full Cartesian grid over
+        [start, stop] (N samples per axis; int N applies to every axis).
+
+        Reference parity: consistency_conditions.py:158-196 / lib.rs:205-307.
+        Two reference bugs are fixed (and documented here): the reference's
+        ``if N is int`` never triggers (py:194), and its grid arithmetic
+        walks from ``stop`` instead of ``start`` along each axis (lib.rs:261);
+        we sample the full grid from ``start`` as documented."""
+        d = self.artifact.n_fields
+        if isinstance(N, (int, np.integer)):
+            N = [int(N)] * d
+        if len(N) != d or len(list(start)) != d or len(list(stop)) != d:
+            raise ShapeError(
+                (d,), (len(list(N)),),
+                "expected start/stop/N with one entry per field-space coordinate",
+            )
+        self._validate_args(args)
+        axes = [
+            a + np.arange(n) * (b - a) / n for (a, b, n) in zip(start, stop, N)
+        ]
+        mesh = np.meshgrid(*axes, indexing="ij")
+        self._check_basis_points(tuple(mesh), np.asarray(args, float), accuracy)
+
+    # ------------------------------------------------------------------ #
+    # argument validation (validiate_p, anguelova.rs:70-79)              #
+    # ------------------------------------------------------------------ #
+
+    def _validate_args(self, args) -> np.ndarray:
+        args = np.asarray(args, dtype=float)
+        if args.shape != (self.artifact.n_parameters,):
+            raise ShapeError(
+                (self.artifact.n_parameters,),
+                args.shape,
+                f'model "{self.artifact.model_name}" has '
+                f"{self.artifact.n_parameters} parameters",
+            )
+        return args
+
+    def _validate_2field(self) -> None:
+        """The AL condition requires a 2-field model (anguelova.rs:55-65;
+        the reference's check is inert due to a `!x == 2` precedence bug —
+        implemented as intended here)."""
+        if self.artifact.n_fields != 2:
+            raise ShapeError(
+                (2,),
+                (self.artifact.n_fields,),
+                "the Anguelova & Lazaroiu consistency condition requires a "
+                "2-field model.",
+            )
+
+    # ------------------------------------------------------------------ #
+    # potential / Hesse evaluation                                       #
+    # ------------------------------------------------------------------ #
+
+    def calc_V(self, x, args) -> float:
+        """Scalar potential at field-space point ``x``
+        (consistency_conditions.py:52-65)."""
+        args = self._validate_args(args)
+        x = np.asarray(x, dtype=float)
+        if x.shape != (self.artifact.n_fields,):
+            raise ShapeError(
+                (self.artifact.n_fields,), x.shape,
+                "expected a 1D array with as many elements as there are "
+                "field-space coordinates",
+            )
+        return float(
+            jax.jit(self.artifact.potential)(
+                jnp.asarray(x, self.dtype), jnp.asarray(args, self.dtype)
+            )
+        )
+
+    def calc_V_array(self, args, start, stop, N=None) -> np.ndarray:
+        """Potential sampled on an n-D grid; grid convention is
+        endpoint-exclusive (see ops.grid).  Default 8000 samples/axis
+        (consistency_conditions.py:67-101)."""
+        args = self._validate_args(args)
+        d = self.artifact.n_fields
+        N = [8000] * d if N is None else [int(n) for n in N]
+        start_stop = [(float(a), float(b)) for a, b in zip(start, stop)]
+        if len(start_stop) != d or len(N) != d:
+            raise ShapeError(
+                (d,), (len(start_stop),),
+                "expected start/stop/N with one entry per field-space coordinate",
+            )
+        fn = self._cached_grid_fn("V_array", tuple(N), self.dtype)
+        flat = np.asarray([v for ab in start_stop for v in ab])
+        return np.asarray(fn(jnp.asarray(args, self.dtype), jnp.asarray(flat, self.dtype)))
+
+    def calc_H(self, x, args) -> np.ndarray:
+        """Projected Hesse matrix at ``x``
+        (consistency_conditions.py:103-117)."""
+        args = self._validate_args(args)
+        x = np.asarray(x, dtype=float)
+        if x.shape != (self.artifact.n_fields,):
+            raise ShapeError(
+                (self.artifact.n_fields,), x.shape,
+                "expected a 1D array with as many elements as there are "
+                "field-space coordinates",
+            )
+        return np.asarray(
+            jax.jit(self.artifact.hesse)(
+                jnp.asarray(x, self.dtype), jnp.asarray(args, self.dtype)
+            )
+        )
+
+    def calc_H_array(
+        self, args, x0_start, x0_stop, x1_start, x1_stop, N=None
+    ) -> np.ndarray:
+        """Projected Hesse matrix on a 2-D grid → shape (d, d, N0, N1).
+
+        Signature parity with consistency_conditions.py:119-156 (the
+        reference's signature is 2-field-specific)."""
+        self._validate_2field()
+        args = self._validate_args(args)
+        N = [8000, 8000] if N is None else [int(n) for n in N]
+        fn = self._cached_grid_fn("H_array", tuple(N), self.dtype)
+        flat = np.asarray([x0_start, x0_stop, x1_start, x1_stop], dtype=float)
+        return np.asarray(fn(jnp.asarray(args, self.dtype), jnp.asarray(flat, self.dtype)))
+
+    # ------------------------------------------------------------------ #
+    # fused grid scans                                                   #
+    # ------------------------------------------------------------------ #
+
+    def _cached_grid_fn(self, kind: str, shape: tuple, dtype):
+        """One jitted, shape-specialized launcher per (kind, shape, dtype).
+
+        The grid *extent* and parameters are traced arguments — re-scanning a
+        different window reuses the compiled executable."""
+        key = (kind, shape, jnp.dtype(dtype).name)
+        fn = self._grid_fn_cache.get(key)
+        if fn is None:
+            fn = jax.jit(self._build_grid_fn(kind, shape, dtype))
+            self._grid_fn_cache[key] = fn
+        return fn
+
+    def _build_grid_fn(self, kind: str, shape: tuple, dtype):
+        m = self.artifact
+
+        def coords(flat_start_stop):
+            pairs = [
+                (flat_start_stop[2 * i], flat_start_stop[2 * i + 1])
+                for i in range(len(shape))
+            ]
+            return grid_coords(pairs, shape, dtype)
+
+        if kind == "V_array":
+
+            def run(args, flat):
+                return m.potential(coords(flat), args)
+
+        elif kind == "H_array":
+
+            def run(args, flat):
+                xs = coords(flat)
+                d = m.n_fields
+                flat_h = m.hesse_tuple(xs, args)
+                rows = [
+                    jnp.stack(flat_h[a * d : (a + 1) * d]) for a in range(d)
+                ]
+                return jnp.stack(rows)
+
+        elif kind == "complete_analysis":
+
+            def run(args, flat):
+                xs = coords(flat)
+                v = m.potential(xs, args)
+                v00, _, v10, v11 = m.hesse_tuple(xs, args)
+                gs = m.grad_square(xs, args)
+                return complete_analysis_op(v, v00, v10, v11, gs)
+
+        elif kind == "consistency":
+
+            def run(args, flat):
+                xs = coords(flat)
+                v = m.potential(xs, args)
+                v00, _, v10, v11 = m.hesse_tuple(xs, args)
+                return consistency_only_op(v, v00, v10, v11)
+
+        elif kind == "consistency_rapidturn":
+
+            def run(args, flat):
+                xs = coords(flat)
+                v = m.potential(xs, args)
+                v00, _, v10, v11 = m.hesse_tuple(xs, args)
+                return consistency_rapidturn_only_op(v, v00, v10, v11)
+
+        elif kind == "epsilon_v":
+
+            def run(args, flat):
+                xs = coords(flat)
+                v = m.potential(xs, args)
+                gs = m.grad_square(xs, args)
+                return epsilon_v_only_op(v, gs)
+
+        elif kind == "flag_quantum_dif":
+
+            def run(args, flat, accuracy):
+                xs = coords(flat)
+                grad = m._grad(xs, args)
+                return flag_quantum_diff_op(grad, accuracy)
+
+        else:  # pragma: no cover
+            raise ValueError(f"unknown scan kind {kind!r}")
+
+        return run
+
+    def _run_grid_scan(self, kind, args, extent, shape, progress, dtype=None):
+        """Shared driver for all 2-D scans."""
+        self._validate_2field()
+        args = self._validate_args(args)
+        dtype = dtype or self.dtype
+        fn = self._cached_grid_fn(kind, tuple(shape), dtype)
+        flat = np.asarray(extent, dtype=float)
+        with Progress(_SCAN_MESSAGES[kind], enabled=progress):
+            out = fn(jnp.asarray(args, dtype), jnp.asarray(flat, dtype))
+            out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+        return out
+
+
+_SCAN_MESSAGES = {
+    "complete_analysis": "Calculating full analysis",
+    "consistency": "Calculating consistency condition ONLY",
+    "consistency_rapidturn": (
+        "Calculating consistency condition ONLY assuming rapid-turn"
+    ),
+    "epsilon_v": "Calculating potential slow-roll parameter ε_V ONLY",
+    "flag_quantum_dif": "Calculating zeros of the potential gradient",
+    "complete_analysis_ot": "Calculating full analysis on trajectory",
+    "consistency_ot": "Calculating consistency condition ONLY on trajectory",
+    "consistency_rapidturn_ot": (
+        "Calculating consistency condition (rapid turn approx.) ONLY on "
+        "trajectory"
+    ),
+    "epsilon_v_ot": (
+        "Calculating potential slow-roll parameter ε_V ONLY on trajectory"
+    ),
+    "V_array": "Calculating potential array",
+    "H_array": "Calculating Hesse array",
+}
+
+
+class GeneralisedAL(InflationCondition):
+    """Generalised rapid-turn (ω ≫ ε^½) AL consistency condition
+    (arXiv:2405.11628) and related slow-roll quantities; also the original
+    rapid-turn limit (arXiv:2210.00031v2).
+
+    Reference parity: ``GeneralisedAL`` (consistency_conditions.py:199-715).
+    """
+
+    def __init__(self, compiled_artifact: CompiledModel, validate_basis: bool = True):
+        super().__init__(compiled_artifact, validate_basis=validate_basis)
+
+    # ---------------- full-grid scans ---------------------------------- #
+
+    def complete_analysis(
+        self,
+        args,
+        x0_start: float,
+        x0_stop: float,
+        x1_start: float,
+        x1_stop: float,
+        N_x0: int = 1_000,
+        N_x1: int = 1_000,
+        progress: bool = True,
+        threads: int | None = None,
+        dtype=None,
+    ):
+        """Complete AL analysis over a field-space grid: returns six
+        (N_x0, N_x1) arrays — consistency, ε_V, ε_H, η_∥, δ, ω — exactly the
+        quantities of anguelova.rs:103-135 (see ops.anguelova for the parity
+        notes).  ``threads`` is accepted for compatibility and ignored.
+        """
+        del threads
+        out = self._run_grid_scan(
+            "complete_analysis",
+            args,
+            (x0_start, x0_stop, x1_start, x1_stop),
+            (N_x0, N_x1),
+            progress,
+            dtype,
+        )
+        return tuple(np.asarray(o) for o in out)
+
+    def consistency(
+        self,
+        args,
+        x0_start: float,
+        x0_stop: float,
+        x1_start: float,
+        x1_stop: float,
+        N_x0: int = 1_000,
+        N_x1: int = 1_000,
+        progress: bool = True,
+        threads: int | None = None,
+        dtype=None,
+    ) -> np.ndarray:
+        """Generalised consistency condition ||lhs|−|rhs||/(|lhs|+|rhs|) with
+        lhs = V_ww/V − 3 (consistency_conditions.py:310-365)."""
+        del threads
+        return np.asarray(
+            self._run_grid_scan(
+                "consistency",
+                args,
+                (x0_start, x0_stop, x1_start, x1_stop),
+                (N_x0, N_x1),
+                progress,
+                dtype,
+            )
+        )
+
+    def epsilon_v(
+        self,
+        args,
+        x0_start: float,
+        x0_stop: float,
+        x1_start: float,
+        x1_stop: float,
+        N_x0: int = 1_000,
+        N_x1: int = 1_000,
+        progress: bool = True,
+        threads: int | None = None,
+        dtype=None,
+    ) -> np.ndarray:
+        """ε_V = ½(∇V/V)² (consistency_conditions.py:367-418)."""
+        del threads
+        return np.asarray(
+            self._run_grid_scan(
+                "epsilon_v",
+                args,
+                (x0_start, x0_stop, x1_start, x1_stop),
+                (N_x0, N_x1),
+                progress,
+                dtype,
+            )
+        )
+
+    def consistency_rapidturn(
+        self,
+        args,
+        x0_start: float,
+        x0_stop: float,
+        x1_start: float,
+        x1_stop: float,
+        N_x0: int = 1_000,
+        N_x1: int = 1_000,
+        progress: bool = True,
+        threads: int | None = None,
+        dtype=None,
+    ) -> np.ndarray:
+        """Original AL rapid-turn condition
+        (consistency_conditions.py:420-475)."""
+        del threads
+        return np.asarray(
+            self._run_grid_scan(
+                "consistency_rapidturn",
+                args,
+                (x0_start, x0_stop, x1_start, x1_stop),
+                (N_x0, N_x1),
+                progress,
+                dtype,
+            )
+        )
+
+    def flag_quantum_dif(
+        self,
+        args,
+        x0_start: float,
+        x0_stop: float,
+        x1_start: float,
+        x1_stop: float,
+        N_x0: int = 10_000,
+        N_x1: int = 10_000,
+        progress: bool = True,
+        accuracy: float = 1e-3,
+        dtype=None,
+    ) -> np.ndarray:
+        """Boolean mask of candidate saddle points: True where every raw
+        gradient component satisfies |∂_a V| ≤ accuracy.
+
+        This implements the *documented* behavior of
+        consistency_conditions.py:477-523; the reference binary as shipped
+        evaluates the metric-normalized gradient with a signed comparison
+        (anguelova.rs:166-170) — see ops.anguelova for the full note."""
+        self._validate_2field()
+        args = self._validate_args(args)
+        dtype = dtype or self.dtype
+        fn = self._cached_grid_fn("flag_quantum_dif", (N_x0, N_x1), dtype)
+        flat = np.asarray((x0_start, x0_stop, x1_start, x1_stop), dtype=float)
+        with Progress(_SCAN_MESSAGES["flag_quantum_dif"], enabled=progress):
+            out = fn(
+                jnp.asarray(args, dtype),
+                jnp.asarray(flat, dtype),
+                jnp.asarray(accuracy, dtype),
+            ).block_until_ready()
+        return np.asarray(out)
+
+    # ---------------- on-trajectory variants --------------------------- #
+    # (anguelova.rs:633-977: same point ops over a user-supplied (n, 2)    #
+    # trajectory array)                                                    #
+
+    def _trajectory_coords(self, x) -> tuple:
+        x = np.asarray(x, dtype=float)
+        if x.ndim != 2 or x.shape[1] != self.artifact.n_fields:
+            raise ShapeError(
+                (-1, self.artifact.n_fields), x.shape,
+                "trajectory must be an (n, n_fields) array of field-space "
+                "points",
+            )
+        return tuple(jnp.asarray(x[:, i], self.dtype) for i in range(x.shape[1]))
+
+    def _cached_point_fn(self, kind: str):
+        key = (kind, "points", self.dtype)
+        fn = self._grid_fn_cache.get(key)
+        if fn is not None:
+            return fn
+        m = self.artifact
+
+        if kind == "complete_analysis_ot":
+
+            def run(args, xs):
+                v = m.potential(xs, args)
+                v00, _, v10, v11 = m.hesse_tuple(xs, args)
+                gs = m.grad_square(xs, args)
+                return complete_analysis_op(v, v00, v10, v11, gs)
+
+        elif kind == "consistency_ot":
+
+            def run(args, xs):
+                v = m.potential(xs, args)
+                v00, _, v10, v11 = m.hesse_tuple(xs, args)
+                return consistency_only_op(v, v00, v10, v11)
+
+        elif kind == "consistency_rapidturn_ot":
+
+            def run(args, xs):
+                v = m.potential(xs, args)
+                v00, _, v10, v11 = m.hesse_tuple(xs, args)
+                return consistency_rapidturn_only_op(v, v00, v10, v11)
+
+        elif kind == "epsilon_v_ot":
+
+            def run(args, xs):
+                v = m.potential(xs, args)
+                gs = m.grad_square(xs, args)
+                return epsilon_v_only_op(v, gs)
+
+        else:  # pragma: no cover
+            raise ValueError(kind)
+
+        fn = jax.jit(run)
+        self._grid_fn_cache[key] = fn
+        return fn
+
+    def _run_trajectory_scan(self, kind, args, x, progress):
+        self._validate_2field()
+        args = self._validate_args(args)
+        xs = self._trajectory_coords(x)
+        fn = self._cached_point_fn(kind)
+        with Progress(_SCAN_MESSAGES[kind], enabled=progress):
+            out = fn(jnp.asarray(args, self.dtype), xs)
+            out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+        return out
+
+    def complete_analysis_ot(
+        self, args, x, progress: bool = True, threads: int | None = None
+    ):
+        """Complete analysis on an (n, 2) trajectory → list of six (n, 1)
+        arrays (the reference returns ``np.split(out, 6, 1)`` of an (n, 6)
+        array — consistency_conditions.py:582-589; shape preserved)."""
+        del threads
+        out = self._run_trajectory_scan("complete_analysis_ot", args, x, progress)
+        return [np.asarray(o)[:, None] for o in out]
+
+    def consistency_ot(
+        self, args, x, progress: bool = True, threads: int | None = None
+    ) -> np.ndarray:
+        del threads
+        return np.asarray(
+            self._run_trajectory_scan("consistency_ot", args, x, progress)
+        )
+
+    def consistency_rapidturn_ot(
+        self, args, x, progress: bool = True, threads: int | None = None
+    ) -> np.ndarray:
+        del threads
+        return np.asarray(
+            self._run_trajectory_scan("consistency_rapidturn_ot", args, x, progress)
+        )
+
+    def epsilon_v_ot(
+        self, args, x, progress: bool = True, threads: int | None = None
+    ) -> np.ndarray:
+        del threads
+        return np.asarray(
+            self._run_trajectory_scan("epsilon_v_ot", args, x, progress)
+        )

@@ -1,0 +1,108 @@
+"""Point math for the (generalised) Anguelova-Lazaroiu consistency condition.
+
+These are the TPU equivalents of the reference's ``ops`` module
+(anguelova.rs:99-171) — the single source of truth for the formulas, shared
+by grid scans, on-trajectory scans, and the Pallas kernels.  All functions
+are elementwise over broadcastable arrays.
+
+Numerical-parity notes (deliberately replicated from the reference):
+
+* ``complete_analysis_op`` computes ε_V **without** the ½ factor
+  (anguelova.rs:119), while ``epsilon_v_only_op`` **includes** it
+  (anguelova.rs:138-140).  The discrepancy is the reference's shipped
+  behavior and is part of the parity contract.
+* ``complete_analysis_op``'s consistency uses |lhs − rhs| in the numerator
+  (anguelova.rs:115) whereas the standalone conditions use ||lhs| − |rhs||
+  (anguelova.rs:153,162).
+* ``V_tt`` is the expression exactly as written at anguelova.rs:121-122
+  (the first and third numerator terms partially cancel; kept verbatim).
+
+Deliberate divergence:
+
+* ``flag_quantum_diff_op`` implements the *documented* intent
+  (consistency_conditions.py:489-495): flag where **|∂_a V| < accuracy** for
+  every raw gradient component.  The reference as shipped evaluates the
+  metric-normalized gradient basis vector with a signed comparison
+  (anguelova.rs:166-170, ``out.iter().all(|&x| x <= accuracy)``), which its
+  own docstring contradicts on both counts.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..lowering import accmath as _amath
+
+__all__ = [
+    "complete_analysis_op",
+    "consistency_only_op",
+    "consistency_rapidturn_only_op",
+    "epsilon_v_only_op",
+    "flag_quantum_diff_op",
+]
+
+
+def _ratio_metric(num, lhs, rhs):
+    """|num| / (|lhs| + |rhs|), clamped to the mathematical bound ≤ 1.
+
+    XLA's f64 division is faithfully rounded (≤3 ulp), so x/x can land a hair
+    above 1.0 where C's correctly-rounded division returns exactly 1.0 (the
+    reference relies on that: tests/test_doc.py:58 asserts nanmax ≤ 1).  The
+    clamp restores the invariant without changing any in-range value beyond
+    the division's own rounding.  NaNs propagate unchanged."""
+    return jnp.minimum(jnp.abs(num) / (jnp.abs(lhs) + jnp.abs(rhs)), 1.0)
+
+
+def complete_analysis_op(v, v00, v10, v11, grad_sq):
+    """All six AL-analysis quantities from one set of model evaluations.
+
+    Mirrors ops::complete_analysis (anguelova.rs:103-135).  Inputs are the
+    potential V, projected Hesse components V_vv, V_vw, V_ww and |∇V|², all
+    broadcastable arrays.  Returns (consistency, ε_V, ε_H, η_∥, δ, ω).
+    """
+    lhs = v11 / v
+    rhs = 3.0 + 3.0 * (v00 / v10) ** 2 + (v00 / v) * (v10 / v00) ** 2
+    consistency = _ratio_metric(lhs - rhs, lhs, rhs)
+
+    epsilon_v = grad_sq / v**2  # no ½ here — anguelova.rs:119
+
+    vtt = (v00 * v10**2 + v11 * v00**2 - 2.0 * v00 * v10**2) / (v00**2 + v10**2)
+    vt2 = epsilon_v / (1.0 + (v00 / v10) ** 2)
+    epsilon_h = 3.0 * (epsilon_v - vt2) / (epsilon_v + jnp.abs(vtt) / v - vt2)
+    delta = _amath.atan(jnp.abs(v10 / v00))  # native f64 arctan is ~2e-8
+    omega = jnp.sqrt((vtt / v) * (3.0 - epsilon_h))
+    eta_parallel = omega * jnp.tan(delta) - 3.0
+    return consistency, epsilon_v, epsilon_h, eta_parallel, delta, omega
+
+
+def epsilon_v_only_op(v, grad_sq):
+    """ε_V = ½|∇V|²/V² (anguelova.rs:138-140 — the ½ IS present here)."""
+    return 0.5 * grad_sq / v**2
+
+
+def consistency_rapidturn_only_op(v, v00, v10, v11):
+    """Original AL rapid-turn condition (anguelova.rs:143-154):
+    lhs = V_ww/V, rhs = 3 (V_vw/V_vv)², out = ||lhs|−|rhs||/(|lhs|+|rhs|)."""
+    lhs = v11 / v
+    rhs = 3.0 * (v10 / v00) ** 2
+    return _ratio_metric(jnp.abs(lhs) - jnp.abs(rhs), lhs, rhs)
+
+
+def consistency_only_op(v, v00, v10, v11):
+    """Generalised condition (anguelova.rs:157-163):
+    lhs = V_ww/V − 3, rhs = 3 (V_vv/V_vw)² + (V_vv/V)(V_vw/V_vv)²."""
+    lhs = v11 / v - 3.0
+    rhs = 3.0 * (v00 / v10) ** 2 + (v00 / v) * (v10 / v00) ** 2
+    return _ratio_metric(jnp.abs(lhs) - jnp.abs(rhs), lhs, rhs)
+
+
+def flag_quantum_diff_op(grad_components, accuracy):
+    """Saddle-point mask: True where every |∂_a V| ≤ accuracy.
+
+    ``grad_components`` is a sequence of broadcastable arrays (one per field).
+    See module docstring for the divergence from anguelova.rs:166-170."""
+    mask = None
+    for g in grad_components:
+        m = jnp.abs(g) <= accuracy
+        mask = m if mask is None else jnp.logical_and(mask, m)
+    return mask

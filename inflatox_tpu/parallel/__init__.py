@@ -1,0 +1,4 @@
+from .mesh import make_mesh, default_mesh
+from .sweep import sharded_scan, parameter_sweep
+
+__all__ = ["make_mesh", "default_mesh", "sharded_scan", "parameter_sweep"]

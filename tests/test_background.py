@@ -1,0 +1,109 @@
+"""Background-solver correctness (coverage the reference lacks entirely —
+its solve_eom entry point is broken as shipped, SURVEY.md §2.1/§4).
+
+Validation strategy per SURVEY.md §7.2 item 5: compare against scipy's
+reference integrator on the same ODE system, and check the Friedmann
+constraint is preserved along the trajectory."""
+
+import numpy as np
+import pytest
+
+from inflatox_tpu import background
+
+
+@pytest.fixture(scope="module")
+def trivial(trivial_artifact):
+    return trivial_artifact
+
+
+ARGS = np.array([1.0, 1.0])  # m_1, m_2
+X0 = [1.0, 0.5]
+CHI0 = [0.0, 0.0]
+
+
+def _scipy_reference(artifact, pars, t_eval_max, x0, chi0):
+    from scipy.integrate import solve_ivp
+
+    d = artifact.n_fields
+
+    def rhs(_t, y):
+        x, chi, hub = y[:d], y[d : 2 * d], y[2 * d]
+        eom = [float(v) for v in artifact.eom(x, chi, pars)]
+        acc = [-eom[a] - 3.0 * hub * chi[a] for a in range(d)]
+        hdot = float(artifact.eom_hdot(x, chi, pars))
+        return np.concatenate([chi, acc, [hdot]])
+
+    h0 = float(artifact.eom_h(np.array(x0), np.array(chi0), pars))
+    y0 = np.concatenate([x0, chi0, [h0]])
+    sol = solve_ivp(rhs, (0.0, t_eval_max), y0, rtol=1e-10, atol=1e-12, dense_output=True)
+    return sol
+
+
+@pytest.mark.parametrize("solver", ["rk4", "rkf"])
+def test_against_scipy(trivial, solver):
+    steps = 200
+    out, times = background.solve_eom(
+        trivial, ARGS, steps, X0, CHI0, max_err=1e-8, solver=solver, return_time=True
+    )
+    assert out.shape == (steps, 2 * 2 + 1)
+    assert np.all(np.diff(times) > 0)
+    sol = _scipy_reference(trivial, ARGS, float(times[-1]), X0, CHI0)
+    ref = sol.sol(times).T  # (steps, 5)
+    # per-step tolerance 1e-8 over `steps` accepted steps bounds the global
+    # drift to ~steps·max_err
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=5e-7)
+
+
+def test_row0_is_initial_state(trivial):
+    out = background.solve_eom(trivial, ARGS, 10, X0, CHI0)
+    np.testing.assert_allclose(out[0, :2], X0)
+    np.testing.assert_allclose(out[0, 2:4], CHI0)
+    h0 = float(trivial.eom_h(np.array(X0), np.array(CHI0), ARGS))
+    assert np.isclose(out[0, 4], h0, rtol=1e-12)
+
+
+def test_friedmann_constraint_preserved(trivial):
+    out = background.solve_eom(trivial, ARGS, 300, X0, CHI0, max_err=1e-8, solver="rkf")
+    x, chi, hub = out[:, :2], out[:, 2:4], out[:, 4]
+    # flat metric: 3H² = V + ½|χ|²
+    v = (ARGS[0] * x[:, 0]) ** 2 + (ARGS[1] * x[:, 1]) ** 2
+    constraint = np.sqrt((v + 0.5 * np.sum(chi**2, axis=1)) / 3.0)
+    np.testing.assert_allclose(hub, constraint, rtol=1e-4)
+
+
+def test_hubble_decreases(trivial):
+    """H is monotonically non-increasing (Ḣ = −½|χ|² ≤ 0)."""
+    out = background.solve_eom(trivial, ARGS, 300, X0, CHI0, solver="rkf")
+    assert np.all(np.diff(out[:, 4]) <= 1e-12)
+
+
+def test_batched_matches_single(trivial):
+    inits = np.array([[1.0, 0.5], [0.8, -0.3], [1.2, 0.1]])
+    chis = np.zeros_like(inits)
+    batch = background.solve_eom_batch(trivial, ARGS, 50, inits, chis, solver="rkf")
+    assert batch.shape == (3, 50, 5)
+    single = background.solve_eom(trivial, ARGS, 50, inits[1], chis[1], solver="rkf")
+    # batched reductions may differ by an ulp, which can flip an accept/
+    # reject decision and perturb the adaptive dt path: compare to the
+    # solver tolerance, not bitwise
+    np.testing.assert_allclose(batch[1], single, rtol=1e-4, atol=1e-6)
+
+
+def test_batched_per_trajectory_params(trivial):
+    inits = np.tile(np.array(X0), (2, 1))
+    chis = np.zeros_like(inits)
+    pars = np.array([[1.0, 1.0], [2.0, 0.5]])
+    batch = background.solve_eom_batch(trivial, pars, 50, inits, chis, solver="rkf")
+    single = background.solve_eom(trivial, pars[1], 50, inits[1], chis[1], solver="rkf")
+    np.testing.assert_allclose(batch[1], single, rtol=1e-4, atol=1e-6)
+
+
+def test_shape_validation(trivial):
+    from inflatox_tpu.utils.errors import ShapeError
+
+    with pytest.raises(ShapeError):
+        background.solve_eom(trivial, ARGS, 10, [1.0], [0.0, 0.0])
+    with pytest.raises(ShapeError):
+        background.solve_eom(trivial, np.array([1.0]), 10, X0, CHI0)
+    with pytest.raises(ValueError):
+        background.solve_eom(trivial, ARGS, 10, X0, CHI0, solver="euler")

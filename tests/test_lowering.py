@@ -1,0 +1,175 @@
+"""Unit tests for the sympy→JAX lowering layer.
+
+The TPU analogue of reference tests/test_compiler.py:25-82: symbol-slot
+mapping, parameter registration order, function lowering, special-function
+dispatch — checked numerically against sympy evalf instead of against C
+source strings."""
+
+import numpy as np
+import pytest
+import sympy
+
+import jax.numpy as jnp
+from inflatox_tpu.lowering import SymbolRegistry, lower
+from inflatox_tpu.lowering.jax_lowering import MaxCsesExceeded, _ModelJaxPrinter
+
+
+@pytest.fixture
+def registry():
+    x, y, xdot, ydot = sympy.symbols("x y \\dot{{x}} \\dot{{y}}")
+    return SymbolRegistry([x, y], [xdot, ydot])
+
+
+def test_symbol_mapping(registry):
+    x, y, a, b, xdot, ydot = sympy.symbols("x y a b \\dot{{x}} \\dot{{y}}")
+    registry.register_exprs([a * x + b * y + xdot * ydot])
+    assert registry.slot(x) == ("x", 0)
+    assert registry.slot(y) == ("x", 1)
+    assert registry.slot(xdot) == ("xdot", 0)
+    assert registry.slot(ydot) == ("xdot", 1)
+    assert registry.slot(a) == ("args", 0)
+    assert registry.slot(b) == ("args", 1)
+    assert registry.symbol_dictionary["x"] == "x[0]"
+    assert registry.symbol_dictionary["a"] == "args[0]"
+
+
+def test_registration_order_matches_c_printer(registry):
+    """Parameter order must equal first-encounter order during C99 printing —
+    the reference's contract (compiler.py:102-106)."""
+    x, y = sympy.symbols("x y")
+    zeta, alpha = sympy.symbols("zeta alpha")
+    # C printers print Add terms in sorted order; whatever that order is, our
+    # registration pass must match the reference printer's registration.
+    from sympy.printing.c import C99CodePrinter
+
+    class RefLikePrinter(C99CodePrinter):
+        def __init__(self):
+            super().__init__()
+            self.seen = []
+
+        def _print_Symbol(self, expr):
+            name = super()._print_Symbol(expr)
+            if name not in ("x", "y") and name not in self.seen:
+                self.seen.append(name)
+            return name
+
+    expr = zeta * x**2 + alpha * y + sympy.sin(alpha * zeta)
+    ref = RefLikePrinter()
+    ref.doprint(expr)
+    registry.register_exprs([expr])
+    assert registry.param_names == ref.seen
+
+
+def test_lowered_numeric_equivalence(registry):
+    x, y, a, b = sympy.symbols("x y a b")
+    expr = a * sympy.sin(x) ** 2 + sympy.sqrt(b) * sympy.exp(-y) + x * y / b
+    registry.register_exprs([expr])
+    fn = lower(expr, registry)
+    xv, yv, av, bv = 0.7, -1.3, 2.5, 3.7
+    got = float(fn([xv, yv], [av, bv]))
+    want = float(expr.subs({x: xv, y: yv, a: av, b: bv}).evalf(20))
+    assert np.isclose(got, want, rtol=1e-14)
+
+
+def test_integer_power_negative_base(registry):
+    """C pow() semantics for integral exponents: (-x)^(-2) must be finite.
+    A float-exponent lowering would produce NaN (the reason for the
+    _print_Pow override)."""
+    x, y = sympy.symbols("x y")
+    expr = (1 - x**2 - y**2) ** (-2)
+    registry.register_exprs([expr])
+    fn = lower(expr, registry)
+    got = float(fn([2.0, 2.0], []))  # base = 1-8 = -7
+    assert np.isclose(got, (-7.0) ** (-2), rtol=1e-14)
+    assert np.isfinite(got)
+
+
+def test_lowered_vector_function(registry):
+    x, y, a = sympy.symbols("x y a")
+    exprs = [x + a, x * y, sympy.cos(y)]
+    registry.register_exprs(exprs)
+    fn = lower(exprs, registry)
+    out = fn([1.0, 2.0], [3.0])
+    assert len(out) == 3
+    assert np.isclose(float(out[0]), 4.0)
+    assert np.isclose(float(out[1]), 2.0)
+    assert np.isclose(float(out[2]), np.cos(2.0))
+
+
+def test_lowered_elementwise_grids(registry):
+    """Lowered functions evaluate elementwise when given arrays — the grid
+    path needs no vmap."""
+    x, y, a = sympy.symbols("x y a")
+    expr = a * x**2 + y
+    registry.register_exprs([expr])
+    fn = lower(expr, registry)
+    xv = jnp.linspace(0, 1, 8).reshape(2, 4)
+    yv = jnp.linspace(-1, 0, 8).reshape(2, 4)
+    out = fn((xv, yv), [2.0])
+    assert out.shape == (2, 4)
+    np.testing.assert_allclose(
+        np.asarray(out), 2.0 * np.asarray(xv) ** 2 + np.asarray(yv), rtol=1e-13
+    )
+
+
+def test_xdot_signature(registry):
+    x, y, xdot, ydot = sympy.symbols("x y \\dot{{x}} \\dot{{y}}")
+    expr = xdot**2 + ydot * x
+    registry.register_exprs([expr])
+    fn = lower(expr, registry, signature=("x", "xdot", "args"))
+    got = float(fn([2.0, 0.0], [3.0, 4.0], []))
+    assert np.isclose(got, 9.0 + 8.0)
+
+
+def test_cse_lowering(registry):
+    x, y = sympy.symbols("x y")
+    big = sympy.sin(x + y) ** 2 + sympy.cos(sympy.sin(x + y)) + (x + y) ** 3
+    registry.register_exprs([big])
+    plain = lower(big, registry)
+    with_cse = lower(big, registry, cse=True)
+    assert "cse0" in with_cse.source
+    a = float(plain([0.3, 0.4], []))
+    b = float(with_cse([0.3, 0.4], []))
+    assert np.isclose(a, b, rtol=1e-15)
+
+
+def test_max_cses_cap(registry):
+    x, y = sympy.symbols("x y")
+    # an expression with several distinct repeated subexpressions
+    parts = [sympy.sin(x + k) ** 2 + sympy.sin(x + k) for k in range(5)]
+    expr = sum(parts, sympy.Integer(0))
+    registry.register_exprs([expr])
+    with pytest.raises(MaxCsesExceeded):
+        lower(expr, registry, cse=True, max_cses=0)
+
+
+def test_hyper_dispatch(registry):
+    """Hypergeometric family coverage matches the reference GSL printer
+    (compiler.py:158-177), including the unsupported-order rejection."""
+    x = sympy.symbols("x")
+    printer = _ModelJaxPrinter(registry)
+    assert "_special.hyp2f1" in printer.doprint(sympy.hyper([0, 1], [2], x))
+    assert "_special.hyp1f1" in printer.doprint(sympy.hyper([0], [1], x))
+    assert "_special.hyp0f1" in printer.doprint(sympy.hyper([], [1], x))
+    assert "_special.hyp2f0" in printer.doprint(sympy.hyper([0, 1], [], x))
+    with pytest.raises(Exception, match="Cannot compute"):
+        printer.doprint(sympy.hyper([0, 3, 4], [1, 2], x))
+
+
+def test_bessel_printing(registry):
+    x = sympy.symbols("x")
+    printer = _ModelJaxPrinter(registry)
+    assert "_special.besselj(0," in printer.doprint(sympy.besselj(0, x))
+    assert "_special.besseli(1," in printer.doprint(sympy.besseli(1, x))
+    assert "_special.besselk" in printer.doprint(sympy.besselk(2, x))
+    assert "_special.bessely" in printer.doprint(sympy.bessely(1, x))
+    assert "_special.sph_jn(2," in printer.doprint(sympy.jn(2, x))
+    assert "_special.sph_yn(1," in printer.doprint(sympy.yn(1, x))
+
+
+def test_unknown_symbol_raises(registry):
+    from inflatox_tpu.utils.errors import MissingSymbolError
+
+    q = sympy.symbols("unregistered_q")
+    with pytest.raises(MissingSymbolError):
+        lower(q + 1, registry)  # never registered

@@ -1,0 +1,109 @@
+"""Multi-device (8 virtual CPU devices) sharding tests: sharded grid scans
+and parameter sweeps must agree exactly with the single-device path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from inflatox_tpu.consistency_conditions import GeneralisedAL
+from inflatox_tpu.parallel import make_mesh, parameter_sweep, sharded_scan
+
+
+@pytest.fixture(scope="module")
+def al(doc_model_artifact):
+    return GeneralisedAL(doc_model_artifact, validate_basis=False)
+
+
+PARAMS = np.array([1.0])
+EXTENT = (0.5, 2.5, 0.25, 3.0)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_scan_matches_single_device(al):
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    n = (64, 16)
+    sharded = np.asarray(sharded_scan(al, PARAMS, EXTENT, n, mesh))
+    maps = al.complete_analysis(PARAMS, *EXTENT, *n, progress=False)
+    for k in range(6):
+        np.testing.assert_allclose(
+            sharded[k], maps[k], rtol=1e-12, equal_nan=True
+        )
+
+
+def test_sharded_scan_row_divisibility(al):
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    with pytest.raises(ValueError):
+        sharded_scan(al, PARAMS, EXTENT, (30, 16), mesh)  # 30 % 8 != 0
+
+
+def test_parameter_sweep_single_device(al):
+    batch = np.linspace(0.5, 2.0, 5)[:, None]  # 5 values of m
+    out = parameter_sweep(al, batch, EXTENT, (8, 8), progress=False)
+    assert out.shape == (5, 6, 8, 8)
+    ref = al.complete_analysis(batch[3], *EXTENT, 8, 8, progress=False)
+    for k in range(6):
+        np.testing.assert_allclose(out[3, k], ref[k], rtol=1e-12, equal_nan=True)
+
+
+def test_parameter_sweep_sharded(al):
+    mesh = make_mesh(axis_names=("sweep",), devices=jax.devices())
+    batch = np.linspace(0.5, 2.0, 11)[:, None]  # 11 % 8 != 0 → padding path
+    out = parameter_sweep(al, batch, EXTENT, (8, 8), mesh=mesh, progress=False)
+    ref = parameter_sweep(al, batch, EXTENT, (8, 8), progress=False)
+    np.testing.assert_allclose(out, ref, rtol=1e-12, equal_nan=True)
+
+
+def test_parameter_sweep_reduce_fn(al):
+    """On-device reduction (min consistency per parameter set)."""
+    batch = np.linspace(0.5, 2.0, 4)[:, None]
+    out = parameter_sweep(
+        al,
+        batch,
+        EXTENT,
+        (8, 8),
+        progress=False,
+        reduce_fn=lambda maps: jnp.nanmin(maps[0]),
+    )
+    assert out.shape == (4,)
+    full = parameter_sweep(al, batch, EXTENT, (8, 8), progress=False)
+    np.testing.assert_allclose(out, np.nanmin(full[:, 0], axis=(1, 2)), rtol=1e-12)
+
+
+def test_parameter_sweep_checkpoint_resume(al, tmp_path):
+    batch = np.linspace(0.5, 2.0, 6)[:, None]
+    ckpt = str(tmp_path / "sweep")
+    out1 = parameter_sweep(
+        al, batch, EXTENT, (8, 8), chunk_size=2, checkpoint_dir=ckpt, progress=False
+    )
+    import os
+
+    files = sorted(os.listdir(ckpt))
+    assert files == ["chunk_000000.npy", "chunk_000001.npy", "chunk_000002.npy"]
+    # resume: delete one chunk, corrupt another's source params — resumed
+    # chunks must come from disk, the deleted one recomputed
+    os.remove(os.path.join(ckpt, "chunk_000001.npy"))
+    out2 = parameter_sweep(
+        al, batch, EXTENT, (8, 8), chunk_size=2, checkpoint_dir=ckpt, progress=False
+    )
+    np.testing.assert_allclose(out1, out2, rtol=1e-12, equal_nan=True)
+
+
+def test_batched_background_on_mesh(trivial_artifact):
+    """Batched background solves shard across devices via vmap+jit sharding
+    (pod-scale sweep ingredient, BASELINE.json config 5)."""
+    from inflatox_tpu import background
+
+    inits = np.column_stack(
+        [np.linspace(0.8, 1.2, 8), np.linspace(-0.5, 0.5, 8)]
+    )
+    chis = np.zeros_like(inits)
+    out = background.solve_eom_batch(
+        trivial_artifact, np.array([1.0, 1.0]), 20, inits, chis, solver="rkf"
+    )
+    assert out.shape == (8, 20, 5)
+    assert np.all(np.isfinite(out))

@@ -412,13 +412,35 @@ class GeneralisedAL(InflationCondition):
         progress: bool = True,
         threads: int | None = None,
         dtype=None,
+        engine: str = "xla",
     ):
         """Complete AL analysis over a field-space grid: returns six
         (N_x0, N_x1) arrays — consistency, ε_V, ε_H, η_∥, δ, ω — exactly the
         quantities of anguelova.rs:103-135 (see ops.anguelova for the parity
         notes).  ``threads`` is accepted for compatibility and ignored.
+
+        ``engine``: "xla" (default; fp64-capable fused scan) or "pallas"
+        (hand-tiled TPU kernel, fp32 — the fast path for huge grids; see
+        ops/pallas_kernels.py).
         """
         del threads
+        if engine == "pallas":
+            from .ops.pallas_kernels import complete_analysis_pallas  # noqa: PLC0415
+
+            self._validate_2field()
+            args = self._validate_args(args)
+            with Progress(_SCAN_MESSAGES["complete_analysis"], enabled=progress):
+                out = complete_analysis_pallas(
+                    self.artifact,
+                    args,
+                    (x0_start, x0_stop, x1_start, x1_stop),
+                    (N_x0, N_x1),
+                    dtype=dtype or jnp.float32,
+                )
+                out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+            return tuple(np.asarray(o) for o in out)
+        if engine != "xla":
+            raise ValueError(f'unknown engine {engine!r}; expected "xla" or "pallas"')
         out = self._run_grid_scan(
             "complete_analysis",
             args,

@@ -100,10 +100,11 @@ _ATAN_COEFFS = [((-1.0) ** n) / (2.0 * n + 1.0) for n in range(8, 0, -1)]
 
 
 def atan(x):
-    """Accurate arctan (≈1e-15; native arctan is ~2e-8 on these backends)."""
+    """Accurate arctan (≈1e-14; native f64 arctan is ~2e-8 on these
+    backends).  Used for every dtype: the polynomial builds only on
+    mul/add/div/sqrt, which also makes it lowerable by Pallas/Mosaic
+    (which has no atan primitive)."""
     x = jnp.asarray(x)
-    if x.dtype != jnp.float64:
-        return jnp.arctan(x)
     sign = jnp.sign(x)
     ax = jnp.abs(x)
     big = ax > 1.0

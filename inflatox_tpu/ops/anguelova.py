@@ -69,9 +69,14 @@ def complete_analysis_op(v, v00, v10, v11, grad_sq):
     vtt = (v00 * v10**2 + v11 * v00**2 - 2.0 * v00 * v10**2) / (v00**2 + v10**2)
     vt2 = epsilon_v / (1.0 + (v00 / v10) ** 2)
     epsilon_h = 3.0 * (epsilon_v - vt2) / (epsilon_v + jnp.abs(vtt) / v - vt2)
-    delta = _amath.atan(jnp.abs(v10 / v00))  # native f64 arctan is ~2e-8
+    tan_delta = jnp.abs(v10 / v00)
+    delta = _amath.atan(tan_delta)  # native f64 arctan is ~2e-8
     omega = jnp.sqrt((vtt / v) * (3.0 - epsilon_h))
-    eta_parallel = omega * jnp.tan(delta) - 3.0
+    # the reference computes ω·tan(δ) − 3 with δ = atan(tan_delta)
+    # (anguelova.rs:128-132); tan(atan(x)) ≡ x, so use x directly — equal to
+    # within rounding, and avoids tan (absent from the Pallas TPU primitive
+    # set)
+    eta_parallel = omega * tan_delta - 3.0
     return consistency, epsilon_v, epsilon_h, eta_parallel, delta, omega
 
 

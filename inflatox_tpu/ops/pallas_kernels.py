@@ -1,0 +1,132 @@
+"""Fused Pallas TPU kernel for the complete-analysis grid scan.
+
+This is the hand-scheduled counterpart of the XLA-fused scan in
+consistency_conditions.py — SURVEY.md §7.2 step 6.  One kernel launch
+computes all six analysis quantities tile-by-tile:
+
+* the grid is blocked (TILE_M, TILE_N); each program instance derives its
+  field-space coordinates from ``program_id`` + ``broadcasted_iota`` — the
+  kernel reads **zero** tensor input from HBM;
+* model parameters and grid geometry ride in as scalar-prefetch operands
+  (SMEM), available before the body runs;
+* all six outputs are written once per tile: the scan is a pure
+  write-bandwidth workload, the theoretical floor for this computation.
+
+Precision: Mosaic/TPU has no f64, so this kernel is the **fp32 fast path**
+(``dtype=jnp.float32``).  The fp64 parity path is the XLA scan; `bench.py`
+reports both.  On non-TPU backends the kernel runs in interpreter mode
+(tests) — set ``interpret=False`` to force compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .anguelova import complete_analysis_op
+
+__all__ = ["complete_analysis_pallas"]
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(scal_ref, *out_refs, model=None, tile=None, n_params=None):
+    tm, tn = tile
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dtype = out_refs[0].dtype
+    # geometry scalars live after the parameters in the prefetch vector
+    x0a = scal_ref[n_params + 0]
+    dx0 = scal_ref[n_params + 1]
+    x1a = scal_ref[n_params + 2]
+    dx1 = scal_ref[n_params + 3]
+    # Mosaic's iota is integer-only; cast after
+    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(dtype)
+    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(dtype)
+    x0 = x0a + (i.astype(dtype) * tm + rows) * dx0
+    x1 = x1a + (j.astype(dtype) * tn + cols) * dx1
+
+    xs = (x0, x1)
+    args = tuple(scal_ref[t] for t in range(n_params))
+    v = model.potential(xs, args)
+    v00, _, v10, v11 = model.hesse_tuple(xs, args)
+    gs = model.grad_square(xs, args)
+    outs = complete_analysis_op(v, v00, v10, v11, gs)
+    for ref, val in zip(out_refs, outs):
+        ref[:, :] = val.astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "shape", "tile", "interpret", "dtype"),
+)
+def _launch(scalars, model, shape, tile, interpret, dtype):
+    tm, tn = tile
+    n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
+    grid = (n0p // tm, n1p // tn)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n0p, n1p), dtype) for _ in range(6)
+    )
+    kernel = functools.partial(
+        _kernel, model=model, tile=(tm, tn), n_params=model.n_parameters
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[],
+        out_specs=tuple(
+            # index_map also receives the scalar-prefetch ref — ignore it
+            pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j))
+            for _ in range(6)
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars)
+    return tuple(o[: shape[0], : shape[1]] for o in outs)
+
+
+def complete_analysis_pallas(
+    artifact,
+    args,
+    extent,
+    shape,
+    dtype=jnp.float32,
+    tile=(256, 256),
+    interpret: bool | None = None,
+):
+    """Run the fused Pallas complete-analysis scan.
+
+    Args
+    ----
+    artifact: a :class:`~inflatox_tpu.compiler.CompiledModel` (2-field).
+    args: (n_parameters,) parameter values.
+    extent: (x0_start, x0_stop, x1_start, x1_stop).
+    shape: (N0, N1) grid size (padded internally to the tile size).
+    dtype: computation/output dtype — float32 on TPU (no f64 in Mosaic).
+    tile: (TILE_M, TILE_N) block shape; multiples of (8, 128) for f32.
+    interpret: force interpreter mode; default auto (True off-TPU).
+
+    Returns six (N0, N1) arrays in the complete_analysis order.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    x0a, x0b, x1a, x1b = (float(v) for v in extent)
+    n0, n1 = shape
+    geom = [x0a, (x0b - x0a) / n0, x1a, (x1b - x1a) / n1]
+    scalars = jnp.asarray(
+        [float(v) for v in args] + geom, dtype=jnp.dtype(dtype)
+    )
+    return _launch(
+        scalars, artifact, tuple(shape), tuple(tile), bool(interpret), jnp.dtype(dtype)
+    )

@@ -39,17 +39,22 @@ def build_artifact():
 
 
 def time_call(fn, *args, repeats=3):
+    """Best of `repeats` sequential calls; each call is fully synchronized
+    (block + fetch one element — the remote-tunnel ack alone under-reports)
+    and its outputs are dropped before the next (queuing several 4096² calls
+    exhausts HBM)."""
     import jax
 
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.tree_util.tree_map(
-            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a,
-            out,
-        )
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        if hasattr(leaf, "__getitem__"):
+            float(leaf[(0,) * leaf.ndim])
         best = min(best, time.perf_counter() - t0)
+        del out
     return best
 
 
@@ -69,28 +74,56 @@ def main():
     al = GeneralisedAL(artifact, validate_basis=False)
     pts = N * N
 
-    # --- TPU fp64 (parity path, the headline) --------------------------- #
-    fn64 = al._cached_grid_fn("complete_analysis", (N, N), jnp.float64)
-    a64 = jnp.asarray(args, jnp.float64)
-    e64 = jnp.asarray(np.asarray(extent), jnp.float64)
-    fn64(a64, e64)[0].block_until_ready()  # compile
-    t64 = time_call(fn64, a64, e64)
-    log(f"TPU fp64 XLA  {N}x{N}: {t64 * 1e3:8.1f} ms  {pts / t64 / 1e9:7.3f} Gpts/s")
+    # --- headline: double-f32 Pallas kernel (parity-grade accuracy) ------ #
+    from inflatox_tpu.ops.pallas_kernels import complete_analysis_pallas_df64
 
-    # --- TPU fp32 XLA + Pallas fast paths -------------------------------- #
-    fn32 = al._cached_grid_fn("complete_analysis", (N, N), jnp.float32)
-    a32 = jnp.asarray(args, jnp.float32)
-    e32 = jnp.asarray(np.asarray(extent), jnp.float32)
-    fn32(a32, e32)[0].block_until_ready()
-    t32 = time_call(fn32, a32, e32)
-    log(f"TPU fp32 XLA  {N}x{N}: {t32 * 1e3:8.1f} ms  {pts / t32 / 1e9:7.3f} Gpts/s")
+    run_df64 = lambda: complete_analysis_pallas_df64(  # noqa: E731
+        artifact, args, extent, (N, N)
+    )
+    jax.block_until_ready(run_df64())  # compile
+    t_head = time_call(run_df64)
+    log(
+        f"TPU df32-pallas {N}x{N} (f64-out): {t_head * 1e3:8.1f} ms  "
+        f"{pts / t_head / 1e9:7.3f} Gpts/s"
+    )
+
+    # --- secondary paths -------------------------------------------------- #
+    try:
+        jax.block_until_ready(
+            complete_analysis_pallas(artifact, args, extent, (N, N))
+        )
+        tp = time_call(
+            lambda: complete_analysis_pallas(artifact, args, extent, (N, N))
+        )
+        log(f"TPU fp32 Pallas {N}x{N}: {tp * 1e3:8.1f} ms  {pts / tp / 1e9:7.3f} Gpts/s")
+    except Exception as e:
+        log(f"fp32 pallas path skipped: {type(e).__name__}: {e}")
 
     try:
-        complete_analysis_pallas(artifact, args, extent, (N, N))[0].block_until_ready()
-        tp = time_call(lambda: complete_analysis_pallas(artifact, args, extent, (N, N)))
-        log(f"TPU fp32 Pallas {N}x{N}: {tp * 1e3:6.1f} ms  {pts / tp / 1e9:7.3f} Gpts/s")
-    except Exception as e:  # pallas unavailable off-TPU
-        log(f"pallas path skipped: {type(e).__name__}: {e}")
+        fn32 = al._cached_grid_fn("complete_analysis", (N, N), jnp.float32)
+        a32 = jnp.asarray(args, jnp.float32)
+        e32 = jnp.asarray(np.asarray(extent), jnp.float32)
+        jax.block_until_ready(fn32(a32, e32))
+        t32 = time_call(fn32, a32, e32)
+        log(f"TPU fp32 XLA  {N}x{N}: {t32 * 1e3:8.1f} ms  {pts / t32 / 1e9:7.3f} Gpts/s")
+    except Exception as e:
+        log(f"fp32 xla path skipped: {type(e).__name__}: {e}")
+
+    # emulated-f64 XLA is ~5 s/call at this size (docs/numerics.md) — time it
+    # at 1024² and scale, to keep the bench fast
+    try:
+        n_small = 1024
+        fn64 = al._cached_grid_fn("complete_analysis", (n_small, n_small), jnp.float64)
+        a64 = jnp.asarray(args, jnp.float64)
+        e64 = jnp.asarray(np.asarray(extent), jnp.float64)
+        jax.block_until_ready(fn64(a64, e64))
+        t64s = time_call(fn64, a64, e64, repeats=2)
+        log(
+            f"TPU emulated-f64 XLA {n_small}x{n_small}: {t64s * 1e3:8.1f} ms "
+            f"({n_small * n_small / t64s / 1e6:.1f} Mpts/s — legacy parity path)"
+        )
+    except Exception as e:
+        log(f"emulated-f64 path skipped: {type(e).__name__}: {e}")
 
     # --- CPU baseline (reference-equivalent compiled-C path) ------------- #
     baseline_pps = None
@@ -116,12 +149,12 @@ def main():
     except Exception as e:
         log(f"native baseline skipped: {type(e).__name__}: {e}")
 
-    value = pts / t64
+    value = pts / t_head
     vs_baseline = (value / baseline_pps) if baseline_pps else None
     print(
         json.dumps(
             {
-                "metric": "complete_analysis_4096x4096_fp64_points_per_sec",
+                "metric": "complete_analysis_4096x4096_df64_points_per_sec",
                 "value": round(value, 1),
                 "unit": "points/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,

@@ -66,6 +66,7 @@ class CompiledModel:
         self._model = model
         self._registry = registry
         self._cse_opts = {"cse": cse, "max_cses": max_cses}
+        self._df32_fns = None
         self.model_name = model.model_name
         self.n_fields = model.dim
         self.n_parameters = registry.n_parameters
@@ -168,6 +169,21 @@ class CompiledModel:
         for k, (a, b) in enumerate(self._metric_nonzero):
             rows[a][b] = jnp.asarray(g[k]) + zero
         return jnp.stack([jnp.stack(r) for r in rows])
+
+    def df32_fns(self) -> dict:
+        """Model functions compiled against the double-f32 engine
+        (lowering/df32.py) — same generated sources, DF arithmetic.  Used by
+        the high-precision Pallas kernel."""
+        if self._df32_fns is None:
+            from .lowering.df32 import compile_df32  # noqa: PLC0415
+
+            self._df32_fns = {
+                "potential": compile_df32(self.potential),
+                "hesse": compile_df32(self._hesse),
+                "grad_square": compile_df32(self.grad_square),
+                "grad": compile_df32(self._grad),
+            }
+        return self._df32_fns
 
     # ------------------------------------------------------------------ #
     # symbol table (reference compiler.py:252-276)                       #

@@ -419,28 +419,46 @@ class GeneralisedAL(InflationCondition):
         quantities of anguelova.rs:103-135 (see ops.anguelova for the parity
         notes).  ``threads`` is accepted for compatibility and ignored.
 
-        ``engine``: "xla" (default; fp64-capable fused scan) or "pallas"
-        (hand-tiled TPU kernel, fp32 — the fast path for huge grids; see
-        ops/pallas_kernels.py).
+        ``engine``:
+          * "xla" (default) — fused XLA scan, any dtype (fp64 on CPU is true
+            IEEE; on TPU it is the slow emulated path);
+          * "pallas" — hand-tiled TPU kernel, fp32 (fast path);
+          * "pallas_df64" — hand-tiled TPU kernel computing in double-f32
+            (~1e-13, f64 outputs): parity-grade accuracy at near-fp32 speed —
+            the recommended high-precision engine on TPU.
         """
         del threads
-        if engine == "pallas":
-            from .ops.pallas_kernels import complete_analysis_pallas  # noqa: PLC0415
+        if engine in ("pallas", "pallas_df64"):
+            from .ops.pallas_kernels import (  # noqa: PLC0415
+                complete_analysis_pallas,
+                complete_analysis_pallas_df64,
+            )
 
             self._validate_2field()
             args = self._validate_args(args)
             with Progress(_SCAN_MESSAGES["complete_analysis"], enabled=progress):
-                out = complete_analysis_pallas(
-                    self.artifact,
-                    args,
-                    (x0_start, x0_stop, x1_start, x1_stop),
-                    (N_x0, N_x1),
-                    dtype=dtype or jnp.float32,
-                )
+                if engine == "pallas":
+                    out = complete_analysis_pallas(
+                        self.artifact,
+                        args,
+                        (x0_start, x0_stop, x1_start, x1_stop),
+                        (N_x0, N_x1),
+                        dtype=dtype or jnp.float32,
+                    )
+                else:
+                    out = complete_analysis_pallas_df64(
+                        self.artifact,
+                        args,
+                        (x0_start, x0_stop, x1_start, x1_stop),
+                        (N_x0, N_x1),
+                    )
                 out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
             return tuple(np.asarray(o) for o in out)
         if engine != "xla":
-            raise ValueError(f'unknown engine {engine!r}; expected "xla" or "pallas"')
+            raise ValueError(
+                f'unknown engine {engine!r}; expected "xla", "pallas" or '
+                '"pallas_df64"'
+            )
         out = self._run_grid_scan(
             "complete_analysis",
             args,

@@ -1,0 +1,499 @@
+"""Double-f32 ("float-float") arithmetic for fast high-precision TPU kernels.
+
+Why this exists: TPU v5e has no f64 hardware.  XLA's emulated f64 runs the
+4096² complete-analysis scan in ~5 s; the f32 Pallas kernel runs it in
+~2.5 ms but carries only 24-bit precision — short of the ≤1e-10
+reference-parity target.  This module implements compensated ("double-word")
+arithmetic over pairs of f32s: ~48-bit effective mantissa (unit roundoff
+≈ 3.6e-15) using only f32 add/mul/div/sqrt — exactly the primitive set the
+VPU executes at full rate and Mosaic can lower.  A df32 op costs 5-25 f32
+flops, so the df32 kernel lands within ~10-20× of the raw f32 kernel — three
+orders of magnitude faster than emulated f64, at accuracy comfortably inside
+the parity budget.
+
+Number representation: ``DF(hi, lo)`` with value = hi + lo, |lo| ≤ ulp(hi)/2.
+Error-free transforms are the classical FMA-free forms (Knuth two-sum,
+Dekker split/two-prod — see Hida/Li/Bailey's double-double arithmetic and
+the "two-float" literature).  Requires correctly-rounded f32 add/mul, which
+TPU VPU provides.
+
+The same class runs under plain jnp (f32 arrays) outside Pallas, inside the
+Pallas kernel on tiles, and under numpy for tests.
+
+``compile_df32`` re-executes a :class:`LoweredFunction`'s generated source
+with a namespace that maps ``jax.numpy`` / ``_amath`` / ``_special`` onto
+df32 implementations — one lowering, three numeric engines (f64 XLA, f32,
+df32).
+"""
+
+from __future__ import annotations
+
+import math
+import types
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["DF", "compile_df32", "from_float", "to_f64"]
+
+_SPLITTER = np.float32(4097.0)  # 2^12 + 1 for 24-bit Dekker splitting
+
+
+def _f32(v):
+    return jnp.asarray(v, jnp.float32)
+
+
+def _two_sum(a, b):
+    """Knuth: s + err == a + b exactly."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _quick_two_sum(a, b):
+    """Fast renormalization; requires |a| >= |b| (guaranteed post-op)."""
+    s = a + b
+    err = b - (s - a)
+    return s, err
+
+
+def _split(a):
+    """Dekker split into 12+12-bit halves (FMA-free)."""
+    c = _SPLITTER * a
+    hi = c - (c - a)
+    lo = a - hi
+    return hi, lo
+
+
+def _two_prod(a, b):
+    """p + err == a*b exactly (Dekker)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+class DF:
+    """A double-f32 number (elementwise over arrays)."""
+
+    __slots__ = ("hi", "lo")
+
+    def __init__(self, hi, lo=None):
+        self.hi = _f32(hi)
+        self.lo = _f32(0.0) if lo is None else _f32(lo)
+
+    # ---- construction / conversion ---------------------------------- #
+
+    @staticmethod
+    def const(value: float) -> "DF":
+        """Split a python float into an exact two-f32 representation."""
+        hi = np.float32(value)
+        lo = np.float32(value - float(hi))
+        return DF(jnp.float32(hi), jnp.float32(lo))
+
+    @staticmethod
+    def of(x) -> "DF":
+        if isinstance(x, DF):
+            return x
+        if isinstance(x, (int, float)):
+            return DF.const(float(x))
+        arr = jnp.asarray(x)
+        if arr.dtype == jnp.float64:
+            hi = arr.astype(jnp.float32)
+            lo = (arr - hi.astype(jnp.float64)).astype(jnp.float32)
+            return DF(hi, lo)
+        return DF(arr.astype(jnp.float32))
+
+    def to_f64(self):
+        return self.hi.astype(jnp.float64) + self.lo.astype(jnp.float64)
+
+    # ---- ring ops ---------------------------------------------------- #
+
+    def __add__(self, other):
+        o = DF.of(other)
+        s, e = _two_sum(self.hi, o.hi)
+        e = e + (self.lo + o.lo)
+        hi, lo = _quick_two_sum(s, e)
+        return DF(hi, lo)
+
+    __radd__ = __add__
+
+    def __neg__(self):
+        return DF(-self.hi, -self.lo)
+
+    def __sub__(self, other):
+        return self + (-DF.of(other))
+
+    def __rsub__(self, other):
+        return DF.of(other) + (-self)
+
+    def __mul__(self, other):
+        o = DF.of(other)
+        p, e = _two_prod(self.hi, o.hi)
+        e = e + (self.hi * o.lo + self.lo * o.hi)
+        hi, lo = _quick_two_sum(p, e)
+        return DF(hi, lo)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        o = DF.of(other)
+        q1 = self.hi / o.hi
+        # r = self - q1*o, computed in df
+        r = self + (-(o * q1))
+        q2 = (r.hi + r.lo) / o.hi
+        hi, lo = _quick_two_sum(q1, q2)
+        return DF(hi, lo)
+
+    def __rtruediv__(self, other):
+        return DF.of(other) / self
+
+    def __pow__(self, n):
+        if isinstance(n, int) or (isinstance(n, float) and n == int(n)):
+            return _ipow(self, int(n))
+        return pow(self, n)
+
+    def __rpow__(self, base):
+        return pow(DF.of(base), self)
+
+    # comparisons (control flow only — compare the f32 sum)
+    def _cmp_val(self):
+        return self.hi + self.lo
+
+    def __lt__(self, other):
+        return self._cmp_val() < DF.of(other)._cmp_val()
+
+    def __le__(self, other):
+        return self._cmp_val() <= DF.of(other)._cmp_val()
+
+    def __gt__(self, other):
+        return self._cmp_val() > DF.of(other)._cmp_val()
+
+    def __ge__(self, other):
+        return self._cmp_val() >= DF.of(other)._cmp_val()
+
+
+def from_float(value) -> DF:
+    return DF.of(value)
+
+
+def to_f64(x):
+    return x.to_f64() if isinstance(x, DF) else jnp.asarray(x, jnp.float64)
+
+
+def _ipow(x: DF, n: int) -> DF:
+    if n == 0:
+        return DF.const(1.0) + (x * 0.0)  # broadcast ones
+    invert = n < 0
+    n = abs(n)
+    result = None
+    base = x
+    while n:
+        if n & 1:
+            result = base if result is None else result * base
+        base = base * base
+        n >>= 1
+    if invert:
+        return DF.const(1.0) / result
+    return result
+
+
+# ---------------------------------------------------------------------- #
+# elementary functions                                                   #
+# ---------------------------------------------------------------------- #
+
+
+def sqrt(x) -> DF:
+    """df sqrt via one Newton step from the f32 seed (quadratic: 24→48 bit)."""
+    x = DF.of(x)
+    s = jnp.sqrt(x.hi)
+    # guard s == 0 / nan domains
+    s_safe = jnp.where(s > 0, s, 1.0)
+    sd = DF(s_safe)
+    diff = x + (-(sd * sd))
+    corr = (diff.hi + diff.lo) / (2.0 * s_safe)
+    hi, lo = _quick_two_sum(s_safe, corr)
+    out = DF(hi, lo)
+    zero = x.hi == 0.0
+    bad = x.hi < 0.0
+    hi = jnp.where(zero, 0.0, jnp.where(bad, jnp.nan, out.hi))
+    lo = jnp.where(zero | bad, 0.0, out.lo)
+    return DF(hi, lo)
+
+
+def abs_(x) -> DF:  # noqa: A001
+    x = DF.of(x)
+    neg = (x.hi + x.lo) < 0
+    return DF(jnp.where(neg, -x.hi, x.hi), jnp.where(neg, -x.lo, x.lo))
+
+
+def where(cond, a, b) -> DF:
+    a = DF.of(a)
+    b = DF.of(b)
+    return DF(jnp.where(cond, a.hi, b.hi), jnp.where(cond, a.lo, b.lo))
+
+
+def minimum(a, b) -> DF:
+    a, b = DF.of(a), DF.of(b)
+    return where(a._cmp_val() < b._cmp_val(), a, b)
+
+
+def maximum(a, b) -> DF:
+    a, b = DF.of(a), DF.of(b)
+    return where(a._cmp_val() > b._cmp_val(), a, b)
+
+
+_LN2 = 0.6931471805599453094172321214581766
+
+
+def _pow2_f32(k):
+    """Exact 2^k as f32 for integer-valued k in [-126, 127], via exponent-
+    field bit construction (jnp.exp2 is polynomial-based and NOT exact)."""
+    ki = jnp.clip(k.astype(jnp.int32), -126, 127)
+    bits = (ki + 127) << 23
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+_LOG2E_F = np.float32(1.4426950408889634)
+_EXP_COEFFS = [1.0 / math.factorial(n) for n in range(13, 0, -1)]
+
+
+def exp(x) -> DF:
+    """df e^x: k·ln2 reduction + Taylor (13 terms, |r| ≤ ln2/2)."""
+    x = DF.of(x)
+    k = jnp.round(x.hi * _LOG2E_F)
+    r = x + (-(DF.const(_LN2) * DF(k)))
+    # the f32-computed k can misround for large |x|, leaving |r| > ln2/2 and
+    # blowing the Taylor budget — one exact correction pass fixes it
+    fix = jnp.round(r.hi * _LOG2E_F)
+    k = k + fix
+    r = r + (-(DF.const(_LN2) * DF(fix)))
+    acc = DF(jnp.zeros_like(x.hi))
+    for c in _EXP_COEFFS:
+        acc = (acc + DF.const(c)) * r
+    er = acc + 1.0
+    # scale by 2^k: exact in f32 for |k| ≤ 126; saturate beyond (f32 range —
+    # same envelope as TPU's emulated f64, docs/numerics.md §3)
+    kc = jnp.clip(k, -252.0, 254.0)
+    k1 = jnp.floor(kc / 2.0)
+    k2 = kc - k1
+    s1 = _pow2_f32(k1)
+    s2 = _pow2_f32(k2)
+    hi = er.hi * s1 * s2
+    lo = er.lo * s1 * s2
+    big = x.hi > 88.8
+    small = x.hi < -87.4
+    hi = jnp.where(big, jnp.inf, jnp.where(small, 0.0, hi))
+    lo = jnp.where(big | small, 0.0, lo)
+    return DF(hi, lo)
+
+
+def log(x) -> DF:
+    """df log via exponent extraction + atanh series."""
+    x = DF.of(x)
+    safe_hi = jnp.where(x.hi > 0, x.hi, 1.0)
+    e = jnp.round(jnp.log2(safe_hi))
+    scale = _pow2_f32(-e)  # exact power of two
+    m = DF(x.hi * scale, x.lo * scale)  # m in ~[0.71, 1.42]
+    t = (m - 1.0) / (m + 1.0)  # |t| ≤ 0.18
+    t2 = t * t
+    acc = DF(jnp.zeros_like(x.hi))
+    for n in range(21, 0, -2):  # 1/21 ... 1/1, odd
+        acc = acc * t2 + DF.const(1.0 / n)
+    out = t * acc * 2.0 + DF.const(_LN2) * DF(e)
+    bad = x.hi <= 0.0
+    hi = jnp.where(bad, jnp.where(x.hi == 0.0, -jnp.inf, jnp.nan), out.hi)
+    lo = jnp.where(bad, 0.0, out.lo)
+    return DF(hi, lo)
+
+
+def pow(x, y) -> DF:  # noqa: A001
+    """General power via exp(y·log x) with C pow edge cases."""
+    if isinstance(y, (int,)) or (isinstance(y, float) and y == int(y)):
+        return _ipow(DF.of(x), int(y))
+    x = DF.of(x)
+    y = DF.of(y)
+    out = exp(y * log(where(x.hi > 0, x, DF.const(1.0))))
+    hi = jnp.where(x.hi > 0, out.hi, jnp.nan)
+    lo = jnp.where(x.hi > 0, out.lo, 0.0)
+    yv = y._cmp_val()
+    hi = jnp.where(
+        x.hi == 0.0,
+        jnp.where(yv > 0, 0.0, jnp.where(yv == 0, 1.0, jnp.inf)),
+        hi,
+    )
+    lo = jnp.where(x.hi == 0.0, 0.0, lo)
+    return DF(hi, lo)
+
+
+_PI_2 = 1.5707963267948966192313216916397514
+_SIN_COEFFS = [  # odd Taylor 1/(2n+1)!, n = 10..0
+    (-1.0) ** n / math.factorial(2 * n + 1) for n in range(10, -1, -1)
+]
+_COS_COEFFS = [(-1.0) ** n / math.factorial(2 * n) for n in range(10, -1, -1)]
+
+
+def _sincos_reduced(r: DF):
+    r2 = r * r
+    sa = DF(jnp.zeros_like(r.hi))
+    for c in _SIN_COEFFS:
+        sa = sa * r2 + DF.const(c)
+    sinr = sa * r
+    ca = DF(jnp.zeros_like(r.hi))
+    for c in _COS_COEFFS:
+        ca = ca * r2 + DF.const(c)
+    return sinr, ca
+
+
+def _reduce_pi2(x: DF):
+    k = jnp.round(x.hi * np.float32(1.0 / _PI_2))
+    r = x + (-(DF.const(_PI_2) * DF(k)))
+    quad = k.astype(jnp.int32) & 3
+    return r, quad
+
+
+def sin(x) -> DF:
+    x = DF.of(x)
+    r, quad = _reduce_pi2(x)
+    s, c = _sincos_reduced(r)
+    out = where(quad == 0, s, where(quad == 1, c, where(quad == 2, -s, -c)))
+    return out
+
+
+def cos(x) -> DF:
+    x = DF.of(x)
+    r, quad = _reduce_pi2(x)
+    s, c = _sincos_reduced(r)
+    out = where(quad == 0, c, where(quad == 1, -s, where(quad == 2, -c, s)))
+    return out
+
+
+def tan(x) -> DF:
+    x = DF.of(x)
+    r, quad = _reduce_pi2(x)
+    s, c = _sincos_reduced(r)
+    even = (quad == 0) | (quad == 2)
+    return where(even, s / c, -(c / s))
+
+
+_ATAN_COEFFS = [(-1.0) ** n / (2.0 * n + 1.0) for n in range(8, 0, -1)]
+
+
+def atan(x) -> DF:
+    """df arctan: 3 halvings + odd polynomial (as accmath.atan, in df)."""
+    x = DF.of(x)
+    sign = jnp.sign(x.hi + x.lo)
+    ax = abs_(x)
+    big = ax.hi > 1.0
+    base = where(big, DF.const(1.0) / maximum(ax, DF.const(1.0)), minimum(ax, DF.const(1.0)))
+    t = base
+    for _ in range(3):
+        t = t / (sqrt(t * t + 1.0) + 1.0)
+    t2 = t * t
+    acc = DF(jnp.zeros_like(x.hi))
+    for c in _ATAN_COEFFS:
+        acc = (acc + DF.const(c)) * t2
+    reduced = (t * (acc + 1.0)) * 8.0
+    out = where(big, DF.const(_PI_2) - reduced, reduced)
+    return DF(sign * out.hi, sign * out.lo)
+
+
+# ---------------------------------------------------------------------- #
+# namespace adapter: run lowered sources on df32                         #
+# ---------------------------------------------------------------------- #
+
+
+def _jnp_like() -> types.SimpleNamespace:
+    """A jax.numpy lookalike over DF (only what lowered sources use)."""
+    return types.SimpleNamespace(
+        sqrt=sqrt,
+        sin=sin,
+        cos=cos,
+        tan=tan,
+        exp=exp,
+        log=log,
+        abs=abs_,
+        absolute=abs_,
+        arctan=atan,
+        minimum=minimum,
+        maximum=maximum,
+        where=where,
+        select=_select,
+        pi=DF.const(math.pi),
+        e=DF.const(math.e),
+        nan=DF.const(math.nan),
+        sign=lambda x: jnp.sign(DF.of(x)._cmp_val()),
+        power=pow,
+        greater=lambda a, b: DF.of(a) > DF.of(b),
+        less=lambda a, b: DF.of(a) < DF.of(b),
+        greater_equal=lambda a, b: DF.of(a) >= DF.of(b),
+        less_equal=lambda a, b: DF.of(a) <= DF.of(b),
+        logical_and=jnp.logical_and,
+        logical_or=jnp.logical_or,
+        logical_not=jnp.logical_not,
+    )
+
+
+def _select(condlist, choicelist, default=None):
+    out = DF.of(default) if default is not None else DF.const(math.nan)
+    for cond, choice in zip(reversed(condlist), reversed(choicelist)):
+        if cond is True:
+            out = DF.of(choice)
+        else:
+            out = where(cond, DF.of(choice), out)
+    return out
+
+
+def _amath_like() -> types.SimpleNamespace:
+    return types.SimpleNamespace(
+        exp=exp,
+        atan=atan,
+        pow=pow,
+        sinh=lambda x: (exp(x) - exp(-DF.of(x))) * 0.5,
+        cosh=lambda x: (exp(x) + exp(-DF.of(x))) * 0.5,
+        tanh=lambda x: (lambda e2: (e2 - 1.0) / (e2 + 1.0))(exp(DF.of(x) * 2.0)),
+        acos=lambda x: atan(sqrt((DF.const(1.0) - DF.of(x)) / (DF.const(1.0) + DF.of(x)))) * 2.0,
+        log2=lambda x: log(x) * (1.0 / _LN2),
+        log10=lambda x: log(x) * (1.0 / math.log(10.0)),
+        exp2=lambda x: exp(DF.of(x) * _LN2),
+    )
+
+
+class _DFSeq:
+    """Wraps a sequence so integer indexing yields DF values."""
+
+    def __init__(self, items):
+        self._items = [DF.of(v) for v in items]
+
+    def __getitem__(self, i):
+        return self._items[i]
+
+
+def compile_df32(lowered):
+    """Compile a :class:`LoweredFunction`'s source against the df32
+    namespace.  The returned callable takes the same (x[, xdot], args)
+    positional sequences — entries may be f32/f64 arrays or DF — and returns
+    DF (or a tuple of DF)."""
+    fake_jax = types.SimpleNamespace(numpy=_jnp_like())
+    namespace = {
+        "jax": fake_jax,
+        "_amath": _amath_like(),
+        "_special": _DF32SpecialStub(),
+    }
+    exec(compile(lowered.source, f"<df32:{lowered.name}>", "exec"), namespace)
+    inner = namespace[lowered.name]
+
+    def run(*seqs):
+        return inner(*[_DFSeq(s) for s in seqs])
+
+    return run
+
+
+class _DF32SpecialStub:
+    def __getattr__(self, name):
+        raise NotImplementedError(
+            f"special function {name!r} is not available in the df32 engine; "
+            "use the f64 XLA path for special-function models"
+        )

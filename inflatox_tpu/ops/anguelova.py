@@ -111,3 +111,29 @@ def flag_quantum_diff_op(grad_components, accuracy):
         m = jnp.abs(g) <= accuracy
         mask = m if mask is None else jnp.logical_and(mask, m)
     return mask
+
+
+def complete_analysis_op_df(v, v00, v10, v11, grad_sq):
+    """Double-f32 variant of :func:`complete_analysis_op` — identical
+    formulas over :class:`~inflatox_tpu.lowering.df32.DF` values (used by the
+    high-precision Pallas kernel).  Returns six DF values."""
+    from ..lowering import df32 as dfm
+
+    lhs = v11 / v
+    rhs = 3.0 + (v00 / v10) ** 2 * 3.0 + (v00 / v) * (v10 / v00) ** 2
+    num = dfm.abs_(lhs - rhs)
+    den = dfm.abs_(lhs) + dfm.abs_(rhs)
+    consistency = dfm.minimum(num / den, dfm.DF.const(1.0))
+
+    epsilon_v = grad_sq / v**2  # no ½ — anguelova.rs:119
+
+    vtt = (v00 * v10**2 + v11 * v00**2 - v00 * v10**2 * 2.0) / (
+        v00**2 + v10**2
+    )
+    vt2 = epsilon_v / ((v00 / v10) ** 2 + 1.0)
+    epsilon_h = (epsilon_v - vt2) * 3.0 / (epsilon_v + dfm.abs_(vtt) / v - vt2)
+    tan_delta = dfm.abs_(v10 / v00)
+    delta = dfm.atan(tan_delta)
+    omega = dfm.sqrt((vtt / v) * (-epsilon_h + 3.0))
+    eta_parallel = omega * tan_delta - 3.0
+    return consistency, epsilon_v, epsilon_h, eta_parallel, delta, omega

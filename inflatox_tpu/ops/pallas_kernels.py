@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .anguelova import complete_analysis_op
 
-__all__ = ["complete_analysis_pallas"]
+__all__ = ["complete_analysis_pallas", "complete_analysis_pallas_df64"]
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -94,6 +94,158 @@ def _launch(scalars, model, shape, tile, interpret, dtype):
         interpret=interpret,
     )(scalars)
     return tuple(o[: shape[0], : shape[1]] for o in outs)
+
+
+def _kernel_df(scal_ref, *out_refs, model=None, tile=None, n_params=None):
+    """Double-f32 kernel body: same structure as :func:`_kernel` but every
+    value is a DF pair; outputs are written as (hi, lo) pairs per quantity
+    (12 refs) and recombined to f64 outside the kernel."""
+    from ..lowering.df32 import DF  # noqa: PLC0415
+    from .anguelova import complete_analysis_op_df  # noqa: PLC0415
+
+    tm, tn = tile
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def scal_df(t):
+        return DF(scal_ref[2 * t], scal_ref[2 * t + 1])
+
+    args = tuple(scal_df(t) for t in range(n_params))
+    x0a = scal_df(n_params + 0)
+    dx0 = scal_df(n_params + 1)
+    x1a = scal_df(n_params + 2)
+    dx1 = scal_df(n_params + 3)
+
+    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(jnp.float32)
+    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(jnp.float32)
+    # global indices ≤ a few 10⁵: exact in f32
+    gi = DF(i.astype(jnp.float32) * float(tm) + rows)
+    gj = DF(j.astype(jnp.float32) * float(tn) + cols)
+    x0 = x0a + gi * dx0
+    x1 = x1a + gj * dx1
+
+    fns = model.df32_fns()
+    xs = (x0, x1)
+    v = fns["potential"](xs, args)
+    v00, _, v10, v11 = fns["hesse"](xs, args)
+    gs = fns["grad_square"](xs, args)
+    outs = complete_analysis_op_df(v, v00, v10, v11, gs)
+    for k, val in enumerate(outs):
+        out_refs[2 * k][:, :] = val.hi
+        out_refs[2 * k + 1][:, :] = val.lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "shape", "tile", "interpret")
+)
+def _launch_df(scalars, model, shape, tile, interpret):
+    tm, tn = tile
+    n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
+    grid = (n0p // tm, n1p // tn)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n0p, n1p), jnp.float32) for _ in range(12)
+    )
+    kernel = functools.partial(
+        _kernel_df, model=model, tile=(tm, tn), n_params=model.n_parameters
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[],
+        out_specs=tuple(
+            pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j)) for _ in range(12)
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars)
+    combined = []
+    for k in range(6):
+        hi = outs[2 * k][: shape[0], : shape[1]]
+        lo = outs[2 * k + 1][: shape[0], : shape[1]]
+        combined.append(hi.astype(jnp.float64) + lo.astype(jnp.float64))
+    return tuple(combined)
+
+
+def _df64_eager(scalars, model, shape):
+    """Eager (op-by-op) df32 evaluation: the fallback for non-TPU backends.
+
+    Neither the Pallas interpreter nor a fused XLA:CPU jit may be used for
+    df32 — both evaluate with fast-math/excess-precision freedoms that
+    silently destroy the compensated error terms (measured: results collapse
+    to f32 accuracy).  Eager execution compiles each op separately, leaving
+    no scope for cross-op reassociation; the compiled TPU Mosaic kernel is
+    measured EFT-safe (tests + hardware runs)."""
+    from ..lowering.df32 import DF  # noqa: PLC0415
+    from .anguelova import complete_analysis_op_df  # noqa: PLC0415
+
+    n_params = model.n_parameters
+
+    def scal_df(t):
+        return DF(scalars[2 * t], scalars[2 * t + 1])
+
+    args = tuple(scal_df(t) for t in range(n_params))
+    x0a, dx0 = scal_df(n_params + 0), scal_df(n_params + 1)
+    x1a, dx1 = scal_df(n_params + 2), scal_df(n_params + 3)
+    rows = lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    cols = lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    x0 = x0a + DF(rows) * dx0
+    x1 = x1a + DF(cols) * dx1
+    fns = model.df32_fns()
+    xs = (x0, x1)
+    v = fns["potential"](xs, args)
+    v00, _, v10, v11 = fns["hesse"](xs, args)
+    gs = fns["grad_square"](xs, args)
+    outs = complete_analysis_op_df(v, v00, v10, v11, gs)
+    return tuple(o.to_f64() for o in outs)
+
+
+def _df_scalars(args, extent, shape):
+    """Exact (hi, lo) f32 pairs for parameters + grid geometry."""
+    import numpy as _np
+
+    x0a, x0b, x1a, x1b = (float(v) for v in extent)
+    n0, n1 = shape
+    vals = [float(v) for v in args] + [
+        x0a,
+        (x0b - x0a) / n0,
+        x1a,
+        (x1b - x1a) / n1,
+    ]
+    pairs = []
+    for v in vals:
+        hi = float(_np.float32(v))
+        pairs.extend([hi, v - hi])
+    return jnp.asarray(pairs, dtype=jnp.float32)
+
+
+def complete_analysis_pallas_df64(
+    artifact,
+    args,
+    extent,
+    shape,
+    tile=(256, 256),
+    interpret: bool | None = None,
+):
+    """High-precision fused scan: double-f32 arithmetic internally
+    (~1e-13 relative, see lowering/df32.py), f64 outputs.
+
+    This is the TPU-native answer to the fp64 parity requirement: XLA's
+    emulated f64 runs this scan ~2000× slower (docs/numerics.md); df32 in a
+    Pallas kernel delivers parity-grade accuracy at near-f32 speed.  On
+    non-TPU backends the same df32 computation runs under plain ``jax.jit``
+    (never the Pallas interpreter — see :func:`_df64_xla`).
+    """
+    scalars = _df_scalars(args, extent, shape)
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None and not on_tpu:
+        return _df64_eager(scalars, artifact, tuple(shape))
+    return _launch_df(
+        scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False)
+    )
 
 
 def complete_analysis_pallas(

@@ -41,3 +41,46 @@ def test_pallas_engine_kwarg(al):
     assert via_engine[0].dtype == np.float32
     with pytest.raises(ValueError):
         al.complete_analysis(PARAMS, *EXTENT, 8, 8, progress=False, engine="cuda")
+
+
+def test_df64_engine_parity(al, doc_model_artifact):
+    """Double-f32 engine vs true-f64 XLA (CPU: runs the jit fallback — the
+    Pallas interpreter is excess-precision-unsafe for compensated
+    arithmetic, see ops/pallas_kernels._df64_xla)."""
+    shape = (64, 64)
+    dfm = al.complete_analysis(
+        PARAMS, *EXTENT, *shape, progress=False, engine="pallas_df64"
+    )
+    ref = al.complete_analysis(PARAMS, *EXTENT, *shape, progress=False)
+    assert dfm[0].dtype == np.float64
+    # consistency / eps_v / delta are well-conditioned: expect ~1e-12
+    for k in (0, 1, 4):
+        np.testing.assert_allclose(dfm[k], ref[k], rtol=5e-11, equal_nan=True)
+    # eps_h / eta / omega amplify through near-cancellations: compare away
+    # from the epsilon_h pole
+    denom_ok = np.abs(ref[2]) < 1e3
+    for k in (2, 3, 5):
+        a, b = dfm[k][denom_ok], ref[k][denom_ok]
+        mask = np.isfinite(b)
+        np.testing.assert_allclose(a[mask], b[mask], rtol=1e-6)
+
+
+def test_df32_arithmetic_survives_jit():
+    """Regression guard: plain jit must preserve two_sum error terms (the
+    Pallas interpreter does not — why _df64_xla exists)."""
+    import jax
+
+    from inflatox_tpu.lowering.df32 import DF
+
+    x = jnp.asarray(np.linspace(0.9, 1.1, 257, dtype=np.float32))
+
+    def chain(x):
+        d = DF(x) * DF(x) - DF.const(1.0)
+        return d.hi, d.lo
+
+    h1, l1 = chain(x)
+    h2, l2 = jax.jit(chain)(x)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    got = np.asarray(h2, np.float64) + np.asarray(l2, np.float64)
+    want = np.asarray(x, np.float64) ** 2 - 1.0
+    np.testing.assert_allclose(got, want, atol=1e-14)

@@ -104,6 +104,9 @@ class NativeModel:
             dptr, dptr, dptr, ctypes.c_int64, ctypes.c_int,
         ]
         lib.inflx_potential_grid.argtypes = lib.inflx_complete_analysis.argtypes
+        lib.inflx_complete_analysis_refstyle.argtypes = (
+            lib.inflx_complete_analysis.argtypes
+        )
         lib.inflx_point_eval.argtypes = [dptr, dptr, dptr]
         lib.inflx_grad.argtypes = [dptr, dptr, dptr]
         lib.inflx_eom_eval.argtypes = [dptr, dptr, dptr, dptr]
@@ -131,6 +134,22 @@ class NativeModel:
         args = self._check_args(args)
         out = np.empty((N_x0, N_x1, 6), dtype=np.float64)
         self._lib.inflx_complete_analysis(
+            self._p(args), self._p(out),
+            float(x0_start), float(x0_stop), float(x1_start), float(x1_stop),
+            N_x0, N_x1, int(threads),
+        )
+        return tuple(out[:, :, k].copy() for k in range(6))
+
+    def complete_analysis_refstyle(
+        self, args, x0_start, x0_stop, x1_start, x1_stop,
+        N_x0: int = 1000, N_x1: int = 1000, threads: int = 0,
+    ):
+        """Reference-architecture scan: 5 indirect function-pointer calls per
+        pixel, mirroring the reference's dlopen'd-FFI cost structure
+        (anguelova.rs:103-135).  Used for baseline measurement only."""
+        args = self._check_args(args)
+        out = np.empty((N_x0, N_x1, 6), dtype=np.float64)
+        self._lib.inflx_complete_analysis_refstyle(
             self._p(args), self._p(out),
             float(x0_start), float(x0_stop), float(x1_start), float(x1_stop),
             N_x0, N_x1, int(threads),

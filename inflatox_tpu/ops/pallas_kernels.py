@@ -227,7 +227,7 @@ def complete_analysis_pallas_df64(
     args,
     extent,
     shape,
-    tile=(256, 256),
+    tile=(128, 256),  # best of the measured VMEM/occupancy sweep on v5e
     interpret: bool | None = None,
 ):
     """High-precision fused scan: double-f32 arithmetic internally

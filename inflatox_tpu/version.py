@@ -17,6 +17,12 @@ __version__ = "0.1.0"
 __schema_version__ = "1.0.0"
 
 
+#: Deprecated alias kept for reference-API familiarity (the reference's
+#: ``__abi_version__`` guarded its dlopen ABI; here the analogous contract is
+#: the bundle schema version).
+__abi_version__ = __schema_version__
+
+
 def schema_compatible(other: str) -> bool:
     """True if a bundle written with schema version ``other`` can be loaded.
 

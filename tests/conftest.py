@@ -21,6 +21,12 @@ import jax
 # start; override it (backends initialize lazily, so this is safe as long as
 # no array has been created yet)
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the giant EGNO/D5 graphs dominate suite runtime
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/inflatox_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 import numpy as np
 import pytest

@@ -400,6 +400,22 @@ class GeneralisedAL(InflationCondition):
 
     # ---------------- full-grid scans ---------------------------------- #
 
+    def _pallas_scan(self, kind, args, extent, shape, progress, dtype, engine):
+        from .ops.pallas_kernels import scan_pallas, scan_pallas_df64  # noqa: PLC0415
+
+        self._validate_2field()
+        args = self._validate_args(args)
+        with Progress(_SCAN_MESSAGES[kind], enabled=progress):
+            if engine == "pallas":
+                out = scan_pallas(
+                    self.artifact, kind, args, extent, shape,
+                    dtype=dtype or jnp.float32,
+                )
+            else:
+                out = scan_pallas_df64(self.artifact, kind, args, extent, shape)
+            out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+        return out
+
     def complete_analysis(
         self,
         args,
@@ -481,10 +497,27 @@ class GeneralisedAL(InflationCondition):
         progress: bool = True,
         threads: int | None = None,
         dtype=None,
+        engine: str = "xla",
     ) -> np.ndarray:
         """Generalised consistency condition ||lhs|−|rhs||/(|lhs|+|rhs|) with
         lhs = V_ww/V − 3 (consistency_conditions.py:310-365)."""
         del threads
+        if engine in ("pallas", "pallas_df64"):
+            out = self._pallas_scan(
+                "consistency",
+                args,
+                (x0_start, x0_stop, x1_start, x1_stop),
+                (N_x0, N_x1),
+                progress,
+                dtype,
+                engine,
+            )
+            return np.asarray(out[0])
+        if engine != "xla":
+            raise ValueError(
+                f'unknown engine {engine!r}; expected "xla", "pallas" or '
+                '"pallas_df64"'
+            )
         return np.asarray(
             self._run_grid_scan(
                 "consistency",
@@ -508,9 +541,26 @@ class GeneralisedAL(InflationCondition):
         progress: bool = True,
         threads: int | None = None,
         dtype=None,
+        engine: str = "xla",
     ) -> np.ndarray:
         """ε_V = ½(∇V/V)² (consistency_conditions.py:367-418)."""
         del threads
+        if engine in ("pallas", "pallas_df64"):
+            out = self._pallas_scan(
+                "epsilon_v",
+                args,
+                (x0_start, x0_stop, x1_start, x1_stop),
+                (N_x0, N_x1),
+                progress,
+                dtype,
+                engine,
+            )
+            return np.asarray(out[0])
+        if engine != "xla":
+            raise ValueError(
+                f'unknown engine {engine!r}; expected "xla", "pallas" or '
+                '"pallas_df64"'
+            )
         return np.asarray(
             self._run_grid_scan(
                 "epsilon_v",
@@ -534,10 +584,27 @@ class GeneralisedAL(InflationCondition):
         progress: bool = True,
         threads: int | None = None,
         dtype=None,
+        engine: str = "xla",
     ) -> np.ndarray:
         """Original AL rapid-turn condition
         (consistency_conditions.py:420-475)."""
         del threads
+        if engine in ("pallas", "pallas_df64"):
+            out = self._pallas_scan(
+                "consistency_rapidturn",
+                args,
+                (x0_start, x0_stop, x1_start, x1_stop),
+                (N_x0, N_x1),
+                progress,
+                dtype,
+                engine,
+            )
+            return np.asarray(out[0])
+        if engine != "xla":
+            raise ValueError(
+                f'unknown engine {engine!r}; expected "xla", "pallas" or '
+                '"pallas_df64"'
+            )
         return np.asarray(
             self._run_grid_scan(
                 "consistency_rapidturn",

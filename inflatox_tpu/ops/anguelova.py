@@ -137,3 +137,28 @@ def complete_analysis_op_df(v, v00, v10, v11, grad_sq):
     omega = dfm.sqrt((vtt / v) * (-epsilon_h + 3.0))
     eta_parallel = omega * tan_delta - 3.0
     return consistency, epsilon_v, epsilon_h, eta_parallel, delta, omega
+
+
+def consistency_only_op_df(v, v00, v10, v11):
+    """df32 variant of :func:`consistency_only_op`."""
+    from ..lowering import df32 as dfm
+
+    lhs = v11 / v - 3.0
+    rhs = (v00 / v10) ** 2 * 3.0 + (v00 / v) * (v10 / v00) ** 2
+    num = dfm.abs_(dfm.abs_(lhs) - dfm.abs_(rhs))
+    return dfm.minimum(num / (dfm.abs_(lhs) + dfm.abs_(rhs)), dfm.DF.const(1.0))
+
+
+def consistency_rapidturn_only_op_df(v, v00, v10, v11):
+    """df32 variant of :func:`consistency_rapidturn_only_op`."""
+    from ..lowering import df32 as dfm
+
+    lhs = v11 / v
+    rhs = (v10 / v00) ** 2 * 3.0
+    num = dfm.abs_(dfm.abs_(lhs) - dfm.abs_(rhs))
+    return dfm.minimum(num / (dfm.abs_(lhs) + dfm.abs_(rhs)), dfm.DF.const(1.0))
+
+
+def epsilon_v_only_op_df(v, grad_sq):
+    """df32 variant of :func:`epsilon_v_only_op` (the ½ IS present)."""
+    return grad_sq * 0.5 / v**2

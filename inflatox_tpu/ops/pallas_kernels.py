@@ -28,16 +28,109 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .anguelova import complete_analysis_op
+from .anguelova import (
+    complete_analysis_op,
+    consistency_only_op,
+    consistency_rapidturn_only_op,
+    epsilon_v_only_op,
+)
 
-__all__ = ["complete_analysis_pallas", "complete_analysis_pallas_df64"]
+__all__ = [
+    "complete_analysis_pallas",
+    "complete_analysis_pallas_df64",
+    "scan_pallas",
+    "scan_pallas_df64",
+]
+
+
+def _core_f32(kind):
+    """(n_outputs, fn(model, xs, args) -> tuple) for the f32 kernels."""
+    if kind == "complete_analysis":
+
+        def run(model, xs, args):
+            v = model.potential(xs, args)
+            v00, _, v10, v11 = model.hesse_tuple(xs, args)
+            gs = model.grad_square(xs, args)
+            return complete_analysis_op(v, v00, v10, v11, gs)
+
+        return 6, run
+    if kind == "consistency":
+
+        def run(model, xs, args):
+            v = model.potential(xs, args)
+            v00, _, v10, v11 = model.hesse_tuple(xs, args)
+            return (consistency_only_op(v, v00, v10, v11),)
+
+        return 1, run
+    if kind == "consistency_rapidturn":
+
+        def run(model, xs, args):
+            v = model.potential(xs, args)
+            v00, _, v10, v11 = model.hesse_tuple(xs, args)
+            return (consistency_rapidturn_only_op(v, v00, v10, v11),)
+
+        return 1, run
+    if kind == "epsilon_v":
+
+        def run(model, xs, args):
+            v = model.potential(xs, args)
+            gs = model.grad_square(xs, args)
+            return (epsilon_v_only_op(v, gs),)
+
+        return 1, run
+    raise ValueError(f"unknown scan kind {kind!r}")
+
+
+def _core_df(kind):
+    """(n_outputs, fn(df_fns, xs, args) -> tuple of DF) for the df32 path."""
+    from .anguelova import (  # noqa: PLC0415
+        complete_analysis_op_df,
+        consistency_only_op_df,
+        consistency_rapidturn_only_op_df,
+        epsilon_v_only_op_df,
+    )
+
+    if kind == "complete_analysis":
+
+        def run(fns, xs, args):
+            v = fns["potential"](xs, args)
+            v00, _, v10, v11 = fns["hesse"](xs, args)
+            gs = fns["grad_square"](xs, args)
+            return complete_analysis_op_df(v, v00, v10, v11, gs)
+
+        return 6, run
+    if kind == "consistency":
+
+        def run(fns, xs, args):
+            v = fns["potential"](xs, args)
+            v00, _, v10, v11 = fns["hesse"](xs, args)
+            return (consistency_only_op_df(v, v00, v10, v11),)
+
+        return 1, run
+    if kind == "consistency_rapidturn":
+
+        def run(fns, xs, args):
+            v = fns["potential"](xs, args)
+            v00, _, v10, v11 = fns["hesse"](xs, args)
+            return (consistency_rapidturn_only_op_df(v, v00, v10, v11),)
+
+        return 1, run
+    if kind == "epsilon_v":
+
+        def run(fns, xs, args):
+            v = fns["potential"](xs, args)
+            gs = fns["grad_square"](xs, args)
+            return (epsilon_v_only_op_df(v, gs),)
+
+        return 1, run
+    raise ValueError(f"unknown scan kind {kind!r}")
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(scal_ref, *out_refs, model=None, tile=None, n_params=None):
+def _kernel(scal_ref, *out_refs, model=None, tile=None, n_params=None, kind=None):
     tm, tn = tile
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -53,29 +146,27 @@ def _kernel(scal_ref, *out_refs, model=None, tile=None, n_params=None):
     x0 = x0a + (i.astype(dtype) * tm + rows) * dx0
     x1 = x1a + (j.astype(dtype) * tn + cols) * dx1
 
-    xs = (x0, x1)
-    args = tuple(scal_ref[t] for t in range(n_params))
-    v = model.potential(xs, args)
-    v00, _, v10, v11 = model.hesse_tuple(xs, args)
-    gs = model.grad_square(xs, args)
-    outs = complete_analysis_op(v, v00, v10, v11, gs)
+    _, core = _core_f32(kind)
+    outs = core(model, (x0, x1), tuple(scal_ref[t] for t in range(n_params)))
     for ref, val in zip(out_refs, outs):
         ref[:, :] = val.astype(dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "shape", "tile", "interpret", "dtype"),
+    static_argnames=("model", "shape", "tile", "interpret", "dtype", "kind"),
 )
-def _launch(scalars, model, shape, tile, interpret, dtype):
+def _launch(scalars, model, shape, tile, interpret, dtype, kind):
     tm, tn = tile
+    n_out, _ = _core_f32(kind)
     n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
     grid = (n0p // tm, n1p // tn)
     out_shape = tuple(
-        jax.ShapeDtypeStruct((n0p, n1p), dtype) for _ in range(6)
+        jax.ShapeDtypeStruct((n0p, n1p), dtype) for _ in range(n_out)
     )
     kernel = functools.partial(
-        _kernel, model=model, tile=(tm, tn), n_params=model.n_parameters
+        _kernel, model=model, tile=(tm, tn), n_params=model.n_parameters,
+        kind=kind,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -84,7 +175,7 @@ def _launch(scalars, model, shape, tile, interpret, dtype):
         out_specs=tuple(
             # index_map also receives the scalar-prefetch ref — ignore it
             pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j))
-            for _ in range(6)
+            for _ in range(n_out)
         ),
     )
     outs = pl.pallas_call(
@@ -96,12 +187,11 @@ def _launch(scalars, model, shape, tile, interpret, dtype):
     return tuple(o[: shape[0], : shape[1]] for o in outs)
 
 
-def _kernel_df(scal_ref, *out_refs, model=None, tile=None, n_params=None):
+def _kernel_df(scal_ref, *out_refs, model=None, tile=None, n_params=None, kind=None):
     """Double-f32 kernel body: same structure as :func:`_kernel` but every
     value is a DF pair; outputs are written as (hi, lo) pairs per quantity
-    (12 refs) and recombined to f64 outside the kernel."""
+    and recombined to f64 outside the kernel."""
     from ..lowering.df32 import DF  # noqa: PLC0415
-    from .anguelova import complete_analysis_op_df  # noqa: PLC0415
 
     tm, tn = tile
     i = pl.program_id(0)
@@ -124,36 +214,35 @@ def _kernel_df(scal_ref, *out_refs, model=None, tile=None, n_params=None):
     x0 = x0a + gi * dx0
     x1 = x1a + gj * dx1
 
-    fns = model.df32_fns()
-    xs = (x0, x1)
-    v = fns["potential"](xs, args)
-    v00, _, v10, v11 = fns["hesse"](xs, args)
-    gs = fns["grad_square"](xs, args)
-    outs = complete_analysis_op_df(v, v00, v10, v11, gs)
+    _, core = _core_df(kind)
+    outs = core(model.df32_fns(), (x0, x1), args)
     for k, val in enumerate(outs):
         out_refs[2 * k][:, :] = val.hi
         out_refs[2 * k + 1][:, :] = val.lo
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "shape", "tile", "interpret")
+    jax.jit, static_argnames=("model", "shape", "tile", "interpret", "kind")
 )
-def _launch_df(scalars, model, shape, tile, interpret):
+def _launch_df(scalars, model, shape, tile, interpret, kind):
     tm, tn = tile
+    n_out, _ = _core_df(kind)
     n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
     grid = (n0p // tm, n1p // tn)
     out_shape = tuple(
-        jax.ShapeDtypeStruct((n0p, n1p), jnp.float32) for _ in range(12)
+        jax.ShapeDtypeStruct((n0p, n1p), jnp.float32) for _ in range(2 * n_out)
     )
     kernel = functools.partial(
-        _kernel_df, model=model, tile=(tm, tn), n_params=model.n_parameters
+        _kernel_df, model=model, tile=(tm, tn), n_params=model.n_parameters,
+        kind=kind,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[],
         out_specs=tuple(
-            pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j)) for _ in range(12)
+            pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j))
+            for _ in range(2 * n_out)
         ),
     )
     outs = pl.pallas_call(
@@ -163,14 +252,14 @@ def _launch_df(scalars, model, shape, tile, interpret):
         interpret=interpret,
     )(scalars)
     combined = []
-    for k in range(6):
+    for k in range(n_out):
         hi = outs[2 * k][: shape[0], : shape[1]]
         lo = outs[2 * k + 1][: shape[0], : shape[1]]
         combined.append(hi.astype(jnp.float64) + lo.astype(jnp.float64))
     return tuple(combined)
 
 
-def _df64_eager(scalars, model, shape):
+def _df64_eager(scalars, model, shape, kind="complete_analysis"):
     """Eager (op-by-op) df32 evaluation: the fallback for non-TPU backends.
 
     Neither the Pallas interpreter nor a fused XLA:CPU jit may be used for
@@ -180,7 +269,6 @@ def _df64_eager(scalars, model, shape):
     no scope for cross-op reassociation; the compiled TPU Mosaic kernel is
     measured EFT-safe (tests + hardware runs)."""
     from ..lowering.df32 import DF  # noqa: PLC0415
-    from .anguelova import complete_analysis_op_df  # noqa: PLC0415
 
     n_params = model.n_parameters
 
@@ -194,12 +282,8 @@ def _df64_eager(scalars, model, shape):
     cols = lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
     x0 = x0a + DF(rows) * dx0
     x1 = x1a + DF(cols) * dx1
-    fns = model.df32_fns()
-    xs = (x0, x1)
-    v = fns["potential"](xs, args)
-    v00, _, v10, v11 = fns["hesse"](xs, args)
-    gs = fns["grad_square"](xs, args)
-    outs = complete_analysis_op_df(v, v00, v10, v11, gs)
+    _, core = _core_df(kind)
+    outs = core(model.df32_fns(), (x0, x1), args)
     return tuple(o.to_f64() for o in outs)
 
 
@@ -239,12 +323,56 @@ def complete_analysis_pallas_df64(
     non-TPU backends the same df32 computation runs under plain ``jax.jit``
     (never the Pallas interpreter — see :func:`_df64_xla`).
     """
+    return scan_pallas_df64(
+        artifact, "complete_analysis", args, extent, shape, tile=tile,
+        interpret=interpret,
+    )
+
+
+def scan_pallas_df64(
+    artifact,
+    kind,
+    args,
+    extent,
+    shape,
+    tile=(128, 256),
+    interpret: bool | None = None,
+):
+    """Any grid scan kind on the double-f32 engine (f64 outputs).  Kinds:
+    complete_analysis, consistency, consistency_rapidturn, epsilon_v."""
     scalars = _df_scalars(args, extent, shape)
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None and not on_tpu:
-        return _df64_eager(scalars, artifact, tuple(shape))
+        return _df64_eager(scalars, artifact, tuple(shape), kind)
     return _launch_df(
-        scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False)
+        scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False),
+        kind,
+    )
+
+
+def scan_pallas(
+    artifact,
+    kind,
+    args,
+    extent,
+    shape,
+    dtype=jnp.float32,
+    tile=(256, 256),
+    interpret: bool | None = None,
+):
+    """Any grid scan kind on the fp32 Pallas kernel.  Kinds as in
+    :func:`scan_pallas_df64`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    x0a, x0b, x1a, x1b = (float(v) for v in extent)
+    n0, n1 = shape
+    geom = [x0a, (x0b - x0a) / n0, x1a, (x1b - x1a) / n1]
+    scalars = jnp.asarray(
+        [float(v) for v in args] + geom, dtype=jnp.dtype(dtype)
+    )
+    return _launch(
+        scalars, artifact, tuple(shape), tuple(tile), bool(interpret),
+        jnp.dtype(dtype), kind,
     )
 
 
@@ -271,14 +399,7 @@ def complete_analysis_pallas(
 
     Returns six (N0, N1) arrays in the complete_analysis order.
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    x0a, x0b, x1a, x1b = (float(v) for v in extent)
-    n0, n1 = shape
-    geom = [x0a, (x0b - x0a) / n0, x1a, (x1b - x1a) / n1]
-    scalars = jnp.asarray(
-        [float(v) for v in args] + geom, dtype=jnp.dtype(dtype)
-    )
-    return _launch(
-        scalars, artifact, tuple(shape), tuple(tile), bool(interpret), jnp.dtype(dtype)
+    return scan_pallas(
+        artifact, "complete_analysis", args, extent, shape, dtype=dtype,
+        tile=tile, interpret=interpret,
     )

@@ -1,4 +1,11 @@
+from . import distributed
 from .mesh import make_mesh, default_mesh
 from .sweep import sharded_scan, parameter_sweep
 
-__all__ = ["make_mesh", "default_mesh", "sharded_scan", "parameter_sweep"]
+__all__ = [
+    "distributed",
+    "make_mesh",
+    "default_mesh",
+    "sharded_scan",
+    "parameter_sweep",
+]

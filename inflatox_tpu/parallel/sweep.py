@@ -56,11 +56,16 @@ def sharded_scan(
     mesh,
     grid_axis: str = "grid",
     dtype=jnp.float64,
+    engine: str = "xla",
 ):
     """Complete analysis for one parameter set, grid tiled across ``mesh``.
 
     Each device owns a contiguous block of rows (first grid axis) and
     generates its own coordinates — zero bytes of input are communicated.
+
+    ``engine``: "xla" (any dtype), "pallas" (fp32 kernel per shard) or
+    "pallas_df64" (double-f32 kernel, f64 outputs) — on TPU pods the df64
+    engine is the recommended parity-grade path (BASELINE.md).
 
     Returns the assembled (6, N0, N1) array (sharded on device; converting
     to numpy gathers it).
@@ -77,6 +82,15 @@ def sharded_scan(
 
     x0a, x0b, x1a, x1b = (float(v) for v in extent)
     dx0 = (x0b - x0a) / n0
+
+    if engine in ("pallas", "pallas_df64"):
+        return _sharded_scan_pallas(
+            model, args, (x0a, x0b, x1a, x1b), (n0, n1), mesh, grid_axis,
+            local_rows, dx0, engine, dtype,
+        )
+    if engine != "xla":
+        raise ValueError(f"unknown engine {engine!r}")
+
     local_fn = _analysis_fn(model, (local_rows, n1), dtype)
 
     def shard_fn(args, flat_extent):
@@ -100,6 +114,62 @@ def sharded_scan(
     )
     flat = jnp.asarray([x0a, x0b, x1a, x1b], dtype)
     return fn(jnp.asarray(args, dtype), flat)
+
+
+def _sharded_scan_pallas(
+    model, args, extent, shape, mesh, grid_axis, local_rows, dx0, engine, dtype
+):
+    """Pallas kernels under shard_map: each device runs the fused kernel on
+    its own row-block.  Per-device scalar operands (parameters + local grid
+    geometry) are precomputed host-side as one (n_dev, S) array sharded along
+    the grid axis — exact f32 splitting for the df64 engine happens on host
+    where f64 is cheap."""
+    import numpy as _np
+
+    from ..ops.pallas_kernels import _df_scalars, _launch, _launch_df
+
+    x0a, x0b, x1a, x1b = extent
+    n0, n1 = shape
+    n_dev = mesh.shape[grid_axis]
+    local_shape = (local_rows, n1)
+    interpret = jax.default_backend() != "tpu"
+
+    rows_of = []
+    for d in range(n_dev):
+        lo = x0a + d * local_rows * dx0
+        local_extent = (lo, lo + local_rows * dx0, x1a, x1b)
+        if engine == "pallas_df64":
+            rows_of.append(_np.asarray(_df_scalars(args, local_extent, local_shape)))
+        else:
+            geom = [lo, dx0, x1a, (x1b - x1a) / n1]
+            rows_of.append(
+                _np.asarray([float(v) for v in args] + geom, dtype=_np.dtype(dtype))
+            )
+    scal = jnp.asarray(_np.stack(rows_of))
+
+    tile = (min(128, local_rows), min(256, n1))
+
+    def shard_fn(scal_block):
+        local = scal_block[0]
+        if engine == "pallas_df64":
+            outs = _launch_df(local, model, local_shape, tile, interpret,
+                              "complete_analysis")
+        else:
+            outs = _launch(local, model, local_shape, tile, interpret,
+                           jnp.dtype(dtype), "complete_analysis")
+        return jnp.stack(outs)
+
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(grid_axis, None),),
+            out_specs=P(None, grid_axis, None),
+            # pallas_call's out_shape carries no varying-mesh-axes info
+            check_vma=False,
+        )
+    )
+    return fn(scal)
 
 
 def parameter_sweep(

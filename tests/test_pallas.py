@@ -84,3 +84,17 @@ def test_df32_arithmetic_survives_jit():
     got = np.asarray(h2, np.float64) + np.asarray(l2, np.float64)
     want = np.asarray(x, np.float64) ** 2 - 1.0
     np.testing.assert_allclose(got, want, atol=1e-14)
+
+
+@pytest.mark.parametrize("kind_method", ["consistency", "consistency_rapidturn", "epsilon_v"])
+def test_single_output_scan_engines(al, kind_method):
+    """Every scan kind runs on all three engines and they agree."""
+    shape = (16, 128)
+    method = getattr(al, kind_method)
+    ref = method(PARAMS, *EXTENT, *shape, progress=False)
+    p32 = method(PARAMS, *EXTENT, *shape, progress=False, engine="pallas")
+    d64 = method(PARAMS, *EXTENT, *shape, progress=False, engine="pallas_df64")
+    assert p32.dtype == np.float32 and d64.dtype == np.float64
+    # fp32 carries 24 bits; isolated pixels near the V→0 line amplify
+    np.testing.assert_allclose(p32, ref, rtol=5e-4, atol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(d64, ref, rtol=1e-9, equal_nan=True)

@@ -107,3 +107,22 @@ def test_batched_background_on_mesh(trivial_artifact):
     )
     assert out.shape == (8, 20, 5)
     assert np.all(np.isfinite(out))
+
+
+def test_sharded_scan_pallas_engine(al):
+    """fp32 Pallas kernel under shard_map (interpret mode on CPU): matches
+    the XLA path on well-conditioned outputs.  (ε_H/η/ω amplify f32
+    rounding near their poles — compared loosely.)"""
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    n = (64, 128)
+    ref = np.asarray(sharded_scan(al, PARAMS, EXTENT, n, mesh))
+    p32 = np.asarray(
+        sharded_scan(al, PARAMS, EXTENT, n, mesh, engine="pallas", dtype="float32")
+    )
+    assert p32.shape == (6, 64, 128)
+    for k in (0, 1, 4):  # consistency, eps_v, delta
+        np.testing.assert_allclose(
+            p32[k], ref[k], rtol=5e-4, atol=1e-5, equal_nan=True
+        )
+    with pytest.raises(ValueError):
+        sharded_scan(al, PARAMS, EXTENT, n, mesh, engine="cuda")

@@ -35,6 +35,7 @@ from .version import __version__
 
 from . import background
 from . import consistency_conditions
+from . import models
 from . import parallel
 
 __all__ = [
@@ -45,6 +46,7 @@ __all__ = [
     "InflationModelBuilder",
     "consistency_conditions",
     "background",
+    "models",
     "parallel",
     "log_info",
     "log_warn",

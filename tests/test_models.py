@@ -360,3 +360,17 @@ def test_d5_lowering_parity(d5_artifact):
     _check_parity_vs_native(
         d5_artifact, args, pts, hesse_atol=1e-12 * max(v_scale, 1.0)
     )
+
+
+def test_model_zoo_hyperinflation(doc_model_artifact):
+    """The model zoo's flagship matches the conftest fixture."""
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.models import hyperinflation
+
+    model, args = hyperinflation()
+    art = inflatox.Compiler(model, silent=True).compile()
+    assert art.symbol_dictionary == doc_model_artifact.symbol_dictionary
+    al = GeneralisedAL(art, validate_basis=False)
+    assert np.isclose(
+        al.calc_V(np.array([2.0, -2.0]), args), 1.9166666666666667, rtol=1e-12
+    )

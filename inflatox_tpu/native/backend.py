@@ -30,7 +30,6 @@ from .codegen import generate_c_source
 __all__ = ["NativeModel", "native_available"]
 
 _CFLAGS = [
-    "-O3",
     "-march=native",
     "-fpic",
     "-shared",
@@ -66,7 +65,12 @@ class NativeModel:
         registry: SymbolRegistry | None = None,
         silent: bool = True,
         keep_source: bool = False,
+        opt: str = "-O3",
     ):
+        """``opt``: optimization level; use "-O1" when the backend serves as
+        a numerical oracle only (IEEE f64 results are identical — no
+        fast-math flags are involved — but giant models compile much
+        faster)."""
         if _find_cc() is None:
             raise RuntimeError("no C compiler found for the native backend")
         registry = registry or SymbolRegistry.from_model(model)
@@ -82,7 +86,7 @@ class NativeModel:
         with open(c_path, "w") as f:
             f.write(src)
         cc = _find_cc()
-        cmd = [cc, c_path, "-o", so_path, *_CFLAGS, "-lm"]
+        cmd = [cc, c_path, "-o", so_path, str(opt), *_CFLAGS, "-lm"]
         if not silent:
             log_info(f"native backend: {' '.join(cmd)}")
         proc = subprocess.run(cmd, capture_output=True, text=True)

@@ -12,10 +12,17 @@ computes all six analysis quantities tile-by-tile:
 * all six outputs are written once per tile: the scan is a pure
   write-bandwidth workload, the theoretical floor for this computation.
 
-Precision: Mosaic/TPU has no f64, so this kernel is the **fp32 fast path**
-(``dtype=jnp.float32``).  The fp64 parity path is the XLA scan; `bench.py`
-reports both.  On non-TPU backends the kernel runs in interpreter mode
-(tests) — set ``interpret=False`` to force compilation.
+Precision: Mosaic/TPU has no f64.  Two kernel families exist:
+
+* the **fp32 fast path** (`scan_pallas`, ``dtype=jnp.float32``), and
+* the **double-f32 parity path** (`scan_pallas_df64`): compensated
+  float-float arithmetic (lowering/df32.py) with f64 outputs — ~1e-13
+  relative, ~10× the fp32 kernel cost, ~200× faster than XLA's emulated
+  f64 (BASELINE.md has the measured matrix).
+
+On non-TPU backends the fp32 kernels run in interpreter mode (tests); the
+df32 path falls back to eager evaluation instead — the interpreter evaluates
+with excess precision, which silently destroys compensated error terms.
 """
 
 from __future__ import annotations

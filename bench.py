@@ -32,7 +32,7 @@ def build_artifact():
     return inflatox.Compiler(model, silent=True).compile()
 
 
-def time_call(fn, *args, repeats=3):
+def time_call(fn, *args, repeats=5):
     """Best of `repeats` sequential calls; each call is fully synchronized
     (block + fetch one element — the remote-tunnel ack alone under-reports)
     and its outputs are dropped before the next (queuing several 4096² calls
@@ -49,6 +49,25 @@ def time_call(fn, *args, repeats=3):
             float(leaf[(0,) * leaf.ndim])
         best = min(best, time.perf_counter() - t0)
         del out
+    return best
+
+
+def measure_dispatch_overhead():
+    """Fixed per-call cost of the dispatch+fetch round trip (through the
+    axon tunnel this is ~25-50 ms; on a directly-attached TPU it is ~0.1 ms).
+    Subtracted from scan timings so the reported throughput reflects device
+    time — what an N-chip deployment actually scales."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x * 2.0 + 1.0)
+    xx = jnp.ones((8, 128), jnp.float32)
+    float(tiny(xx)[0, 0])
+    best = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        float(tiny(xx)[0, 0])
+        best = min(best, time.perf_counter() - t0)
     return best
 
 
@@ -74,6 +93,11 @@ def main():
     artifact = build_artifact()
     al = GeneralisedAL(artifact, validate_basis=False)
     pts = N * N
+    overhead = measure_dispatch_overhead()
+    log(f"dispatch+fetch overhead: {overhead * 1e3:.1f} ms/call (subtracted)")
+
+    def corrected(t):
+        return max(t - overhead, 1e-5)
 
     # --- headline: double-f32 Pallas kernel (parity-grade accuracy) ------ #
     from inflatox_tpu.ops.pallas_kernels import complete_analysis_pallas_df64
@@ -82,9 +106,9 @@ def main():
         artifact, args, extent, (N, N)
     )
     jax.block_until_ready(run_df64())  # compile
-    t_head = time_call(run_df64)
+    t_head = corrected(time_call(run_df64))
     log(
-        f"TPU df32-pallas {N}x{N} (f64-out): {t_head * 1e3:8.1f} ms  "
+        f"TPU df32-pallas {N}x{N} (f64-out): {t_head * 1e3:8.1f} ms device  "
         f"{pts / t_head / 1e9:7.3f} Gpts/s"
     )
 
@@ -93,10 +117,10 @@ def main():
         jax.block_until_ready(
             complete_analysis_pallas(artifact, args, extent, (N, N))
         )
-        tp = time_call(
+        tp = corrected(time_call(
             lambda: complete_analysis_pallas(artifact, args, extent, (N, N))
-        )
-        log(f"TPU fp32 Pallas {N}x{N}: {tp * 1e3:8.1f} ms  {pts / tp / 1e9:7.3f} Gpts/s")
+        ))
+        log(f"TPU fp32 Pallas {N}x{N}: {tp * 1e3:8.1f} ms device  {pts / tp / 1e9:7.3f} Gpts/s")
     except Exception as e:
         log(f"fp32 pallas path skipped: {type(e).__name__}: {e}")
 
@@ -105,8 +129,8 @@ def main():
         a32 = jnp.asarray(args, jnp.float32)
         e32 = jnp.asarray(np.asarray(extent), jnp.float32)
         jax.block_until_ready(fn32(a32, e32))
-        t32 = time_call(fn32, a32, e32)
-        log(f"TPU fp32 XLA  {N}x{N}: {t32 * 1e3:8.1f} ms  {pts / t32 / 1e9:7.3f} Gpts/s")
+        t32 = corrected(time_call(fn32, a32, e32))
+        log(f"TPU fp32 XLA  {N}x{N}: {t32 * 1e3:8.1f} ms device  {pts / t32 / 1e9:7.3f} Gpts/s")
     except Exception as e:
         log(f"fp32 xla path skipped: {type(e).__name__}: {e}")
 
@@ -118,7 +142,7 @@ def main():
         a64 = jnp.asarray(args, jnp.float64)
         e64 = jnp.asarray(np.asarray(extent), jnp.float64)
         jax.block_until_ready(fn64(a64, e64))
-        t64s = time_call(fn64, a64, e64, repeats=2)
+        t64s = corrected(time_call(fn64, a64, e64, repeats=2))
         log(
             f"TPU emulated-f64 XLA {n_small}x{n_small}: {t64s * 1e3:8.1f} ms "
             f"({n_small * n_small / t64s / 1e6:.1f} Mpts/s — legacy parity path)"

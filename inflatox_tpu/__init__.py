@@ -22,11 +22,19 @@ scan APIs accept ``dtype=jnp.float32`` for the fast path.
 """
 
 import os as _os
+import sys as _sys
 
 import jax as _jax
 
 if not _os.environ.get("INFLATOX_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
+
+# Deeply-nested model expressions (EGNO/D5-class) exceed the default Python
+# recursion limit during jax tracing and Mosaic jaxpr lowering; sympy
+# printing needs headroom too.  Frames are heap-allocated in CPython ≥3.11,
+# so a high limit is safe.
+if _sys.getrecursionlimit() < 100_000:
+    _sys.setrecursionlimit(100_000)
 
 from .compiler import CompilationArtifact, CompiledModel, Compiler
 from .symbolic import InflationModel, InflationModelBuilder

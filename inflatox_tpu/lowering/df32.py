@@ -40,6 +40,13 @@ __all__ = ["DF", "compile_df32", "from_float", "to_f64"]
 
 _SPLITTER = np.float32(4097.0)  # 2^12 + 1 for 24-bit Dekker splitting
 
+# f32 scalar literal: under jax_enable_x64, a bare Python float reaches
+# where/select/clip as a weak-f64 operand, forcing an f64→f32
+# convert_element_type inside the kernel — which Mosaic's lowering cannot
+# handle (it recurses to death).  Route every branch literal through this.
+def _c(v):
+    return np.float32(v)
+
 
 def _f32(v):
     return jnp.asarray(v, jnp.float32)
@@ -212,7 +219,7 @@ def sqrt(x) -> DF:
     x = DF.of(x)
     s = jnp.sqrt(x.hi)
     # guard s == 0 / nan domains
-    s_safe = jnp.where(s > 0, s, 1.0)
+    s_safe = jnp.where(s > 0, s, _c(1.0))
     sd = DF(s_safe)
     diff = x + (-(sd * sd))
     corr = (diff.hi + diff.lo) / (2.0 * s_safe)
@@ -220,8 +227,8 @@ def sqrt(x) -> DF:
     out = DF(hi, lo)
     zero = x.hi == 0.0
     bad = x.hi < 0.0
-    hi = jnp.where(zero, 0.0, jnp.where(bad, jnp.nan, out.hi))
-    lo = jnp.where(zero | bad, 0.0, out.lo)
+    hi = jnp.where(zero, _c(0.0), jnp.where(bad, _c(np.nan), out.hi))
+    lo = jnp.where(zero | bad, _c(0.0), out.lo)
     return DF(hi, lo)
 
 
@@ -252,9 +259,21 @@ _LN2 = 0.6931471805599453094172321214581766
 
 def _pow2_f32(k):
     """Exact 2^k as f32 for integer-valued k in [-126, 127], via exponent-
-    field bit construction (jnp.exp2 is polynomial-based and NOT exact)."""
-    ki = jnp.clip(k.astype(jnp.int32), -126, 127)
-    bits = (ki + 127) << 23
+    field bit construction (jnp.exp2 is polynomial-based and NOT exact).
+
+    Clip bounds must be np.int32: weak Python ints become i64 operands under
+    x64, and Mosaic's i64→i32 conversion recurses fatally."""
+    ki = jnp.clip(k.astype(jnp.int32), np.int32(-126), np.int32(127))
+    if jnp.ndim(ki) == 0:
+        # Mosaic's tpu.bitcast is vector-only: scalar case (parameter-only
+        # subexpressions) uses the exact power-of-two select-product instead
+        ka = jnp.abs(ki)
+        out = jnp.float32(1.0)
+        for i in range(7):
+            bit = ((ka >> np.int32(i)) & np.int32(1)) == 1
+            out = out * jnp.where(bit, _c(2.0 ** (2**i)), _c(1.0))
+        return jnp.where(ki < 0, 1.0 / out, out)
+    bits = (ki + np.int32(127)) << np.int32(23)
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 _LOG2E_F = np.float32(1.4426950408889634)
 _EXP_COEFFS = [1.0 / math.factorial(n) for n in range(13, 0, -1)]
@@ -276,7 +295,7 @@ def exp(x) -> DF:
     er = acc + 1.0
     # scale by 2^k: exact in f32 for |k| ≤ 126; saturate beyond (f32 range —
     # same envelope as TPU's emulated f64, docs/numerics.md §3)
-    kc = jnp.clip(k, -252.0, 254.0)
+    kc = jnp.clip(k, _c(-252.0), _c(254.0))
     k1 = jnp.floor(kc / 2.0)
     k2 = kc - k1
     s1 = _pow2_f32(k1)
@@ -285,15 +304,15 @@ def exp(x) -> DF:
     lo = er.lo * s1 * s2
     big = x.hi > 88.8
     small = x.hi < -87.4
-    hi = jnp.where(big, jnp.inf, jnp.where(small, 0.0, hi))
-    lo = jnp.where(big | small, 0.0, lo)
+    hi = jnp.where(big, _c(np.inf), jnp.where(small, _c(0.0), hi))
+    lo = jnp.where(big | small, _c(0.0), lo)
     return DF(hi, lo)
 
 
 def log(x) -> DF:
     """df log via exponent extraction + atanh series."""
     x = DF.of(x)
-    safe_hi = jnp.where(x.hi > 0, x.hi, 1.0)
+    safe_hi = jnp.where(x.hi > 0, x.hi, _c(1.0))
     e = jnp.round(jnp.log2(safe_hi))
     scale = _pow2_f32(-e)  # exact power of two
     m = DF(x.hi * scale, x.lo * scale)  # m in ~[0.71, 1.42]
@@ -304,8 +323,11 @@ def log(x) -> DF:
         acc = acc * t2 + DF.const(1.0 / n)
     out = t * acc * 2.0 + DF.const(_LN2) * DF(e)
     bad = x.hi <= 0.0
-    hi = jnp.where(bad, jnp.where(x.hi == 0.0, -jnp.inf, jnp.nan), out.hi)
-    lo = jnp.where(bad, 0.0, out.lo)
+    # NB: keep branch constants f32 — a nested where over two Python floats
+    # would promote to f64 under x64 and poison the Mosaic kernel
+    special = jnp.where(x.hi == 0.0, _c(-np.inf), _c(np.nan))
+    hi = jnp.where(bad, special, out.hi)
+    lo = jnp.where(bad, _c(0.0), out.lo)
     return DF(hi, lo)
 
 
@@ -316,15 +338,14 @@ def pow(x, y) -> DF:  # noqa: A001
     x = DF.of(x)
     y = DF.of(y)
     out = exp(y * log(where(x.hi > 0, x, DF.const(1.0))))
-    hi = jnp.where(x.hi > 0, out.hi, jnp.nan)
-    lo = jnp.where(x.hi > 0, out.lo, 0.0)
+    hi = jnp.where(x.hi > 0, out.hi, _c(np.nan))
+    lo = jnp.where(x.hi > 0, out.lo, _c(0.0))
     yv = y._cmp_val()
-    hi = jnp.where(
-        x.hi == 0.0,
-        jnp.where(yv > 0, 0.0, jnp.where(yv == 0, 1.0, jnp.inf)),
-        hi,
+    zero_case = jnp.where(
+        yv > 0, _c(0.0), jnp.where(yv == 0, _c(1.0), _c(np.inf))
     )
-    lo = jnp.where(x.hi == 0.0, 0.0, lo)
+    hi = jnp.where(x.hi == 0.0, zero_case, hi)
+    lo = jnp.where(x.hi == 0.0, _c(0.0), lo)
     return DF(hi, lo)
 
 
@@ -350,7 +371,7 @@ def _sincos_reduced(r: DF):
 def _reduce_pi2(x: DF):
     k = jnp.round(x.hi * np.float32(1.0 / _PI_2))
     r = x + (-(DF.const(_PI_2) * DF(k)))
-    quad = k.astype(jnp.int32) & 3
+    quad = k.astype(jnp.int32) & np.int32(3)
     return r, quad
 
 
@@ -486,7 +507,17 @@ def compile_df32(lowered):
     inner = namespace[lowered.name]
 
     def run(*seqs):
-        return inner(*[_DFSeq(s) for s in seqs])
+        # deeply-nested generated expressions (EGNO/D5-class models) exceed
+        # the default Python recursion limit under jax tracing
+        import sys  # noqa: PLC0415
+
+        limit = sys.getrecursionlimit()
+        if limit < 100_000:
+            sys.setrecursionlimit(100_000)
+        try:
+            return inner(*[_DFSeq(s) for s in seqs])
+        finally:
+            sys.setrecursionlimit(limit)
 
     return run
 

@@ -65,6 +65,34 @@ class _ModelJaxPrinter(JaxPrinter):
             return name  # CSE local variable
         raise MissingSymbolError(name, "<SymbolRegistry>")
 
+    # -- wide sums/products ------------------------------------------------- #
+    # Python's default printing of an N-term Add/Mul produces a left-nested
+    # chain of depth N; evaluating that under jax tracing exceeds CPython
+    # 3.12's *fixed* C recursion limit for EGNO/D5-class expressions (and
+    # sys.setrecursionlimit cannot raise it).  Balanced grouping makes the
+    # depth log N.  Evaluation-order rounding changes are ~1 ulp — within
+    # every parity tolerance (docs/numerics.md).
+
+    _BALANCE_THRESHOLD = 16
+
+    def _print_balanced(self, args, op):
+        if len(args) == 1:
+            return self._print(args[0])
+        mid = len(args) // 2
+        left = self._print_balanced(args[:mid], op)
+        right = self._print_balanced(args[mid:], op)
+        return f"({left} {op} {right})"
+
+    def _print_Add(self, expr, order=None):
+        if len(expr.args) <= self._BALANCE_THRESHOLD:
+            return super()._print_Add(expr, order)
+        return self._print_balanced(expr.args, "+")
+
+    def _print_Mul(self, expr):
+        if len(expr.args) <= self._BALANCE_THRESHOLD:
+            return super()._print_Mul(expr)
+        return self._print_balanced(expr.args, "*")
+
     # -- powers ------------------------------------------------------------- #
 
     def _print_Pow(self, expr):

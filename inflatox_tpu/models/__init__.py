@@ -82,95 +82,69 @@ def egno(silent: bool = True):
 
 
 def d5(silent: bool = True):
-    """D5-brane model: ln/sqrt-heavy, 10 parameters."""
+    """D5-brane model: ln/sqrt-heavy, 10 parameters.
+
+    Physics from JCAP02(2015)127 §3 / JCAP01(2020)020: a D5-brane wrapping a
+    two-cycle of the resolved conifold; warp factor H(ρ), flux function F,
+    and a harmonic potential contribution Φ_min + Φ_h.  The
+    nsimplify/collect/expand/powsimp normalization chain matches the form
+    the reference test compiles (test_d5.py), so the compiled expressions —
+    and hence parity points — are the same.
+    """
+    from sympy import Rational, cos, ln, pi, sqrt, symbols
     from sympy.simplify.radsimp import collect_sqrt
 
-    r, th = sympy.symbols("r θ2")
-    gs, ls, N = sympy.symbols("g_s l_s N")
-    mu5 = 1 / ((2 * sympy.pi) ** 5 * ls**6)
-    T5 = mu5 / gs
-    u = sympy.symbols("u")
+    r, th = symbols("r θ2")
+    gs, ls, N, u, p, q, V0 = symbols("g_s l_s N u p q V0")
+    a0, a1, b1 = symbols("a0 a1 b1")
+
+    def norm(expr, wrt):
+        """The reference's expression-normalization chain."""
+        return expr.nsimplify().collect(wrt).expand().powsimp()
+
+    brane_tension = 1 / (gs * (2 * pi) ** 5 * ls**6)  # T5 = μ5 / g_s
     rho = r / (3 * u)
-    H = (
-        (
-            (sympy.pi * N * gs * ls**4)
-            / (12 * u**4)
-            * (2 / rho**2 - 2 * sympy.ln(1 / rho**2 + 1))
-        )
-        .nsimplify()
-        .collect([u, r])
-        .expand()
-        .powsimp(force=True)
+    log_term = 2 / rho**2 - 2 * ln(1 / rho**2 + 1)
+
+    warp = (pi * N * gs * ls**4) / (12 * u**4) * log_term
+    warp = warp.nsimplify().collect([u, r]).expand().powsimp(force=True)
+
+    flux = norm(warp / 9 * (r**2 + 3 * u**2) ** 2 + (pi * q * ls**2) ** 2, [r, u])
+
+    pref = 4 * pi * p * brane_tension
+    g00 = collect_sqrt(
+        pref * sqrt(flux) * ((r**2 + 6 * u**2) / (r**2 + p * u**2)), evaluate=True
+    ).expand().powsimp()
+    g11 = norm(
+        collect_sqrt(Rational(4, 6) * pi * p * brane_tension * sqrt(flux)
+                     * (r**2 + 6 * u**2), evaluate=True),
+        [r, u],
     )
-    p, q = sympy.symbols("p q")
-    F = (
-        (H / 9 * (r**2 + 3 * u**2) ** 2 + (sympy.pi * q * ls**2) ** 2)
-        .nsimplify()
-        .collect([r, u])
-        .expand()
-        .powsimp()
+
+    phi_min = norm(
+        Rational(5, 72)
+        * (81 * (9 * rho**2 - 2) * rho**2 + 162 * ln(9 * (rho**2 + 1))
+           - 9 - 160 * ln(10)),
+        [u],
     )
-    gamma = 4 * sympy.pi**2 * ls**2 * p * q * T5 * gs
-    sqrtF = sympy.sqrt(F)
-    g00 = (
-        collect_sqrt(
-            4 * sympy.pi * p * T5 * sqrtF * ((r**2 + 6 * u**2) / (r**2 + p * u**2)),
-            evaluate=True,
-        )
-        .expand()
-        .powsimp()
+    phi_h = norm(
+        a0 * log_term
+        + 2 * a1 * (6 + 1 / rho**2 - 2 * (2 + 3 * rho**2) * ln(1 + 1 / rho**2)) * cos(th)
+        + (b1 / 2) * (2 + 3 * rho**2) * cos(th),
+        [u, r],
     )
-    g11 = (
-        collect_sqrt(
-            sympy.Rational(4, 6) * sympy.pi * p * T5 * sqrtF * (r**2 + 6 * u**2),
-            evaluate=True,
-        )
-        .nsimplify()
-        .collect([r, u])
-        .expand()
-        .powsimp()
-    )
-    metric = [[g00, 0], [0, g11]]
-    Phi_min = (
-        (
-            sympy.Rational(5, 72)
-            * (
-                81 * (9 * rho**2 - 2) * rho**2
-                + 162 * sympy.ln(9 * (rho**2 + 1))
-                - 9
-                - 160 * sympy.ln(10)
-            )
-        )
-        .nsimplify()
-        .collect([u])
-        .expand()
-        .powsimp()
-    )
-    a0, a1, b1 = sympy.symbols("a0 a1 b1")
-    Phi_h = (
-        (
-            a0 * (2 / rho**2 - 2 * sympy.ln(1 / rho**2 + 1))
-            + 2
-            * a1
-            * (6 + 1 / rho**2 - 2 * (2 + 3 * rho**2) * sympy.ln(1 + 1 / rho**2))
-            * sympy.cos(th)
-            + (b1 / 2) * (2 + 3 * rho**2) * sympy.cos(th)
-        )
-        .nsimplify()
-        .collect([u, r])
-        .expand()
-        .powsimp()
-    )
-    V0 = sympy.symbols("V0")
+
+    coupling = 4 * pi**2 * ls**2 * p * q * brane_tension * gs
     potential = (
         V0
-        + (4 * sympy.pi * p * T5 / H) * (sympy.sqrt(F) - (ls**2) * sympy.pi * q * gs)
-        + gamma * (Phi_min + Phi_h)
+        + (pref / warp) * (sqrt(flux) - ls**2 * pi * q * gs)
+        + coupling * (phi_min + phi_h)
     )
-    potential = potential.nsimplify().collect([ls, gs]).expand().powsimp()
+    potential = norm(potential, [ls, gs])
+
     model = InflationModelBuilder.new(
         [r, th],
-        metric,
+        [[g00, 0], [0, g11]],
         potential,
         model_name="d5",
         assertions=False,

@@ -86,14 +86,9 @@ def _check_parity_vs_native(artifact, args, points, rtol=1e-10, hesse_atol=0.0):
 
 @pytest.fixture(scope="module")
 def angular_artifact():
-    p, x = sympy.symbols("phi chi")
-    mp, mx, a = sympy.symbols("m_phi m_chi alpha")
-    potential = (a / 2 * ((mp * p) ** 2 + (mx * x) ** 2)).nsimplify()
-    diag = 6 * a / (1 - p**2 - x**2) ** 2
-    metric = [[diag, 0], [0, diag]]
-    model = inflatox.InflationModelBuilder.new(
-        [p, x], metric, potential, model_name="angular", silent=True
-    ).build()
+    from inflatox_tpu.models import angular
+
+    model, _ = angular()
     return inflatox.Compiler(model, cleanup=False, cse=True, silent=True).compile()
 
 
@@ -138,40 +133,19 @@ def test_angular_lowering_parity(angular_artifact):
 
 @pytest.fixture(scope="module")
 def egno_artifact():
-    """EGNO supergravity: metric from a Kähler potential (reference
-    tests/test_egno.py:39-75).  Loads the committed serialized bundle when
-    present (tests the load path and skips the multi-minute sympy build);
-    regenerate with inflatox_tpu.models.egno() + artifact.save()."""
+    """EGNO supergravity (reference tests/test_egno.py:39-75).  Loads the
+    committed serialized bundle when present (tests the load path and skips
+    the multi-minute sympy build); regenerate via inflatox_tpu.models.egno()
+    + artifact.save()."""
     bundle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "fixtures", "egno_bundle.json")
     if os.path.exists(bundle):
         from inflatox_tpu.compiler import CompiledModel
 
         return CompiledModel.load(bundle)
-    alpha, m, c, a = sympy.symbols("alpha m c a")
-    r, th = sympy.symbols("r θ")
-    Phi, Phi_b, S, S_b = sympy.symbols("Phi Phi_B S S_B")
-    K = (
-        -3 * alpha * sympy.ln(Phi + Phi_b - c * (Phi + Phi_b - 1) ** 4)
-        + (S * S_b) / (Phi + Phi_b) ** 3
-    ).nsimplify()
-    g00 = sympy.diff(sympy.diff(K, Phi), Phi_b)
-    g00 = g00.subs({Phi: r + sympy.I * th, Phi_b: r - sympy.I * th})
-    g00 = g00.subs({S: 0, S_b: 0}).nsimplify().simplify()
-    real_metric = [[g00, 0], [0, g00]]
-    potential = (
-        (6 * m**2 * r**3 * ((a - r) ** 2 + th**2))
-        / (a**2 * (2 * r - c * (1 - 2 * r) ** 4) ** (3 * alpha))
-    ).nsimplify()
-    model = inflatox.InflationModelBuilder.new(
-        [r, th],
-        real_metric,
-        potential,
-        model_name="egno",
-        silent=True,
-        simplify=False,
-        assertions=False,
-    ).build([[0, 1]])
+    from inflatox_tpu.models import egno
+
+    model, _ = egno()
     return inflatox.Compiler(model, silent=True, cse=True).compile()
 
 
@@ -223,120 +197,31 @@ def test_egno_lowering_parity(egno_artifact):
 
 @pytest.fixture(scope="module")
 def d5_artifact():
-    """D5-brane model: very large ln/sqrt-heavy expressions, 10 parameters
-    (reference tests/test_d5.py:36-141).  Loads the committed bundle when
-    present (see egno_artifact)."""
+    """D5-brane model (reference tests/test_d5.py:36-141).  Loads the
+    committed bundle when present (see egno_artifact)."""
     bundle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "fixtures", "d5_bundle.json")
     if os.path.exists(bundle):
         from inflatox_tpu.compiler import CompiledModel
 
         return CompiledModel.load(bundle)
-    from sympy.simplify.radsimp import collect_sqrt
+    from inflatox_tpu.models import d5
 
-    r, th = sympy.symbols("r θ2")
-    gs, ls, N = sympy.symbols("g_s l_s N")
-    mu5 = 1 / ((2 * sympy.pi) ** 5 * ls**6)
-    T5 = mu5 / gs
-    u = sympy.symbols("u")
-    rho = r / (3 * u)
-    H = (
-        ((sympy.pi * N * gs * ls**4) / (12 * u**4) * (2 / rho**2 - 2 * sympy.ln(1 / rho**2 + 1)))
-        .nsimplify()
-        .collect([u, r])
-        .expand()
-        .powsimp(force=True)
-    )
-    p, q = sympy.symbols("p q")
-    F = (
-        (H / 9 * (r**2 + 3 * u**2) ** 2 + (sympy.pi * q * ls**2) ** 2)
-        .nsimplify()
-        .collect([r, u])
-        .expand()
-        .powsimp()
-    )
-    gamma = 4 * sympy.pi**2 * ls**2 * p * q * T5 * gs
-    sqrtF = sympy.sqrt(F)
-    g00 = (
-        collect_sqrt(
-            4 * sympy.pi * p * T5 * sqrtF * ((r**2 + 6 * u**2) / (r**2 + p * u**2)),
-            evaluate=True,
-        )
-        .expand()
-        .powsimp()
-    )
-    g11 = (
-        collect_sqrt(sympy.Rational(4, 6) * sympy.pi * p * T5 * sqrtF * (r**2 + 6 * u**2), evaluate=True)
-        .nsimplify()
-        .collect([r, u])
-        .expand()
-        .powsimp()
-    )
-    metric = [[g00, 0], [0, g11]]
-    Phi_min = (
-        (
-            sympy.Rational(5, 72)
-            * (
-                81 * (9 * rho**2 - 2) * rho**2
-                + 162 * sympy.ln(9 * (rho**2 + 1))
-                - 9
-                - 160 * sympy.ln(10)
-            )
-        )
-        .nsimplify()
-        .collect([u])
-        .expand()
-        .powsimp()
-    )
-    a0, a1, b1 = sympy.symbols("a0 a1 b1")
-    Phi_h = (
-        (
-            a0 * (2 / rho**2 - 2 * sympy.ln(1 / rho**2 + 1))
-            + 2 * a1 * (6 + 1 / rho**2 - 2 * (2 + 3 * rho**2) * sympy.ln(1 + 1 / rho**2)) * sympy.cos(th)
-            + (b1 / 2) * (2 + 3 * rho**2) * sympy.cos(th)
-        )
-        .nsimplify()
-        .collect([u, r])
-        .expand()
-        .powsimp()
-    )
-    V0 = sympy.symbols("V0")
-    potential = (
-        V0
-        + (4 * sympy.pi * p * T5 / H) * (sympy.sqrt(F) - (ls**2) * sympy.pi * q * gs)
-        + gamma * (Phi_min + Phi_h)
-    )
-    potential = potential.nsimplify().collect([ls, gs]).expand().powsimp()
-    model = inflatox.InflationModelBuilder.new(
-        [r, th],
-        metric,
-        potential,
-        model_name="d5",
-        assertions=False,
-        silent=True,
-        simplify=False,
-    ).build([[1, 0]])
-    return inflatox.Compiler(model, cleanup=False, silent=True).compile()
+    model, _ = d5()
+    return inflatox.Compiler(model, silent=True, cse=True).compile()
 
 
 def _d5_args(artifact):
-    by_name = {
-        "V0": -1.17e-8,
-        "N": 1000.0,
-        "g_s": 0.01,
-        "l_s": 501.961,
-        "u": 50 * 501.961,
-        "q": 1.0,
-        "p": 5.0,
-        "a0": 0.001,
-        "a1": 0.0005,
-        "b1": 0.001,
-    }
-    args = np.zeros(artifact.n_parameters)
-    for name, slot in artifact.symbol_dictionary.items():
-        if slot.startswith("args["):
-            args[int(slot[5:-1])] = by_name[name]
-    return args
+    from inflatox_tpu.models import _args_by_symbol
+
+    return _args_by_symbol(
+        artifact.model,
+        {
+            "V0": -1.17e-8, "N": 1000.0, "g_s": 0.01, "l_s": 501.961,
+            "u": 50 * 501.961, "q": 1.0, "p": 5.0,
+            "a0": 0.001, "a1": 0.0005, "b1": 0.001,
+        },
+    )
 
 
 def test_d5(d5_artifact):

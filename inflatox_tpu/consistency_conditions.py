@@ -49,17 +49,26 @@ class InflationCondition:
     Reference parity: ``InflationCondition`` (consistency_conditions.py:31-196)
     + the pymethods it calls (lib.rs:309-463)."""
 
-    def __init__(self, compiled_artifact: CompiledModel, validate_basis: bool = True):
+    def __init__(
+        self,
+        compiled_artifact: CompiledModel,
+        validate_basis: bool = True,
+        validation_seed: int | None = None,
+    ):
         """Args mirror the reference (consistency_conditions.py:38-50):
         when ``validate_basis`` is true the vielbein is checked for
         orthonormality at 100 random field-space points (x ∈ [-1,1)^d,
         params ∈ [-10,10)^k, tolerance 1e-3 — lib.rs:142-203); NaN results
-        produce warnings, out-of-tolerance results raise."""
+        produce warnings, out-of-tolerance results raise.
+
+        ``validation_seed``: fix the random points (the reference samples
+        unseeded, which makes model loading flaky when the sampling box
+        touches a metric singularity — pass a seed for reproducibility)."""
         self.artifact = compiled_artifact
         self.dtype = jnp.float64
         self._grid_fn_cache: dict = {}
         if validate_basis:
-            self._validate_basis_at_random()
+            self._validate_basis_at_random(seed=validation_seed)
 
     # ------------------------------------------------------------------ #
     # basis validation                                                   #
@@ -128,9 +137,11 @@ class InflationCondition:
                 f"p={list(np.asarray(p))}"
             )
 
-    def _validate_basis_at_random(self, num_points: int = 100) -> None:
+    def _validate_basis_at_random(
+        self, num_points: int = 100, seed: int | None = None
+    ) -> None:
         m = self.artifact
-        rng = np.random.default_rng()
+        rng = np.random.default_rng(seed)
         # distributions match lib.rs:144-161: params U[-10,10), x U[-1,1)
         p = 10.0 * (-1.0 + 2.0 * rng.random(m.n_parameters))
         xs = tuple(
@@ -395,8 +406,17 @@ class GeneralisedAL(InflationCondition):
     Reference parity: ``GeneralisedAL`` (consistency_conditions.py:199-715).
     """
 
-    def __init__(self, compiled_artifact: CompiledModel, validate_basis: bool = True):
-        super().__init__(compiled_artifact, validate_basis=validate_basis)
+    def __init__(
+        self,
+        compiled_artifact: CompiledModel,
+        validate_basis: bool = True,
+        validation_seed: int | None = None,
+    ):
+        super().__init__(
+            compiled_artifact,
+            validate_basis=validate_basis,
+            validation_seed=validation_seed,
+        )
 
     # ---------------- full-grid scans ---------------------------------- #
 

@@ -24,7 +24,7 @@ def test_doc_example(doc_model_artifact):
     assert out.n_fields == 2
     assert out.n_parameters == 1
 
-    al = GeneralisedAL(out)
+    al = GeneralisedAL(out, validation_seed=7)  # deterministic validation
     params = np.array([1.0])
     x = np.array([2.0, -2.0])
     v_val = al.calc_V(x, params)

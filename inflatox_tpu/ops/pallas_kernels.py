@@ -318,7 +318,9 @@ def complete_analysis_pallas_df64(
     args,
     extent,
     shape,
-    tile=(128, 256),  # best of the measured VMEM/occupancy sweep on v5e
+    tile=(64, 256),  # VMEM-safe across model complexities (measured: larger
+    # tiles spill on metric-heavy models — 100x slowdowns — with no gain on
+    # simple ones)
     interpret: bool | None = None,
 ):
     """High-precision fused scan: double-f32 arithmetic internally
@@ -342,7 +344,7 @@ def scan_pallas_df64(
     args,
     extent,
     shape,
-    tile=(128, 256),
+    tile=(64, 256),
     interpret: bool | None = None,
 ):
     """Any grid scan kind on the double-f32 engine (f64 outputs).  Kinds:

@@ -147,7 +147,7 @@ def _sharded_scan_pallas(
             )
     scal = jnp.asarray(_np.stack(rows_of))
 
-    tile = (min(128, local_rows), min(256, n1))
+    tile = (min(64, local_rows), min(256, n1))
 
     def shard_fn(scal_block):
         local = scal_block[0]

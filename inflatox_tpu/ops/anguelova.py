@@ -116,25 +116,36 @@ def flag_quantum_diff_op(grad_components, accuracy):
 def complete_analysis_op_df(v, v00, v10, v11, grad_sq):
     """Double-f32 variant of :func:`complete_analysis_op` — identical
     formulas over :class:`~inflatox_tpu.lowering.df32.DF` values (used by the
-    high-precision Pallas kernel).  Returns six DF values."""
+    high-precision Pallas kernel).  Returns six DF values.
+
+    Division-lean form: every ratio with a shared denominator goes through
+    one df reciprocal (1/v, 1/v00, 1/v10, 1/(v00²+v10²)) and multiplies —
+    df divides are the kernel's costliest op and Mosaic cannot CSE a/b with
+    c/b.  Each recip-multiply differs from the direct quotient only at
+    ~2^-46, far inside the ≤1e-10 parity budget."""
     from ..lowering import df32 as dfm
 
-    lhs = v11 / v
-    rhs = 3.0 + (v00 / v10) ** 2 * 3.0 + (v00 / v) * (v10 / v00) ** 2
+    one = dfm.DF.const(1.0)
+    rv = one / v
+    a = v00 / v10  # v00/v10 (also reused squared)
+    b = one / a  # v10/v00 — reciprocal of a: one divide, not two
+    lhs = v11 * rv
+    rhs = a.sq() * 3.0 + (v00 * rv) * b.sq() + 3.0
     num = dfm.abs_(lhs - rhs)
     den = dfm.abs_(lhs) + dfm.abs_(rhs)
-    consistency = dfm.minimum(num / den, dfm.DF.const(1.0))
+    consistency = dfm.minimum(num / den, one)
 
-    epsilon_v = grad_sq / v**2  # no ½ — anguelova.rs:119
+    epsilon_v = grad_sq * rv.sq()  # no ½ — anguelova.rs:119
 
-    vtt = (v00 * v10**2 + v11 * v00**2 - v00 * v10**2 * 2.0) / (
-        v00**2 + v10**2
-    )
-    vt2 = epsilon_v / ((v00 / v10) ** 2 + 1.0)
-    epsilon_h = (epsilon_v - vt2) * 3.0 / (epsilon_v + dfm.abs_(vtt) / v - vt2)
-    tan_delta = dfm.abs_(v10 / v00)
+    v00s = v00.sq()
+    v10s = v10.sq()
+    rden = one / (v00s + v10s)
+    vtt = (v00 * v10s + v11 * v00s - v00 * v10s * 2.0) * rden
+    vt2 = epsilon_v * (v10s * rden)
+    epsilon_h = (epsilon_v - vt2) * 3.0 / (epsilon_v + dfm.abs_(vtt) * rv - vt2)
+    tan_delta = dfm.abs_(b)
     delta = dfm.atan(tan_delta)
-    omega = dfm.sqrt((vtt / v) * (-epsilon_h + 3.0))
+    omega = dfm.sqrt((vtt * rv) * (-epsilon_h + 3.0))
     eta_parallel = omega * tan_delta - 3.0
     return consistency, epsilon_v, epsilon_h, eta_parallel, delta, omega
 

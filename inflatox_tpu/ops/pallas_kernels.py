@@ -318,9 +318,9 @@ def complete_analysis_pallas_df64(
     args,
     extent,
     shape,
-    tile=(64, 256),  # VMEM-safe across model complexities (measured: larger
-    # tiles spill on metric-heavy models — 100x slowdowns — with no gain on
-    # simple ones)
+    tile=(32, 256),  # fastest measured VMEM-safe tile (round-2 amortized
+    # sweep: (32,256) 8.3→6.2 ms at 4096² vs 9.9 ms for (64,256); larger
+    # first tiles spill VMEM on metric-heavy models — 100x slowdowns)
     interpret: bool | None = None,
 ):
     """High-precision fused scan: double-f32 arithmetic internally
@@ -344,7 +344,7 @@ def scan_pallas_df64(
     args,
     extent,
     shape,
-    tile=(64, 256),
+    tile=(32, 256),
     interpret: bool | None = None,
 ):
     """Any grid scan kind on the double-f32 engine (f64 outputs).  Kinds:

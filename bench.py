@@ -76,7 +76,8 @@ def amortized(run, init_args, K1=2, K2=22, reps=3):
     return (t2 - t1) / (K2 - K1)
 
 
-def make_pallas_chain(artifact, kind, args, extent, shape, df64=True, tile=None):
+def make_pallas_chain(artifact, kind, args, extent, shape, df64=True,
+                      tile=None, edf=False):
     """K-loop runner around the Pallas scan launchers (opaque to XLA —
     a one-element probe suffices)."""
     import jax
@@ -85,7 +86,14 @@ def make_pallas_chain(artifact, kind, args, extent, shape, df64=True, tile=None)
 
     from inflatox_tpu.ops import pallas_kernels as pk
 
-    if df64:
+    if edf:
+        scalars = pk._edf_scalars(args, extent, shape)
+        tile = tile or (32, 256)
+        launch = lambda s: pk._launch_edf(  # noqa: E731
+            s, artifact, tuple(shape), tuple(tile), False, kind
+        )
+        probe_dtype = jnp.float64
+    elif df64:
         scalars = pk._df_scalars(args, extent, shape)
         tile = tile or (32, 256)
         launch = lambda s: pk._launch_df(  # noqa: E731
@@ -347,22 +355,24 @@ def main():
         })
         dextent = (0.1, 36.0, 0.0, 4 * np.pi)
         dn = 1024
+        # D5 needs the range-extended engine: its |∇V|² intermediates leave
+        # the f32 dynamic range, which kills the df32 engine AND TPU's
+        # emulated f64 (docs/numerics.md §5) — edf32 is the only TPU engine
         run, ia = make_pallas_chain(dart, "complete_analysis", dargs,
-                                    dextent, (dn, dn), df64=True)
+                                    dextent, (dn, dn), edf=True)
         t = amortized(run, ia, K1=2, K2=12)
         pts_rate = dn * dn / t
-        # numerical validity: D5 magnitudes can overflow the df32 Dekker
-        # split (docs/numerics.md §5) — report the finite fraction alongside
-        from inflatox_tpu.ops.pallas_kernels import scan_pallas_df64
+        from inflatox_tpu.ops.pallas_kernels import scan_pallas_edf64
 
-        d_outs = scan_pallas_df64(dart, "complete_analysis", dargs, dextent,
-                                  (256, 256))
-        finite = float(np.isfinite(np.asarray(d_outs[0])).mean())
+        d_outs = scan_pallas_edf64(dart, "complete_analysis", dargs, dextent,
+                                   (256, 256))
+        finite = float(np.isfinite(np.asarray(d_outs[1])).mean())
         emit(
-            "cfg4_d5_df64_pallas_1024",
+            "cfg4_d5_edf64_pallas_1024",
             ms_per_call=round(t * 1e3, 3),
             gpts_per_s=round(pts_rate / 1e9, 3),
-            finite_frac_256=round(finite, 4),
+            eps_v_finite_frac_256=round(finite, 4),
+            engine="pallas_edf64 (range-extended df32)",
         )
     except Exception as e:
         log(f"cfg4 d5 df64 FAILED: {type(e).__name__}: {e}")

@@ -185,6 +185,22 @@ class CompiledModel:
             }
         return self._df32_fns
 
+    def edf_fns(self) -> dict:
+        """Model functions compiled against the range-extended double-f32
+        engine (lowering/edf32.py) — for models whose intermediates leave
+        the f32 dynamic range (D5-class), which no plain TPU float
+        representation survives."""
+        if getattr(self, "_edf_fns", None) is None:
+            from .lowering.edf32 import compile_edf32  # noqa: PLC0415
+
+            self._edf_fns = {
+                "potential": compile_edf32(self.potential),
+                "hesse": compile_edf32(self._hesse),
+                "grad_square": compile_edf32(self.grad_square),
+                "grad": compile_edf32(self._grad),
+            }
+        return self._edf_fns
+
     # ------------------------------------------------------------------ #
     # symbol table (reference compiler.py:252-276)                       #
     # ------------------------------------------------------------------ #

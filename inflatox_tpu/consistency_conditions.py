@@ -420,8 +420,29 @@ class GeneralisedAL(InflationCondition):
 
     # ---------------- full-grid scans ---------------------------------- #
 
+    #: engines the fused Pallas kernels implement
+    _PALLAS_ENGINES = ("pallas", "pallas_df64", "pallas_edf64")
+
+    def _resolve_engine(self, engine, dtype=None):
+        """``engine=None`` → auto-select: on TPU the df32 Pallas kernel (the
+        parity engine — f64-grade accuracy at near-f32 speed; the emulated
+        f64 XLA path is ~4× slower, docs/numerics.md); elsewhere the fused
+        XLA scan (true IEEE f64 on CPU).  An explicit ``dtype`` pins the XLA
+        engine, since only it honors arbitrary dtypes."""
+        if engine is not None:
+            return engine
+        if dtype is not None:
+            return "xla"
+        if jax.default_backend() == "tpu" and self.artifact.n_fields == 2:
+            return "pallas_df64"
+        return "xla"
+
     def _pallas_scan(self, kind, args, extent, shape, progress, dtype, engine):
-        from .ops.pallas_kernels import scan_pallas, scan_pallas_df64  # noqa: PLC0415
+        from .ops.pallas_kernels import (  # noqa: PLC0415
+            scan_pallas,
+            scan_pallas_df64,
+            scan_pallas_edf64,
+        )
 
         self._validate_2field()
         args = self._validate_args(args)
@@ -431,6 +452,8 @@ class GeneralisedAL(InflationCondition):
                     self.artifact, kind, args, extent, shape,
                     dtype=dtype or jnp.float32,
                 )
+            elif engine == "pallas_edf64":
+                out = scan_pallas_edf64(self.artifact, kind, args, extent, shape)
             else:
                 out = scan_pallas_df64(self.artifact, kind, args, extent, shape)
             out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
@@ -448,7 +471,7 @@ class GeneralisedAL(InflationCondition):
         progress: bool = True,
         threads: int | None = None,
         dtype=None,
-        engine: str = "xla",
+        engine: str | None = None,
     ):
         """Complete AL analysis over a field-space grid: returns six
         (N_x0, N_x1) arrays — consistency, ε_V, ε_H, η_∥, δ, ω — exactly the
@@ -456,44 +479,36 @@ class GeneralisedAL(InflationCondition):
         notes).  ``threads`` is accepted for compatibility and ignored.
 
         ``engine``:
-          * "xla" (default) — fused XLA scan, any dtype (fp64 on CPU is true
-            IEEE; on TPU it is the slow emulated path);
+          * None (default) — auto-select: "pallas_df64" on TPU (2-field
+            models), "xla" elsewhere or when ``dtype`` is given;
+          * "xla" — fused XLA scan, any dtype (fp64 on CPU is true IEEE; on
+            TPU it is the ~4×-slower emulated path);
           * "pallas" — hand-tiled TPU kernel, fp32 (fast path);
           * "pallas_df64" — hand-tiled TPU kernel computing in double-f32
             (~1e-13, f64 outputs): parity-grade accuracy at near-fp32 speed —
-            the recommended high-precision engine on TPU.
+            the recommended high-precision engine on TPU;
+          * "pallas_edf64" — range-extended double-f32 (per-element exponent,
+            lowering/edf32.py): for models whose expression intermediates
+            leave the f32 dynamic range (D5-class) — the only TPU engine
+            that can run them (even XLA's emulated f64 has f32 range).
         """
         del threads
-        if engine in ("pallas", "pallas_df64"):
-            from .ops.pallas_kernels import (  # noqa: PLC0415
-                complete_analysis_pallas,
-                complete_analysis_pallas_df64,
+        engine = self._resolve_engine(engine, dtype)
+        if engine in self._PALLAS_ENGINES:
+            out = self._pallas_scan(
+                "complete_analysis",
+                args,
+                (x0_start, x0_stop, x1_start, x1_stop),
+                (N_x0, N_x1),
+                progress,
+                dtype,
+                engine,
             )
-
-            self._validate_2field()
-            args = self._validate_args(args)
-            with Progress(_SCAN_MESSAGES["complete_analysis"], enabled=progress):
-                if engine == "pallas":
-                    out = complete_analysis_pallas(
-                        self.artifact,
-                        args,
-                        (x0_start, x0_stop, x1_start, x1_stop),
-                        (N_x0, N_x1),
-                        dtype=dtype or jnp.float32,
-                    )
-                else:
-                    out = complete_analysis_pallas_df64(
-                        self.artifact,
-                        args,
-                        (x0_start, x0_stop, x1_start, x1_stop),
-                        (N_x0, N_x1),
-                    )
-                out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
             return tuple(np.asarray(o) for o in out)
         if engine != "xla":
             raise ValueError(
-                f'unknown engine {engine!r}; expected "xla", "pallas" or '
-                '"pallas_df64"'
+                f'unknown engine {engine!r}; expected None (auto), "xla", '
+                '"pallas", "pallas_df64" or "pallas_edf64"'
             )
         out = self._run_grid_scan(
             "complete_analysis",
@@ -517,12 +532,13 @@ class GeneralisedAL(InflationCondition):
         progress: bool = True,
         threads: int | None = None,
         dtype=None,
-        engine: str = "xla",
+        engine: str | None = None,
     ) -> np.ndarray:
         """Generalised consistency condition ||lhs|−|rhs||/(|lhs|+|rhs|) with
         lhs = V_ww/V − 3 (consistency_conditions.py:310-365)."""
         del threads
-        if engine in ("pallas", "pallas_df64"):
+        engine = self._resolve_engine(engine, dtype)
+        if engine in self._PALLAS_ENGINES:
             out = self._pallas_scan(
                 "consistency",
                 args,
@@ -535,8 +551,8 @@ class GeneralisedAL(InflationCondition):
             return np.asarray(out[0])
         if engine != "xla":
             raise ValueError(
-                f'unknown engine {engine!r}; expected "xla", "pallas" or '
-                '"pallas_df64"'
+                f'unknown engine {engine!r}; expected None (auto), "xla", '
+                '"pallas", "pallas_df64" or "pallas_edf64"'
             )
         return np.asarray(
             self._run_grid_scan(
@@ -561,11 +577,12 @@ class GeneralisedAL(InflationCondition):
         progress: bool = True,
         threads: int | None = None,
         dtype=None,
-        engine: str = "xla",
+        engine: str | None = None,
     ) -> np.ndarray:
         """ε_V = ½(∇V/V)² (consistency_conditions.py:367-418)."""
         del threads
-        if engine in ("pallas", "pallas_df64"):
+        engine = self._resolve_engine(engine, dtype)
+        if engine in self._PALLAS_ENGINES:
             out = self._pallas_scan(
                 "epsilon_v",
                 args,
@@ -578,8 +595,8 @@ class GeneralisedAL(InflationCondition):
             return np.asarray(out[0])
         if engine != "xla":
             raise ValueError(
-                f'unknown engine {engine!r}; expected "xla", "pallas" or '
-                '"pallas_df64"'
+                f'unknown engine {engine!r}; expected None (auto), "xla", '
+                '"pallas", "pallas_df64" or "pallas_edf64"'
             )
         return np.asarray(
             self._run_grid_scan(
@@ -604,12 +621,13 @@ class GeneralisedAL(InflationCondition):
         progress: bool = True,
         threads: int | None = None,
         dtype=None,
-        engine: str = "xla",
+        engine: str | None = None,
     ) -> np.ndarray:
         """Original AL rapid-turn condition
         (consistency_conditions.py:420-475)."""
         del threads
-        if engine in ("pallas", "pallas_df64"):
+        engine = self._resolve_engine(engine, dtype)
+        if engine in self._PALLAS_ENGINES:
             out = self._pallas_scan(
                 "consistency_rapidturn",
                 args,
@@ -622,8 +640,8 @@ class GeneralisedAL(InflationCondition):
             return np.asarray(out[0])
         if engine != "xla":
             raise ValueError(
-                f'unknown engine {engine!r}; expected "xla", "pallas" or '
-                '"pallas_df64"'
+                f'unknown engine {engine!r}; expected None (auto), "xla", '
+                '"pallas", "pallas_df64" or "pallas_edf64"'
             )
         return np.asarray(
             self._run_grid_scan(

@@ -204,6 +204,11 @@ class DF:
         return self._cmp_val() >= DF.of(other)._cmp_val()
 
 
+#: Generic-numerics alias (shared with edf32.NUM): condition-math ops take a
+#: numerics module and use ``nm.NUM.const(...)``.
+NUM = DF
+
+
 def from_float(value) -> DF:
     return DF.of(value)
 
@@ -436,6 +441,13 @@ def atan(x) -> DF:
     sign = jnp.sign(x.hi + x.lo)
     ax = abs_(x)
     big = ax.hi > 1.0
+    # cap before the reciprocal: 1/inf in df arithmetic yields inf·0 = NaN,
+    # and the Dekker split overflows above ~8e34 — cap at 1e30 (atan(1e30)
+    # is π/2 to 30 digits, so the cap is invisible)
+    ax = DF(
+        jnp.minimum(ax.hi, _c(1.0e30)),
+        jnp.where(ax.hi > _c(1.0e30), _c(0.0), ax.lo),
+    )
     t = where(big, DF.const(1.0) / maximum(ax, DF.const(1.0)), minimum(ax, DF.const(1.0)))
     k = jnp.round(t.hi * _c(16.0))  # 0..16, exact small integers
     c_hi = k * _c(0.0625)  # exact: k/16 is a 5-bit value

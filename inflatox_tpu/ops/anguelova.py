@@ -113,19 +113,24 @@ def flag_quantum_diff_op(grad_components, accuracy):
     return mask
 
 
-def complete_analysis_op_df(v, v00, v10, v11, grad_sq):
+def complete_analysis_op_df(v, v00, v10, v11, grad_sq, nm=None):
     """Double-f32 variant of :func:`complete_analysis_op` — identical
     formulas over :class:`~inflatox_tpu.lowering.df32.DF` values (used by the
     high-precision Pallas kernel).  Returns six DF values.
+
+    ``nm`` selects the numerics module: :mod:`~inflatox_tpu.lowering.df32`
+    (default) or :mod:`~inflatox_tpu.lowering.edf32` (range-extended) — both
+    expose the same NUM/abs_/minimum/atan/sqrt surface.
 
     Division-lean form: every ratio with a shared denominator goes through
     one df reciprocal (1/v, 1/v00, 1/v10, 1/(v00²+v10²)) and multiplies —
     df divides are the kernel's costliest op and Mosaic cannot CSE a/b with
     c/b.  Each recip-multiply differs from the direct quotient only at
     ~2^-46, far inside the ≤1e-10 parity budget."""
-    from ..lowering import df32 as dfm
+    from ..lowering import df32
 
-    one = dfm.DF.const(1.0)
+    dfm = nm or df32
+    one = dfm.NUM.const(1.0)
     rv = one / v
     a = v00 / v10  # v00/v10 (also reused squared)
     b = one / a  # v10/v00 — reciprocal of a: one divide, not two
@@ -150,26 +155,31 @@ def complete_analysis_op_df(v, v00, v10, v11, grad_sq):
     return consistency, epsilon_v, epsilon_h, eta_parallel, delta, omega
 
 
-def consistency_only_op_df(v, v00, v10, v11):
-    """df32 variant of :func:`consistency_only_op`."""
-    from ..lowering import df32 as dfm
+def consistency_only_op_df(v, v00, v10, v11, nm=None):
+    """df32 variant of :func:`consistency_only_op` (``nm`` as in
+    :func:`complete_analysis_op_df`)."""
+    from ..lowering import df32
 
+    dfm = nm or df32
     lhs = v11 / v - 3.0
     rhs = (v00 / v10) ** 2 * 3.0 + (v00 / v) * (v10 / v00) ** 2
     num = dfm.abs_(dfm.abs_(lhs) - dfm.abs_(rhs))
-    return dfm.minimum(num / (dfm.abs_(lhs) + dfm.abs_(rhs)), dfm.DF.const(1.0))
+    return dfm.minimum(num / (dfm.abs_(lhs) + dfm.abs_(rhs)), dfm.NUM.const(1.0))
 
 
-def consistency_rapidturn_only_op_df(v, v00, v10, v11):
-    """df32 variant of :func:`consistency_rapidturn_only_op`."""
-    from ..lowering import df32 as dfm
+def consistency_rapidturn_only_op_df(v, v00, v10, v11, nm=None):
+    """df32 variant of :func:`consistency_rapidturn_only_op` (``nm`` as in
+    :func:`complete_analysis_op_df`)."""
+    from ..lowering import df32
 
+    dfm = nm or df32
     lhs = v11 / v
     rhs = (v10 / v00) ** 2 * 3.0
     num = dfm.abs_(dfm.abs_(lhs) - dfm.abs_(rhs))
-    return dfm.minimum(num / (dfm.abs_(lhs) + dfm.abs_(rhs)), dfm.DF.const(1.0))
+    return dfm.minimum(num / (dfm.abs_(lhs) + dfm.abs_(rhs)), dfm.NUM.const(1.0))
 
 
-def epsilon_v_only_op_df(v, grad_sq):
+def epsilon_v_only_op_df(v, grad_sq, nm=None):
     """df32 variant of :func:`epsilon_v_only_op` (the ½ IS present)."""
+    del nm  # pure operator arithmetic — works for DF and EDF alike
     return grad_sq * 0.5 / v**2

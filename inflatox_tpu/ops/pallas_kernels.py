@@ -12,13 +12,17 @@ computes all six analysis quantities tile-by-tile:
 * all six outputs are written once per tile: the scan is a pure
   write-bandwidth workload, the theoretical floor for this computation.
 
-Precision: Mosaic/TPU has no f64.  Two kernel families exist:
+Precision: Mosaic/TPU has no f64.  Three kernel families exist:
 
-* the **fp32 fast path** (`scan_pallas`, ``dtype=jnp.float32``), and
+* the **fp32 fast path** (`scan_pallas`, ``dtype=jnp.float32``),
 * the **double-f32 parity path** (`scan_pallas_df64`): compensated
   float-float arithmetic (lowering/df32.py) with f64 outputs — ~1e-13
-  relative, ~10× the fp32 kernel cost, ~200× faster than XLA's emulated
-  f64 (BASELINE.md has the measured matrix).
+  relative, ~5× the fp32 kernel cost, ~4× faster than XLA's emulated f64
+  (BENCH_MATRIX.json has the measured matrix), and
+* the **range-extended path** (`scan_pallas_edf64`): df32 mantissa + a
+  per-element int32 exponent (lowering/edf32.py) — the only TPU engine for
+  models whose intermediates leave the f32 dynamic range (even XLA's
+  emulated f64 has f32 range); ~2.5× the df32 kernel cost.
 
 On non-TPU backends the fp32 kernels run in interpreter mode (tests); the
 df32 path falls back to eager evaluation instead — the interpreter evaluates
@@ -47,6 +51,7 @@ __all__ = [
     "complete_analysis_pallas_df64",
     "scan_pallas",
     "scan_pallas_df64",
+    "scan_pallas_edf64",
 ]
 
 
@@ -264,6 +269,210 @@ def _launch_df(scalars, model, shape, tile, interpret, kind):
         lo = outs[2 * k + 1][: shape[0], : shape[1]]
         combined.append(hi.astype(jnp.float64) + lo.astype(jnp.float64))
     return tuple(combined)
+
+
+def _core_edf(kind):
+    """(n_outputs, fn(edf_fns, xs, args) -> tuple of EDF) for the
+    range-extended engine — same condition math as :func:`_core_df` with the
+    edf32 numerics module."""
+    from ..lowering import edf32 as enm  # noqa: PLC0415
+
+    from .anguelova import (  # noqa: PLC0415
+        complete_analysis_op_df,
+        consistency_only_op_df,
+        consistency_rapidturn_only_op_df,
+        epsilon_v_only_op_df,
+    )
+
+    if kind == "complete_analysis":
+
+        def run(fns, xs, args):
+            v = fns["potential"](xs, args)
+            v00, _, v10, v11 = fns["hesse"](xs, args)
+            gs = fns["grad_square"](xs, args)
+            return complete_analysis_op_df(v, v00, v10, v11, gs, nm=enm)
+
+        return 6, run
+    if kind == "consistency":
+
+        def run(fns, xs, args):
+            v = fns["potential"](xs, args)
+            v00, _, v10, v11 = fns["hesse"](xs, args)
+            return (consistency_only_op_df(v, v00, v10, v11, nm=enm),)
+
+        return 1, run
+    if kind == "consistency_rapidturn":
+
+        def run(fns, xs, args):
+            v = fns["potential"](xs, args)
+            v00, _, v10, v11 = fns["hesse"](xs, args)
+            return (consistency_rapidturn_only_op_df(v, v00, v10, v11, nm=enm),)
+
+        return 1, run
+    if kind == "epsilon_v":
+
+        def run(fns, xs, args):
+            v = fns["potential"](xs, args)
+            gs = fns["grad_square"](xs, args)
+            return (epsilon_v_only_op_df(v, gs, nm=enm),)
+
+        return 1, run
+    raise ValueError(f"unknown scan kind {kind!r}")
+
+
+def _kernel_edf(scal_ref, *out_refs, model=None, tile=None, n_params=None,
+                kind=None):
+    """Range-extended kernel body: scalars ride in as (hi, lo, e) triples;
+    the model evaluates in EDF; final outputs are materialized to df32
+    pairs (the analysis quantities are O(1) physics — in f32 range even
+    when the model's internals are not) and recombined to f64 outside."""
+    from ..lowering.df32 import DF  # noqa: PLC0415
+    from ..lowering.edf32 import EDF  # noqa: PLC0415
+
+    tm, tn = tile
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def scal_edf(t):
+        return EDF(
+            scal_ref[3 * t],
+            scal_ref[3 * t + 1],
+            scal_ref[3 * t + 2].astype(jnp.int32),
+            _raw=True,
+        )
+
+    args = tuple(scal_edf(t) for t in range(n_params))
+    x0a = scal_edf(n_params + 0)
+    dx0 = scal_edf(n_params + 1)
+    x1a = scal_edf(n_params + 2)
+    dx1 = scal_edf(n_params + 3)
+
+    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(jnp.float32)
+    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(jnp.float32)
+    gi = EDF.from_df(DF(i.astype(jnp.float32) * float(tm) + rows))
+    gj = EDF.from_df(DF(j.astype(jnp.float32) * float(tn) + cols))
+    x0 = x0a + gi * dx0
+    x1 = x1a + gj * dx1
+
+    _, core = _core_edf(kind)
+    outs = core(model.edf_fns(), (x0, x1), args)
+    for k, val in enumerate(outs):
+        d = val.to_df()
+        out_refs[2 * k][:, :] = d.hi
+        out_refs[2 * k + 1][:, :] = d.lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "shape", "tile", "interpret", "kind")
+)
+def _launch_edf(scalars, model, shape, tile, interpret, kind):
+    tm, tn = tile
+    n_out, _ = _core_edf(kind)
+    n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
+    grid = (n0p // tm, n1p // tn)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n0p, n1p), jnp.float32) for _ in range(2 * n_out)
+    )
+    kernel = functools.partial(
+        _kernel_edf, model=model, tile=(tm, tn), n_params=model.n_parameters,
+        kind=kind,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[],
+        out_specs=tuple(
+            pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j))
+            for _ in range(2 * n_out)
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars)
+    combined = []
+    for k in range(n_out):
+        hi = outs[2 * k][: shape[0], : shape[1]]
+        lo = outs[2 * k + 1][: shape[0], : shape[1]]
+        combined.append(hi.astype(jnp.float64) + lo.astype(jnp.float64))
+    return tuple(combined)
+
+
+def _edf_eager(scalars, model, shape, kind="complete_analysis"):
+    """Eager (op-by-op) EDF evaluation: the non-TPU fallback, for the same
+    EFT-preservation reason as :func:`_df64_eager`."""
+    from ..lowering.df32 import DF  # noqa: PLC0415
+    from ..lowering.edf32 import EDF  # noqa: PLC0415
+
+    n_params = model.n_parameters
+
+    def scal_edf(t):
+        return EDF(
+            scalars[3 * t],
+            scalars[3 * t + 1],
+            scalars[3 * t + 2].astype(jnp.int32),
+            _raw=True,
+        )
+
+    args = tuple(scal_edf(t) for t in range(n_params))
+    x0a, dx0 = scal_edf(n_params + 0), scal_edf(n_params + 1)
+    x1a, dx1 = scal_edf(n_params + 2), scal_edf(n_params + 3)
+    rows = lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    cols = lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    x0 = x0a + EDF.from_df(DF(rows)) * dx0
+    x1 = x1a + EDF.from_df(DF(cols)) * dx1
+    _, core = _core_edf(kind)
+    outs = core(model.edf_fns(), (x0, x1), args)
+    return tuple(o.to_df().to_f64() for o in outs)
+
+
+def _edf_scalars(args, extent, shape):
+    """(hi, lo, e) f32 triples for parameters + grid geometry — exact for
+    any f64 magnitude (frexp first; an f32 cast of 1e300 would overflow)."""
+    import math as _math
+
+    x0a, x0b, x1a, x1b = (float(v) for v in extent)
+    n0, n1 = shape
+    vals = [float(v) for v in args] + [
+        x0a,
+        (x0b - x0a) / n0,
+        x1a,
+        (x1b - x1a) / n1,
+    ]
+    import numpy as _np
+
+    triples = []
+    for v in vals:
+        m, ee = _math.frexp(v)
+        hi = float(_np.float32(m))
+        triples.extend([hi, m - hi, float(ee)])
+    return jnp.asarray(triples, dtype=jnp.float32)
+
+
+def scan_pallas_edf64(
+    artifact,
+    kind,
+    args,
+    extent,
+    shape,
+    tile=(32, 256),
+    interpret: bool | None = None,
+):
+    """Any grid scan kind on the range-extended double-f32 engine (f64
+    outputs).  Use for models whose expression intermediates leave the f32
+    dynamic range (D5-class): both the df32 engine and TPU's emulated f64
+    NaN out there; this engine carries the magnitude in a per-element
+    exponent (lowering/edf32.py).  Kinds as in :func:`scan_pallas_df64`."""
+    scalars = _edf_scalars(args, extent, shape)
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None and not on_tpu:
+        return _edf_eager(scalars, artifact, tuple(shape), kind)
+    return _launch_edf(
+        scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False),
+        kind,
+    )
 
 
 def _df64_eager(scalars, model, shape, kind="complete_analysis"):

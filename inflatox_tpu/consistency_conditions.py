@@ -92,43 +92,86 @@ class InflationCondition:
 
         return jax.jit(compute)(xs, p)
 
+    #: per-component NaN warnings are capped (then summarized) so
+    #: reference-scale domains (8000 samples/axis) stay feasible
+    _MAX_NAN_WARNINGS = 8
+
     def _check_basis_points(self, xs_np, p, accuracy: float) -> None:
-        """Shared warn/raise logic of lib.rs:142-203 and lib.rs:205-307."""
+        """Shared warn/raise logic of lib.rs:142-203 and lib.rs:205-307.
+
+        Vectorized triage: the inner products arrive as full arrays; the
+        NaN/violation masks are numpy reductions and only the offending
+        points are materialized.  Raise order matches the reference's scan
+        order (point-major, then (i, j) lexicographic): the first violation
+        encountered raises."""
         d = self.artifact.n_fields
         xs = tuple(jnp.asarray(c.ravel(), self.dtype) for c in xs_np)
         ips = self._basis_inner_products(xs, jnp.asarray(p, self.dtype))
-        ips = {k: np.asarray(v) for k, v in ips.items()}
-        n_points = xs[0].shape[0]
+        n_points = int(xs[0].shape[0])
+        coords = [np.ravel(np.asarray(c)) for c in xs_np]
 
-        failed = 0
-        for point_idx in range(n_points):
-            point = [float(c.ravel()[point_idx]) for c in xs_np]
-            encountered_nan = False
-            for i in range(d):
-                for j in range(i, d):
-                    ip = float(np.ravel(ips[(i, j)])[point_idx])
+        def point_at(idx):
+            return [float(c[idx]) for c in coords]
+
+        nan_any = np.zeros(n_points, dtype=bool)
+        first_violation = None  # (point_idx, i, j, value)
+        warnings_emitted = 0
+        suppressed = 0
+        for i in range(d):
+            for j in range(i, d):
+                arr = np.ravel(np.asarray(ips[(i, j)]))
+                normal = np.isfinite(arr) & (np.abs(arr) >= _DBL_MIN)
+                if i == j:
+                    nan_mask = ~normal
+                    viol_mask = normal & (np.abs(arr - 1.0) >= accuracy)
+                else:
+                    nan_mask = ~normal & (arr != 0.0)
+                    viol_mask = ~nan_mask & (np.abs(arr) >= accuracy)
+                for idx in np.flatnonzero(nan_mask):
+                    # NaNs at an earlier point than the first violation
+                    # precede it in scan order, so they always warn (the
+                    # reference warns as it scans and raises when reached)
+                    if first_violation is not None and (
+                        idx > first_violation[0]
+                        or (idx == first_violation[0]
+                            and (i, j) > first_violation[1:3])
+                    ):
+                        continue
+                    if warnings_emitted >= self._MAX_NAN_WARNINGS:
+                        suppressed += 1
+                        continue
+                    warnings_emitted += 1
+                    ip = float(arr[idx])
                     if i == j:
-                        if not _is_normal(ip):
-                            log_warn(
-                                f"Norm of basisvector {i} is {ip} at "
-                                f"field-space point {point}.\n"
-                                "Are we outside the model's domain?"
-                            )
-                            encountered_nan = True
-                        elif abs(ip - 1.0) >= accuracy:
-                            raise BasisNormError(ip, i, point)
+                        log_warn(
+                            f"Norm of basisvector {i} is {ip} at "
+                            f"field-space point {point_at(idx)}.\n"
+                            "Are we outside the model's domain?"
+                        )
                     else:
-                        if not _is_normal(ip) and ip != 0.0:
-                            log_warn(
-                                f"w{i}•w{j} = {ip} at field-space point "
-                                f"{point}.\nAre we outside the model's domain?"
-                            )
-                            encountered_nan = True
-                        elif abs(ip) >= accuracy:
-                            raise BasisOrthogonalityError(ip, (i, j), point)
-            if encountered_nan:
-                failed += 1
+                        log_warn(
+                            f"w{i}•w{j} = {ip} at field-space point "
+                            f"{point_at(idx)}.\nAre we outside the model's "
+                            "domain?"
+                        )
+                nan_any |= nan_mask
+                if viol_mask.any():
+                    idx = int(np.argmax(viol_mask))
+                    cand = (idx, i, j, float(arr[idx]))
+                    if first_violation is None or cand[:3] < first_violation[:3]:
+                        first_violation = cand
 
+        if suppressed:
+            log_warn(
+                f"(+{suppressed} further NaN basis inner products suppressed)"
+            )
+        if first_violation is not None:
+            idx, i, j, ip = first_violation
+            if i == j:
+                raise BasisNormError(ip, i, point_at(idx))
+            raise BasisOrthogonalityError(ip, (i, j), point_at(idx))
+
+        failed = int(nan_any.sum())
         if failed != 0:
             log_warn(
                 f"Inflatox was unable to verify basis orthonormality at "
@@ -268,13 +311,36 @@ class InflationCondition:
         """Projected Hesse matrix on a 2-D grid → shape (d, d, N0, N1).
 
         Signature parity with consistency_conditions.py:119-156 (the
-        reference's signature is 2-field-specific)."""
+        reference's *Python* signature is 2-field-specific; the underlying
+        capability is d-dimensional — use :meth:`calc_H_array_nd` for
+        n-field models, the analog of hesse_bindings.rs:113-193)."""
         self._validate_2field()
-        args = self._validate_args(args)
         N = [8000, 8000] if N is None else [int(n) for n in N]
+        return self.calc_H_array_nd(
+            args, [x0_start, x1_start], [x0_stop, x1_stop], N
+        )
+
+    def calc_H_array_nd(self, args, start, stop, N=None) -> np.ndarray:
+        """Projected Hesse matrix on an n-D grid → shape (d, d, *N).
+
+        The n-field grid evaluation of the reference's ``Hesse::hesse_array``
+        (hesse_bindings.rs:113-193), which its Python surface never exposed
+        beyond 2 fields."""
+        args = self._validate_args(args)
+        d = self.artifact.n_fields
+        N = [8000] * d if N is None else [int(n) for n in N]
+        start_stop = [(float(a), float(b)) for a, b in zip(start, stop)]
+        if len(start_stop) != d or len(N) != d:
+            raise ShapeError(
+                (d,), (len(start_stop),),
+                "expected start/stop/N with one entry per field-space "
+                "coordinate",
+            )
         fn = self._cached_grid_fn("H_array", tuple(N), self.dtype)
-        flat = np.asarray([x0_start, x0_stop, x1_start, x1_stop], dtype=float)
-        return np.asarray(fn(jnp.asarray(args, self.dtype), jnp.asarray(flat, self.dtype)))
+        flat = np.asarray([v for ab in start_stop for v in ab])
+        return np.asarray(
+            fn(jnp.asarray(args, self.dtype), jnp.asarray(flat, self.dtype))
+        )
 
     # ------------------------------------------------------------------ #
     # fused grid scans                                                   #
@@ -744,46 +810,84 @@ class GeneralisedAL(InflationCondition):
         self._grid_fn_cache[key] = fn
         return fn
 
-    def _run_trajectory_scan(self, kind, args, x, progress):
+    def _run_trajectory_scan(self, kind, args, x, progress, engine=None):
+        """``engine`` as in :meth:`complete_analysis` — the compensated
+        Pallas engines run the same point ops 1-D-tiled over the trajectory
+        (anguelova.rs:633-977 ↔ ops/pallas_kernels.scan_pallas_ot); "pallas"
+        (plain fp32) is not offered here: trajectory scans are small enough
+        that the parity engines are always affordable."""
         self._validate_2field()
-        args = self._validate_args(args)
+        args_v = self._validate_args(args)
+        engine = self._resolve_engine(engine)
+        if engine in ("pallas_df64", "pallas_edf64"):
+            from .ops.pallas_kernels import scan_pallas_ot  # noqa: PLC0415
+
+            core_kind = kind[: -len("_ot")]
+            xarr = np.asarray(x, dtype=float)
+            if xarr.ndim != 2 or xarr.shape[1] != self.artifact.n_fields:
+                raise ShapeError(
+                    (-1, self.artifact.n_fields), xarr.shape,
+                    "trajectory must be an (n, n_fields) array of "
+                    "field-space points",
+                )
+            with Progress(_SCAN_MESSAGES[kind], enabled=progress):
+                out = scan_pallas_ot(
+                    self.artifact, core_kind, args_v, xarr, engine=engine
+                )
+                out = jax.tree_util.tree_map(
+                    lambda a: a.block_until_ready(), out
+                )
+            return out if len(out) > 1 else out[0]
+        if engine != "xla":
+            raise ValueError(
+                f'unknown engine {engine!r} for trajectory scans; expected '
+                'None (auto), "xla", "pallas_df64" or "pallas_edf64"'
+            )
         xs = self._trajectory_coords(x)
         fn = self._cached_point_fn(kind)
         with Progress(_SCAN_MESSAGES[kind], enabled=progress):
-            out = fn(jnp.asarray(args, self.dtype), xs)
+            out = fn(jnp.asarray(args_v, self.dtype), xs)
             out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
         return out
 
     def complete_analysis_ot(
-        self, args, x, progress: bool = True, threads: int | None = None
+        self, args, x, progress: bool = True, threads: int | None = None,
+        engine: str | None = None,
     ):
         """Complete analysis on an (n, 2) trajectory → list of six (n, 1)
         arrays (the reference returns ``np.split(out, 6, 1)`` of an (n, 6)
         array — consistency_conditions.py:582-589; shape preserved)."""
         del threads
-        out = self._run_trajectory_scan("complete_analysis_ot", args, x, progress)
+        out = self._run_trajectory_scan(
+            "complete_analysis_ot", args, x, progress, engine
+        )
         return [np.asarray(o)[:, None] for o in out]
 
     def consistency_ot(
-        self, args, x, progress: bool = True, threads: int | None = None
+        self, args, x, progress: bool = True, threads: int | None = None,
+        engine: str | None = None,
     ) -> np.ndarray:
         del threads
         return np.asarray(
-            self._run_trajectory_scan("consistency_ot", args, x, progress)
+            self._run_trajectory_scan("consistency_ot", args, x, progress, engine)
         )
 
     def consistency_rapidturn_ot(
-        self, args, x, progress: bool = True, threads: int | None = None
+        self, args, x, progress: bool = True, threads: int | None = None,
+        engine: str | None = None,
     ) -> np.ndarray:
         del threads
         return np.asarray(
-            self._run_trajectory_scan("consistency_rapidturn_ot", args, x, progress)
+            self._run_trajectory_scan(
+                "consistency_rapidturn_ot", args, x, progress, engine
+            )
         )
 
     def epsilon_v_ot(
-        self, args, x, progress: bool = True, threads: int | None = None
+        self, args, x, progress: bool = True, threads: int | None = None,
+        engine: str | None = None,
     ) -> np.ndarray:
         del threads
         return np.asarray(
-            self._run_trajectory_scan("epsilon_v_ot", args, x, progress)
+            self._run_trajectory_scan("epsilon_v_ot", args, x, progress, engine)
         )

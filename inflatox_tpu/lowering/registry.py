@@ -15,6 +15,15 @@ reference's emission order (compiler.py:474-539 → V, metric/inner_prod, Hesse
 components, basis vectors, |∇V|², eom, eomh, eomhdot).  Only the registration
 side effect is kept; the printed C is discarded.  The actual JAX lowering then
 uses the frozen ordering.
+
+Scope of the byte-compatibility claim: artifacts the reference compiled with
+``cse=False`` (its default).  With ``cse=True`` the reference prints CSE
+definitions *before* the plain expression, so a symbol whose first appearance
+is inside a hoisted subexpression can claim an earlier ``args`` slot than this
+plain-order replay assigns (docs/divergences.md item 5).  The ordering here is
+deterministic and queryable either way — only cross-loading parameter arrays
+*positionally* from a reference cse=True artifact needs care (use the symbol
+dictionary, which both sides provide).
 """
 
 from __future__ import annotations

@@ -34,8 +34,11 @@ _CFLAGS = [
     "-fpic",
     "-shared",
     "-fopenmp",
+    # NB: no value-changing fast-math flags (the reference passes
+    # -fno-signed-zeros, compiler.py:307; we drop it): this backend is the
+    # numerical ORACLE for cancellation-heavy parity checks, so IEEE f64
+    # semantics must be exact.  -fno-math-errno only waives errno stores.
     "-fno-math-errno",
-    "-fno-signed-zeros",
     "-std=c17",
 ]
 

@@ -271,6 +271,219 @@ def _launch_df(scalars, model, shape, tile, interpret, kind):
     return tuple(combined)
 
 
+def _kernel_df_batch(scal_ref, *out_refs, model=None, tile=None, n_params=None,
+                     kind=None):
+    """Batched df32 kernel: leading grid dimension indexes the parameter
+    set — ``scal_ref`` is (S, n_scalars) and each program instance reads its
+    own row.  Used by ``parameter_sweep`` so a whole batch of parameter sets
+    runs in ONE kernel launch (BASELINE config 5)."""
+    from ..lowering.df32 import DF  # noqa: PLC0415
+
+    tm, tn = tile
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    def scal_df(t):
+        return DF(scal_ref[s, 2 * t], scal_ref[s, 2 * t + 1])
+
+    args = tuple(scal_df(t) for t in range(n_params))
+    x0a = scal_df(n_params + 0)
+    dx0 = scal_df(n_params + 1)
+    x1a = scal_df(n_params + 2)
+    dx1 = scal_df(n_params + 3)
+
+    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(jnp.float32)
+    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(jnp.float32)
+    gi = DF(i.astype(jnp.float32) * float(tm) + rows)
+    gj = DF(j.astype(jnp.float32) * float(tn) + cols)
+    x0 = x0a + gi * dx0
+    x1 = x1a + gj * dx1
+
+    _, core = _core_df(kind)
+    outs = core(model.df32_fns(), (x0, x1), args)
+    for k, val in enumerate(outs):
+        out_refs[2 * k][0, :, :] = val.hi
+        out_refs[2 * k + 1][0, :, :] = val.lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "shape", "tile", "interpret", "kind")
+)
+def _launch_df_batch(scalars, model, shape, tile, interpret, kind):
+    """Batched df32 launch: ``scalars`` is (S, n_scalars); returns a tuple of
+    (S, N0, N1) f64 arrays."""
+    S = scalars.shape[0]
+    tm, tn = tile
+    n_out, _ = _core_df(kind)
+    n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
+    grid = (S, n0p // tm, n1p // tn)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((S, n0p, n1p), jnp.float32)
+        for _ in range(2 * n_out)
+    )
+    kernel = functools.partial(
+        _kernel_df_batch, model=model, tile=(tm, tn),
+        n_params=model.n_parameters, kind=kind,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[],
+        out_specs=tuple(
+            pl.BlockSpec((1, tm, tn), lambda s, i, j, *_: (s, i, j))
+            for _ in range(2 * n_out)
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars)
+    combined = []
+    for k in range(n_out):
+        hi = outs[2 * k][:, : shape[0], : shape[1]]
+        lo = outs[2 * k + 1][:, : shape[0], : shape[1]]
+        combined.append(hi.astype(jnp.float64) + lo.astype(jnp.float64))
+    return tuple(combined)
+
+
+def _kernel_f32_batch(scal_ref, *out_refs, model=None, tile=None,
+                      n_params=None, kind=None):
+    """Batched fp32 kernel (see :func:`_kernel_df_batch`)."""
+    tm, tn = tile
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    dtype = out_refs[0].dtype
+    x0a = scal_ref[s, n_params + 0]
+    dx0 = scal_ref[s, n_params + 1]
+    x1a = scal_ref[s, n_params + 2]
+    dx1 = scal_ref[s, n_params + 3]
+    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(dtype)
+    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(dtype)
+    x0 = x0a + (i.astype(dtype) * tm + rows) * dx0
+    x1 = x1a + (j.astype(dtype) * tn + cols) * dx1
+    _, core = _core_f32(kind)
+    outs = core(model, (x0, x1), tuple(scal_ref[s, t] for t in range(n_params)))
+    for ref, val in zip(out_refs, outs):
+        ref[0, :, :] = val.astype(dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "shape", "tile", "interpret", "dtype", "kind"),
+)
+def _launch_f32_batch(scalars, model, shape, tile, interpret, dtype, kind):
+    S = scalars.shape[0]
+    tm, tn = tile
+    n_out, _ = _core_f32(kind)
+    n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
+    grid = (S, n0p // tm, n1p // tn)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((S, n0p, n1p), dtype) for _ in range(n_out)
+    )
+    kernel = functools.partial(
+        _kernel_f32_batch, model=model, tile=(tm, tn),
+        n_params=model.n_parameters, kind=kind,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[],
+        out_specs=tuple(
+            pl.BlockSpec((1, tm, tn), lambda s, i, j, *_: (s, i, j))
+            for _ in range(n_out)
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars)
+    return tuple(o[:, : shape[0], : shape[1]] for o in outs)
+
+
+def _kernel_edf_batch(scal_ref, *out_refs, model=None, tile=None,
+                      n_params=None, kind=None):
+    """Batched range-extended kernel (see :func:`_kernel_df_batch`)."""
+    from ..lowering.df32 import DF  # noqa: PLC0415
+    from ..lowering.edf32 import EDF  # noqa: PLC0415
+
+    tm, tn = tile
+    s = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    def scal_edf(t):
+        return EDF(
+            scal_ref[s, 3 * t],
+            scal_ref[s, 3 * t + 1],
+            scal_ref[s, 3 * t + 2].astype(jnp.int32),
+            _raw=True,
+        )
+
+    args = tuple(scal_edf(t) for t in range(n_params))
+    x0a = scal_edf(n_params + 0)
+    dx0 = scal_edf(n_params + 1)
+    x1a = scal_edf(n_params + 2)
+    dx1 = scal_edf(n_params + 3)
+    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(jnp.float32)
+    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(jnp.float32)
+    gi = EDF.from_df(DF(i.astype(jnp.float32) * float(tm) + rows))
+    gj = EDF.from_df(DF(j.astype(jnp.float32) * float(tn) + cols))
+    x0 = x0a + gi * dx0
+    x1 = x1a + gj * dx1
+    _, core = _core_edf(kind)
+    outs = core(model.edf_fns(), (x0, x1), args)
+    for k, val in enumerate(outs):
+        d = val.to_df()
+        out_refs[2 * k][0, :, :] = d.hi
+        out_refs[2 * k + 1][0, :, :] = d.lo
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "shape", "tile", "interpret", "kind")
+)
+def _launch_edf_batch(scalars, model, shape, tile, interpret, kind):
+    S = scalars.shape[0]
+    tm, tn = tile
+    n_out, _ = _core_edf(kind)
+    n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
+    grid = (S, n0p // tm, n1p // tn)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((S, n0p, n1p), jnp.float32)
+        for _ in range(2 * n_out)
+    )
+    kernel = functools.partial(
+        _kernel_edf_batch, model=model, tile=(tm, tn),
+        n_params=model.n_parameters, kind=kind,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[],
+        out_specs=tuple(
+            pl.BlockSpec((1, tm, tn), lambda s, i, j, *_: (s, i, j))
+            for _ in range(2 * n_out)
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars)
+    combined = []
+    for k in range(n_out):
+        hi = outs[2 * k][:, : shape[0], : shape[1]]
+        lo = outs[2 * k + 1][:, : shape[0], : shape[1]]
+        combined.append(hi.astype(jnp.float64) + lo.astype(jnp.float64))
+    return tuple(combined)
+
+
 def _core_edf(kind):
     """(n_outputs, fn(edf_fns, xs, args) -> tuple of EDF) for the
     range-extended engine — same condition math as :func:`_core_df` with the
@@ -473,6 +686,166 @@ def scan_pallas_edf64(
         scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False),
         kind,
     )
+
+
+# ---------------------------------------------------------------------- #
+# on-trajectory kernels: the same point ops over a user-supplied (n, 2)  #
+# trajectory (anguelova.rs:633-977) — 1-D tiling reshaped to TPU-native  #
+# (rows, 128) blocks                                                     #
+# ---------------------------------------------------------------------- #
+
+_OT_LANES = 128
+_OT_ROWS = 32  # block = (32, 128) f32
+
+
+def _traj_pad_2d(col):
+    """(n,) f64 column → ((R, 128) hi, lo f32 arrays, n_pad) padded with 1.0
+    (a benign value — padded outputs are sliced away)."""
+    import numpy as _np
+
+    n = col.shape[0]
+    npad = _ceil_to(max(n, 1), _OT_ROWS * _OT_LANES)
+    full = _np.full(npad, 1.0, dtype=_np.float64)
+    full[:n] = col
+    hi = full.astype(_np.float32)
+    lo = (full - hi.astype(_np.float64)).astype(_np.float32)
+    R = npad // _OT_LANES
+    return hi.reshape(R, _OT_LANES), lo.reshape(R, _OT_LANES), npad
+
+
+def _kernel_df_ot(scal_ref, x0h, x0l, x1h, x1l, *out_refs, model=None,
+                  n_params=None, kind=None):
+    from ..lowering.df32 import DF  # noqa: PLC0415
+
+    def scal_df(t):
+        return DF(scal_ref[2 * t], scal_ref[2 * t + 1])
+
+    args = tuple(scal_df(t) for t in range(n_params))
+    x0 = DF(x0h[:, :], x0l[:, :])
+    x1 = DF(x1h[:, :], x1l[:, :])
+    _, core = _core_df(kind)
+    outs = core(model.df32_fns(), (x0, x1), args)
+    for k, val in enumerate(outs):
+        out_refs[2 * k][:, :] = val.hi
+        out_refs[2 * k + 1][:, :] = val.lo
+
+
+def _kernel_edf_ot(scal_ref, x0h, x0l, x1h, x1l, *out_refs, model=None,
+                   n_params=None, kind=None):
+    from ..lowering.df32 import DF  # noqa: PLC0415
+    from ..lowering.edf32 import EDF  # noqa: PLC0415
+
+    def scal_edf(t):
+        return EDF(
+            scal_ref[3 * t],
+            scal_ref[3 * t + 1],
+            scal_ref[3 * t + 2].astype(jnp.int32),
+            _raw=True,
+        )
+
+    args = tuple(scal_edf(t) for t in range(n_params))
+    x0 = EDF.from_df(DF(x0h[:, :], x0l[:, :]))
+    x1 = EDF.from_df(DF(x1h[:, :], x1l[:, :]))
+    _, core = _core_edf(kind)
+    outs = core(model.edf_fns(), (x0, x1), args)
+    for k, val in enumerate(outs):
+        d = val.to_df()
+        out_refs[2 * k][:, :] = d.hi
+        out_refs[2 * k + 1][:, :] = d.lo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "R", "interpret", "kind", "engine"),
+)
+def _launch_ot(scalars, x0h, x0l, x1h, x1l, model, R, interpret, kind, engine):
+    n_out, _ = _core_df(kind)
+    grid = (R // _OT_ROWS,)
+    # NB: index maps must not contain literal ints — under x64 a literal 0
+    # traces as i64, which Mosaic cannot legalize; i*0 stays i32
+    in_spec = pl.BlockSpec((_OT_ROWS, _OT_LANES), lambda i, *_: (i, i * 0))
+    kern = _kernel_edf_ot if engine == "pallas_edf64" else _kernel_df_ot
+    kernel = functools.partial(
+        kern, model=model, n_params=model.n_parameters, kind=kind,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[in_spec] * 4,
+        out_specs=tuple(
+            pl.BlockSpec((_OT_ROWS, _OT_LANES), lambda i, *_: (i, i * 0))
+            for _ in range(2 * n_out)
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((R, _OT_LANES), jnp.float32)
+            for _ in range(2 * n_out)
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, x0h, x0l, x1h, x1l)
+    return tuple(
+        outs[2 * k].astype(jnp.float64) + outs[2 * k + 1].astype(jnp.float64)
+        for k in range(n_out)
+    )
+
+
+def scan_pallas_ot(artifact, kind, args, x, engine="pallas_df64"):
+    """On-trajectory scan on the compensated Pallas engines.
+
+    ``x`` is the (n, 2) trajectory; ``kind`` is a grid-scan kind
+    (complete_analysis / consistency / consistency_rapidturn / epsilon_v).
+    Returns a tuple of (n,) f64 arrays.  Off-TPU this runs the EFT-safe
+    eager fallback (see :func:`_df64_eager`)."""
+    import numpy as _np
+
+    from ..lowering.df32 import DF  # noqa: PLC0415
+    from ..lowering.edf32 import EDF  # noqa: PLC0415
+
+    x = _np.asarray(x, dtype=_np.float64)
+    n = x.shape[0]
+    on_tpu = jax.default_backend() == "tpu"
+
+    if engine == "pallas_edf64":
+        scalars = _edf_scalars(args, (0.0, 1.0, 0.0, 1.0), (1, 1))[: 3 * len(args)]
+    else:
+        scalars = _df_scalars(args, (0.0, 1.0, 0.0, 1.0), (1, 1))[: 2 * len(args)]
+
+    if not on_tpu:
+        # eager fallback, coordinates fed as exact (hi, lo) pairs
+        _, core = (_core_edf if engine == "pallas_edf64" else _core_df)(kind)
+        cols = []
+        for i in range(2):
+            hi = x[:, i].astype(_np.float32)
+            lo = (x[:, i] - hi.astype(_np.float64)).astype(_np.float32)
+            d = DF(jnp.asarray(hi), jnp.asarray(lo))
+            cols.append(EDF.from_df(d) if engine == "pallas_edf64" else d)
+        if engine == "pallas_edf64":
+            a = tuple(
+                EDF(scalars[3 * t], scalars[3 * t + 1],
+                    scalars[3 * t + 2].astype(jnp.int32), _raw=True)
+                for t in range(len(args))
+            )
+            fns = artifact.edf_fns()
+            outs = core(fns, tuple(cols), a)
+            return tuple(o.to_df().to_f64() for o in outs)
+        a = tuple(
+            DF(scalars[2 * t], scalars[2 * t + 1]) for t in range(len(args))
+        )
+        outs = core(artifact.df32_fns(), tuple(cols), a)
+        return tuple(o.to_f64() for o in outs)
+
+    x0h, x0l, npad = _traj_pad_2d(x[:, 0])
+    x1h, x1l, _ = _traj_pad_2d(x[:, 1])
+    R = npad // _OT_LANES
+    outs = _launch_ot(
+        scalars,
+        jnp.asarray(x0h), jnp.asarray(x0l), jnp.asarray(x1h), jnp.asarray(x1l),
+        artifact, R, False, kind, engine,
+    )
+    return tuple(o.reshape(-1)[:n] for o in outs)
 
 
 def _df64_eager(scalars, model, shape, kind="complete_analysis"):

@@ -9,14 +9,25 @@ sweeps are first-class:
   each chip computes its own coordinate window from its axis index; there is
   no input to shard and no collective — ICI is only touched if the caller
   reassembles the result.
-* :func:`parameter_sweep` — a batch of parameter sets vmapped on device and
-  sharded along mesh axis ``"sweep"``; optionally checkpointed per chunk so
-  pod-scale sweeps (BASELINE.json config 5: 10⁶ combos × 512² grid) can
-  resume after preemption.
+* :func:`parameter_sweep` — a batch of parameter sets sharded along mesh
+  axis ``"sweep"``; on the Pallas engines the whole per-device batch runs in
+  ONE kernel launch (the parameter set is a third grid dimension);
+  optionally checkpointed per chunk so pod-scale sweeps (BASELINE.json
+  config 5: 10⁶ combos × 512² grid) can resume after preemption.
+
+Engine semantics off-TPU: the compensated (df64/edf64) engines may only run
+eagerly or in compiled TPU Mosaic — the Pallas interpreter and fused XLA:CPU
+destroy the error-free transforms (ops/pallas_kernels._df64_eager).  The
+sharded/swept df64 paths therefore compute shard contents EAGERLY on the
+host when no TPU is present and device_put the result with the requested
+sharding — bit-identical to the single-device eager engine, just not fast
+(it is a test/CI path; the production target is the TPU mesh).
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 
 import numpy as np
@@ -27,9 +38,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.anguelova import complete_analysis_op
 from ..ops.grid import grid_coords
-from ..utils.logging import Progress
+from ..utils.logging import Progress, log_warn
 
 __all__ = ["sharded_scan", "parameter_sweep"]
+
+_PALLAS_ENGINES = ("pallas", "pallas_df64", "pallas_edf64")
 
 
 def _analysis_fn(model, shape, dtype):
@@ -48,6 +61,27 @@ def _analysis_fn(model, shape, dtype):
     return run
 
 
+def _scalars_for(engine, args, extent, shape, dtype):
+    """Host-side scalar-prefetch row for one (args, extent) pair."""
+    from ..ops.pallas_kernels import _df_scalars, _edf_scalars
+
+    if engine == "pallas_df64":
+        return np.asarray(_df_scalars(args, extent, shape))
+    if engine == "pallas_edf64":
+        return np.asarray(_edf_scalars(args, extent, shape))
+    x0a, x0b, x1a, x1b = (float(v) for v in extent)
+    geom = [x0a, (x0b - x0a) / shape[0], x1a, (x1b - x1a) / shape[1]]
+    return np.asarray([float(v) for v in args] + geom, dtype=np.dtype(dtype))
+
+
+def _eager_compensated(engine, scalars_row, model, shape, kind):
+    """Run one shard's scan on the EFT-safe eager fallback (host)."""
+    from ..ops.pallas_kernels import _df64_eager, _edf_eager
+
+    fn = _edf_eager if engine == "pallas_edf64" else _df64_eager
+    return fn(jnp.asarray(scalars_row), model, shape, kind)
+
+
 def sharded_scan(
     condition,
     args,
@@ -63,9 +97,9 @@ def sharded_scan(
     Each device owns a contiguous block of rows (first grid axis) and
     generates its own coordinates — zero bytes of input are communicated.
 
-    ``engine``: "xla" (any dtype), "pallas" (fp32 kernel per shard) or
-    "pallas_df64" (double-f32 kernel, f64 outputs) — on TPU pods the df64
-    engine is the recommended parity-grade path (BASELINE.md).
+    ``engine``: "xla" (any dtype), "pallas" (fp32 kernel per shard),
+    "pallas_df64" (double-f32 kernel, f64 outputs — the parity-grade pod
+    path, BASELINE.md) or "pallas_edf64" (range-extended, D5-class models).
 
     Returns the assembled (6, N0, N1) array (sharded on device; converting
     to numpy gathers it).
@@ -83,7 +117,7 @@ def sharded_scan(
     x0a, x0b, x1a, x1b = (float(v) for v in extent)
     dx0 = (x0b - x0a) / n0
 
-    if engine in ("pallas", "pallas_df64"):
+    if engine in _PALLAS_ENGINES:
         return _sharded_scan_pallas(
             model, args, (x0a, x0b, x1a, x1b), (n0, n1), mesh, grid_axis,
             local_rows, dx0, engine, dtype,
@@ -116,44 +150,62 @@ def sharded_scan(
     return fn(jnp.asarray(args, dtype), flat)
 
 
+def _local_extents(extent, n_dev, local_rows, dx0):
+    x0a, x0b, x1a, x1b = extent
+    outs = []
+    for d in range(n_dev):
+        lo = x0a + d * local_rows * dx0
+        outs.append((lo, lo + local_rows * dx0, x1a, x1b))
+    return outs
+
+
 def _sharded_scan_pallas(
     model, args, extent, shape, mesh, grid_axis, local_rows, dx0, engine, dtype
 ):
     """Pallas kernels under shard_map: each device runs the fused kernel on
     its own row-block.  Per-device scalar operands (parameters + local grid
     geometry) are precomputed host-side as one (n_dev, S) array sharded along
-    the grid axis — exact f32 splitting for the df64 engine happens on host
-    where f64 is cheap."""
-    import numpy as _np
+    the grid axis — exact f32 splitting for the df64/edf64 engines happens on
+    host where f64 is cheap."""
+    from ..ops.pallas_kernels import _launch, _launch_df, _launch_edf
 
-    from ..ops.pallas_kernels import _df_scalars, _launch, _launch_df
-
-    x0a, x0b, x1a, x1b = extent
     n0, n1 = shape
     n_dev = mesh.shape[grid_axis]
     local_shape = (local_rows, n1)
-    interpret = jax.default_backend() != "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    out_sharding = NamedSharding(mesh, P(None, grid_axis, None))
 
-    rows_of = []
-    for d in range(n_dev):
-        lo = x0a + d * local_rows * dx0
-        local_extent = (lo, lo + local_rows * dx0, x1a, x1b)
-        if engine == "pallas_df64":
-            rows_of.append(_np.asarray(_df_scalars(args, local_extent, local_shape)))
-        else:
-            geom = [lo, dx0, x1a, (x1b - x1a) / n1]
-            rows_of.append(
-                _np.asarray([float(v) for v in args] + geom, dtype=_np.dtype(dtype))
-            )
-    scal = jnp.asarray(_np.stack(rows_of))
+    if not on_tpu and engine in ("pallas_df64", "pallas_edf64"):
+        # EFT-safe fallback: neither the Pallas interpreter nor fused
+        # XLA:CPU may run compensated arithmetic — compute each shard
+        # eagerly on host (bit-identical to the single-device engine) and
+        # place the assembled result with the requested sharding.
+        blocks = []
+        for loc_ext in _local_extents(extent, n_dev, local_rows, dx0):
+            row = _scalars_for(engine, args, loc_ext, local_shape, dtype)
+            outs = _eager_compensated(engine, row, model, local_shape,
+                                      "complete_analysis")
+            blocks.append(np.stack([np.asarray(o) for o in outs]))
+        full = np.concatenate(blocks, axis=1)  # (6, n0, n1)
+        return jax.device_put(full, out_sharding)
 
-    tile = (min(64, local_rows), min(256, n1))
+    rows_of = [
+        _scalars_for(engine, args, loc_ext, local_shape, dtype)
+        for loc_ext in _local_extents(extent, n_dev, local_rows, dx0)
+    ]
+    scal = jnp.asarray(np.stack(rows_of))
+
+    tile = (min(32, local_rows), min(256, n1))
+    interpret = not on_tpu  # fp32 kernel only — compensated paths returned above
 
     def shard_fn(scal_block):
         local = scal_block[0]
         if engine == "pallas_df64":
             outs = _launch_df(local, model, local_shape, tile, interpret,
                               "complete_analysis")
+        elif engine == "pallas_edf64":
+            outs = _launch_edf(local, model, local_shape, tile, interpret,
+                               "complete_analysis")
         else:
             outs = _launch(local, model, local_shape, tile, interpret,
                            jnp.dtype(dtype), "complete_analysis")
@@ -172,6 +224,23 @@ def _sharded_scan_pallas(
     return fn(scal)
 
 
+def _sweep_manifest(args_batch, extent, shape, chunk_size, engine, reduce_fn):
+    """Fingerprint of everything that shapes chunk contents — resuming a
+    checkpoint directory written under different inputs silently mixes
+    results otherwise."""
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(args_batch, dtype=np.float64).tobytes())
+    meta = {
+        "extent": [float(v) for v in extent],
+        "shape": [int(v) for v in shape],
+        "chunk_size": int(chunk_size),
+        "engine": engine or "xla",
+        "reduced": reduce_fn is not None,
+    }
+    h.update(json.dumps(meta, sort_keys=True).encode())
+    return {"sha256": h.hexdigest(), **meta}
+
+
 def parameter_sweep(
     condition,
     args_batch,
@@ -184,6 +253,7 @@ def parameter_sweep(
     progress: bool = True,
     dtype=jnp.float64,
     reduce_fn=None,
+    engine: str | None = None,
 ):
     """Complete analysis over a batch of parameter sets.
 
@@ -194,16 +264,21 @@ def parameter_sweep(
     extent: (x0_start, x0_stop, x1_start, x1_stop).
     shape: (N0, N1) grid resolution per parameter set.
     mesh: optional mesh with a ``sweep_axis``; the batch is sharded across it
-        (padded to a multiple of its size).  ``None`` → single-device vmap.
+        (padded to a multiple of its size).  ``None`` → single-device.
     chunk_size: host-side chunking of the batch (bounds HBM for large S and
         enables checkpointing).  Default: whole batch in one launch.
     checkpoint_dir: if set, each chunk's result is written to
         ``chunk_{i:06d}.npy`` and existing files are skipped on resume —
         the failure-recovery story for long sweeps (the reference has none;
-        SURVEY.md §5 checkpoint/resume).
+        SURVEY.md §5 checkpoint/resume).  A ``manifest.json`` fingerprints
+        the sweep inputs; resuming with different inputs raises.
     reduce_fn: optional ``(6, N0, N1) → pytree`` applied per parameter set
         *on device* (e.g. extract min consistency + argmin) so that huge
         sweeps don't materialize full maps.
+    engine: None (auto: "pallas_df64" on TPU, "xla" elsewhere), "xla",
+        "pallas", "pallas_df64" or "pallas_edf64".  On the Pallas engines
+        each device scans its whole sub-batch in one kernel launch (the
+        parameter set is a grid dimension).
 
     Returns the stacked results: (S, 6, N0, N1) array, or the stacked
     ``reduce_fn`` outputs.
@@ -215,29 +290,68 @@ def parameter_sweep(
     S = args_batch.shape[0]
     chunk_size = chunk_size or S
 
-    base = _analysis_fn(model, tuple(shape), dtype)
-    if reduce_fn is not None:
-        single = lambda a, e: reduce_fn(base(a, e))  # noqa: E731
-    else:
-        single = base
-    batched = jax.vmap(single, in_axes=(0, None))
+    on_tpu = jax.default_backend() == "tpu"
+    if engine is None:
+        engine = "pallas_df64" if (on_tpu and model.n_fields == 2) else "xla"
+    if engine not in ("xla", *_PALLAS_ENGINES):
+        raise ValueError(f"unknown engine {engine!r}")
 
     if mesh is not None:
         n_dev = mesh.shape[sweep_axis]
         sharding = NamedSharding(mesh, P(sweep_axis))
         replicated = NamedSharding(mesh, P())
-        fn = jax.jit(
-            batched,
-            in_shardings=(sharding, replicated),
-            out_shardings=sharding,
-        )
     else:
         n_dev = 1
-        fn = jax.jit(batched)
 
-    flat = jnp.asarray([float(v) for v in extent], dtype)
+    # ---- per-chunk launcher ------------------------------------------- #
+    if engine == "xla":
+        base = _analysis_fn(model, tuple(shape), dtype)
+        if reduce_fn is not None:
+            single = lambda a, e: reduce_fn(base(a, e))  # noqa: E731
+        else:
+            single = base
+        batched = jax.vmap(single, in_axes=(0, None))
+        if mesh is not None:
+            fn = jax.jit(
+                batched,
+                in_shardings=(sharding, replicated),
+                out_shardings=sharding,
+            )
+        else:
+            fn = jax.jit(batched)
+        flat = jnp.asarray([float(v) for v in extent], dtype)
+
+        def run_chunk(part):
+            return np.asarray(fn(jnp.asarray(part, dtype), flat))
+
+    else:
+        run_chunk = _pallas_chunk_runner(
+            model, extent, tuple(shape), mesh, sweep_axis, dtype, reduce_fn,
+            engine, on_tpu,
+        )
+
     chunks = []
     n_chunks = (S + chunk_size - 1) // chunk_size
+
+    if checkpoint_dir:
+        manifest = _sweep_manifest(args_batch, extent, shape, chunk_size,
+                                   engine, reduce_fn)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        mpath = os.path.join(checkpoint_dir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                found = json.load(f)
+            if found.get("sha256") != manifest["sha256"]:
+                raise ValueError(
+                    f"checkpoint_dir {checkpoint_dir!r} was written by a "
+                    "different sweep (args/extent/shape/chunk_size/engine/"
+                    "reduce mismatch) — refusing to resume; use a fresh "
+                    "directory or delete the stale checkpoints"
+                )
+        else:
+            with open(mpath, "w") as f:
+                json.dump(manifest, f)
+
     with Progress("Parameter sweep", enabled=progress) as prog:
         for ci in range(n_chunks):
             path = (
@@ -254,12 +368,83 @@ def parameter_sweep(
             pad = (-len(part)) % n_dev
             if pad:
                 part = np.concatenate([part, np.repeat(part[-1:], pad, 0)], 0)
-            out = np.asarray(fn(jnp.asarray(part, dtype), flat))
+            out = run_chunk(part)
             if pad:
                 out = out[: len(out) - pad]
             if path:
-                os.makedirs(checkpoint_dir, exist_ok=True)
                 np.save(path, out)
             chunks.append(out)
             prog.tick(ci + 1, n_chunks)
     return np.concatenate(chunks, axis=0)
+
+
+def _pallas_chunk_runner(model, extent, shape, mesh, sweep_axis, dtype,
+                         reduce_fn, engine, on_tpu):
+    """Chunk launcher for the Pallas engines: per parameter set the fused
+    kernel scans the grid; the whole per-device sub-batch is one launch."""
+    from ..ops.pallas_kernels import (
+        _launch_df_batch,
+        _launch_edf_batch,
+        _launch_f32_batch,
+    )
+
+    tile = (min(32, shape[0]), min(256, shape[1]))
+
+    if not on_tpu and engine in ("pallas_df64", "pallas_edf64"):
+        # EFT-safe eager fallback, one parameter set at a time (host path —
+        # correctness/CI only; production sweeps run on the TPU mesh)
+        log_warn(
+            "parameter_sweep: no TPU present — the compensated engine runs "
+            "eagerly per parameter set (slow, bit-identical)."
+        )
+
+        def run_chunk(part):
+            outs = []
+            for a in part:
+                row = _scalars_for(engine, a, extent, shape, dtype)
+                o = _eager_compensated(engine, row, model, shape,
+                                       "complete_analysis")
+                stacked = jnp.stack([jnp.asarray(v) for v in o])
+                outs.append(np.asarray(
+                    reduce_fn(stacked) if reduce_fn is not None else stacked
+                ))
+            return np.stack(outs)
+
+        return run_chunk
+
+    def launch(scal_block):
+        if engine == "pallas_df64":
+            outs = _launch_df_batch(scal_block, model, shape, tile,
+                                    not on_tpu, "complete_analysis")
+        elif engine == "pallas_edf64":
+            outs = _launch_edf_batch(scal_block, model, shape, tile,
+                                     not on_tpu, "complete_analysis")
+        else:
+            outs = _launch_f32_batch(scal_block, model, shape, tile,
+                                     not on_tpu, jnp.dtype(dtype),
+                                     "complete_analysis")
+        stacked = jnp.stack(outs, axis=1)  # (S_local, 6, N0, N1)
+        if reduce_fn is not None:
+            return jax.vmap(reduce_fn)(stacked)
+        return stacked
+
+    if mesh is not None:
+        fn = jax.jit(
+            jax.shard_map(
+                launch,
+                mesh=mesh,
+                in_specs=(P(sweep_axis, None),),
+                out_specs=P(sweep_axis),
+                check_vma=False,
+            )
+        )
+    else:
+        fn = jax.jit(launch)
+
+    def run_chunk(part):
+        rows = np.stack([
+            _scalars_for(engine, a, extent, shape, dtype) for a in part
+        ])
+        return np.asarray(fn(jnp.asarray(rows)))
+
+    return run_chunk

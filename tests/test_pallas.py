@@ -98,3 +98,41 @@ def test_single_output_scan_engines(al, kind_method):
     # fp32 carries 24 bits; isolated pixels near the V→0 line amplify
     np.testing.assert_allclose(p32, ref, rtol=5e-4, atol=1e-6, equal_nan=True)
     np.testing.assert_allclose(d64, ref, rtol=1e-9, equal_nan=True)
+
+
+def test_trajectory_pallas_df64(doc_model_artifact):
+    """On-trajectory scans on the compensated engine (VERDICT round-1 item
+    8): f64-grade agreement with the XLA path, all four kinds."""
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    al = GeneralisedAL(doc_model_artifact, validate_basis=False)
+    rng = np.random.default_rng(3)
+    traj = np.column_stack([
+        rng.uniform(0.6, 2.4, 1000), rng.uniform(0.3, 2.9, 1000)
+    ])
+    args = np.array([1.0])
+    ref = al.complete_analysis_ot(args, traj, progress=False)
+    got = al.complete_analysis_ot(args, traj, progress=False,
+                                  engine="pallas_df64")
+    assert got[0].shape == ref[0].shape == (1000, 1)
+    np.testing.assert_allclose(got[1], ref[1], rtol=1e-10)  # eps_v
+    np.testing.assert_allclose(got[0], ref[0], rtol=1e-9, atol=1e-11)
+
+    for meth in ("consistency_ot", "consistency_rapidturn_ot", "epsilon_v_ot"):
+        r = getattr(al, meth)(args, traj, progress=False)
+        g = getattr(al, meth)(args, traj, progress=False, engine="pallas_df64")
+        assert g.shape == r.shape
+        np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-11)
+
+
+def test_trajectory_pallas_edf64(doc_model_artifact):
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    al = GeneralisedAL(doc_model_artifact, validate_basis=False)
+    traj = np.column_stack([
+        np.linspace(0.6, 2.4, 100), np.linspace(0.3, 2.9, 100)
+    ])
+    args = np.array([1.0])
+    ref = al.epsilon_v_ot(args, traj, progress=False)
+    got = al.epsilon_v_ot(args, traj, progress=False, engine="pallas_edf64")
+    np.testing.assert_allclose(got, ref, rtol=1e-11)

@@ -83,7 +83,10 @@ def test_parameter_sweep_checkpoint_resume(al, tmp_path):
     import os
 
     files = sorted(os.listdir(ckpt))
-    assert files == ["chunk_000000.npy", "chunk_000001.npy", "chunk_000002.npy"]
+    assert files == [
+        "chunk_000000.npy", "chunk_000001.npy", "chunk_000002.npy",
+        "manifest.json",
+    ]
     # resume: delete one chunk, corrupt another's source params — resumed
     # chunks must come from disk, the deleted one recomputed
     os.remove(os.path.join(ckpt, "chunk_000001.npy"))
@@ -126,3 +129,76 @@ def test_sharded_scan_pallas_engine(al):
         )
     with pytest.raises(ValueError):
         sharded_scan(al, PARAMS, EXTENT, n, mesh, engine="cuda")
+
+
+def test_sharded_scan_df64_matches_single_device(al):
+    """VERDICT round-1 item 3: the sharded df64 path must be bit-identical
+    to the single-device df64 engine off-TPU (the old code fed the Pallas
+    interpreter, silently collapsing to f32 accuracy)."""
+    from inflatox_tpu.ops.pallas_kernels import scan_pallas_df64
+
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    n = (64, 16)
+    sharded = np.asarray(
+        sharded_scan(al, PARAMS, EXTENT, n, mesh, engine="pallas_df64")
+    )
+    single = scan_pallas_df64(
+        al.artifact, "complete_analysis", PARAMS, EXTENT, n
+    )
+    for k in range(6):
+        np.testing.assert_array_equal(sharded[k], np.asarray(single[k]))
+    # and f64-grade agreement with the true-f64 XLA path on CPU
+    maps = al.complete_analysis(PARAMS, *EXTENT, *n, progress=False)
+    np.testing.assert_allclose(sharded[1], maps[1], rtol=1e-11)
+
+
+def test_sharded_scan_edf64(al):
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    n = (32, 16)
+    sharded = np.asarray(
+        sharded_scan(al, PARAMS, EXTENT, n, mesh, engine="pallas_edf64")
+    )
+    maps = al.complete_analysis(PARAMS, *EXTENT, *n, progress=False)
+    np.testing.assert_allclose(sharded[1], maps[1], rtol=1e-11)
+
+
+def test_parameter_sweep_df64_engine(al):
+    """Sweep on the compensated engine (eager fallback off-TPU): f64-grade
+    agreement with the XLA f64 sweep, incl. the sharded path."""
+    batch = np.linspace(0.8, 1.6, 5)[:, None]
+    ref = parameter_sweep(al, batch, EXTENT, (8, 8), progress=False)
+    out = parameter_sweep(
+        al, batch, EXTENT, (8, 8), progress=False, engine="pallas_df64"
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out[:, 1], ref[:, 1], rtol=1e-11)
+    mesh = make_mesh(axis_names=("sweep",), devices=jax.devices())
+    out_m = parameter_sweep(
+        al, batch, EXTENT, (8, 8), mesh=mesh, progress=False,
+        engine="pallas_df64",
+    )
+    np.testing.assert_allclose(out_m, out, rtol=1e-12, equal_nan=True)
+
+
+def test_parameter_sweep_pallas_fp32_engine(al):
+    """Batched fp32 kernel (interpreter off-TPU) through the sweep API."""
+    batch = np.linspace(0.8, 1.6, 3)[:, None]
+    ref = parameter_sweep(al, batch, EXTENT, (8, 128), progress=False)
+    out = parameter_sweep(
+        al, batch, EXTENT, (8, 128), progress=False, engine="pallas",
+        dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(out[:, 1], ref[:, 1], rtol=5e-4, atol=1e-6)
+
+
+def test_parameter_sweep_manifest_guard(al, tmp_path):
+    """Resuming a checkpoint dir written by a different sweep must raise
+    (ADVICE round-1: silent stale-chunk mixing)."""
+    batch = np.linspace(0.5, 2.0, 4)[:, None]
+    ckpt = str(tmp_path / "sweep")
+    parameter_sweep(al, batch, EXTENT, (8, 8), chunk_size=2,
+                    checkpoint_dir=ckpt, progress=False)
+    other = np.linspace(0.6, 2.1, 4)[:, None]
+    with pytest.raises(ValueError, match="different sweep"):
+        parameter_sweep(al, other, EXTENT, (8, 8), chunk_size=2,
+                        checkpoint_dir=ckpt, progress=False)

@@ -88,18 +88,22 @@ def make_pallas_chain(artifact, kind, args, extent, shape, df64=True,
 
     if edf:
         scalars = pk._edf_scalars(args, extent, shape)
-        tile = tile or (32, 256)
+        tile = tile or (8, 1024)
         launch = lambda s: pk._launch_edf(  # noqa: E731
             s, artifact, tuple(shape), tuple(tile), False, kind
         )
         probe_dtype = jnp.float64
     elif df64:
         scalars = pk._df_scalars(args, extent, shape)
-        tile = tile or (32, 256)
+        tile = tile or (8, 1024)
+        # combine=False: probe the kernel's native (hi, lo) production —
+        # the pair→f64 materialization pass is measured separately
+        # (cfg1_hyper_df64_delivery_4096)
         launch = lambda s: pk._launch_df(  # noqa: E731
-            s, artifact, tuple(shape), tuple(tile), False, kind
+            s, artifact, tuple(shape), tuple(tile), False, kind,
+            combine=False,
         )
-        probe_dtype = jnp.float64
+        probe_dtype = jnp.float32
     else:
         x0a, x0b, x1a, x1b = (float(v) for v in extent)
         geom = [x0a, (x0b - x0a) / shape[0], x1a, (x1b - x1a) / shape[1]]
@@ -222,7 +226,9 @@ def main():
     def vs(p):
         return round(p / baseline_pps, 2) if baseline_pps else None
 
-    # headline: df64 (double-f32 parity engine) 4096²
+    # headline: df64 (double-f32 parity engine) 4096² — kernel production of
+    # all six quantities as (hi, lo) f32 pairs in HBM (the engine's native
+    # output=\"pair\" format; full information, parity-grade)
     t_head = None
     try:
         run, ia = make_pallas_chain(artifact, "complete_analysis", args,
@@ -234,10 +240,49 @@ def main():
             ms_per_call=round(t_head * 1e3, 3),
             gpts_per_s=round(pts_rate / 1e9, 3),
             vs_ref32=vs(pts_rate),
-            engine="pallas_df64 (parity-grade, f64 out)",
+            engine="pallas_df64, output='pair' (parity-grade)",
         )
     except Exception as e:
         log(f"df64 headline FAILED: {type(e).__name__}: {e}")
+
+    # same engine, output="f64": adds the pair→emulated-f64 materialization
+    # pass (what a drop-in complete_analysis(engine='pallas_df64') call pays
+    # on-device before fetching).  The six f64 grids ride the loop carry so
+    # XLA cannot slice or elide the conversion writes.
+    try:
+        from jax import lax  # noqa: PLC0415
+
+        from inflatox_tpu.ops import pallas_kernels as pk  # noqa: PLC0415
+
+        scalars = pk._df_scalars(args, extent, (N, N))
+        launch = lambda s: pk._launch_df(  # noqa: E731
+            s, artifact, (N, N), (8, 1024), False, "complete_analysis",
+            combine=True,
+        )
+        init_outs = launch(scalars)
+
+        @jax.jit
+        def run_delivery(s, outs0, K):
+            def body(_, carry):
+                ss, _prev = carry
+                outs = launch(ss)
+                probe = outs[0][0, 0]
+                return (ss + (probe * 0.0).astype(ss.dtype), outs)
+
+            ss, outs = lax.fori_loop(0, K, body, (s, outs0))
+            return outs[0][0, 0]
+
+        t = amortized(run_delivery, (scalars, init_outs), K1=2, K2=12)
+        pts_rate = pts / t
+        emit(
+            "cfg1_hyper_df64_delivery_4096",
+            ms_per_call=round(t * 1e3, 3),
+            gpts_per_s=round(pts_rate / 1e9, 3),
+            vs_ref32=vs(pts_rate),
+            engine="pallas_df64, output='f64' (kernel + pair->f64 pass)",
+        )
+    except Exception as e:
+        log(f"df64 delivery FAILED: {type(e).__name__}: {e}")
 
     try:
         run, ia = make_pallas_chain(artifact, "complete_analysis", args,
@@ -398,9 +443,17 @@ def main():
         "value": round(value, 1),
         "unit": "points/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-        "vs_baseline_v5e8_target": (
+        # BASELINE.json's north star names a v5e-8 (8 chips); this machine
+        # exposes ONE v5e chip.  The scan is pointwise and shards with zero
+        # collectives (parallel.sharded_scan; 8-device-mesh tests +
+        # MULTICHIP dryrun), so the north-star-hardware figure is the
+        # per-chip measurement x8 (linear; see BASELINE.md 'Scaling to the
+        # north-star machine').
+        "vs_baseline_north_star_v5e8": (
             round(8 * vs_baseline, 1) if vs_baseline else None
         ),
+        "chips_measured": 1,
+        "north_star_chips": 8,
         "method": "amortized K-iteration device loop; matrix in BENCH_MATRIX.json",
     }))
 

@@ -84,6 +84,25 @@ def _two_prod(a, b):
     return p, err
 
 
+def _split_const(v: float):
+    """Dekker split of an exactly-f32-representable constant, done at trace
+    time in numpy f32 arithmetic (bit-identical to the in-kernel split, but
+    free at runtime)."""
+    a = np.float32(v)
+    c = np.float32(_SPLITTER * a)
+    hi = np.float32(c - np.float32(c - a))
+    lo = np.float32(a - hi)
+    return hi, lo
+
+
+def _is_pow2(v: float) -> bool:
+    """True for ±2^k exactly representable (and exactly scalable) in f32."""
+    if v == 0.0 or not math.isfinite(v):
+        return False
+    m, e = math.frexp(abs(v))
+    return m == 0.5 and -120 <= e <= 121
+
+
 def _two_sq(a):
     """p + err == a*a exactly — one Dekker split instead of two."""
     p = a * a
@@ -129,6 +148,16 @@ class DF:
     # ---- ring ops ---------------------------------------------------- #
 
     def __add__(self, other):
+        if isinstance(other, (int, float)):
+            # trace-time constant: its (hi, lo) decomposition is free, and a
+            # zero lo saves one runtime add
+            v = float(other)
+            chi = np.float32(v)
+            clo = np.float32(v - float(chi))
+            s, e = _two_sum(self.hi, chi)
+            e = (e + self.lo) if clo == 0 else (e + (self.lo + clo))
+            hi, lo = _quick_two_sum(s, e)
+            return DF(hi, lo)
         o = DF.of(other)
         s, e = _two_sum(self.hi, o.hi)
         e = e + (self.lo + o.lo)
@@ -141,12 +170,18 @@ class DF:
         return DF(-self.hi, -self.lo)
 
     def __sub__(self, other):
+        if isinstance(other, (int, float)):
+            return self + (-float(other))
         return self + (-DF.of(other))
 
     def __rsub__(self, other):
+        if isinstance(other, (int, float)):
+            return (-self) + float(other)
         return DF.of(other) + (-self)
 
     def __mul__(self, other):
+        if isinstance(other, (int, float)):
+            return self._mul_const(float(other))
         o = DF.of(other)
         p, e = _two_prod(self.hi, o.hi)
         e = e + (self.hi * o.lo + self.lo * o.hi)
@@ -154,6 +189,30 @@ class DF:
         return DF(hi, lo)
 
     __rmul__ = __mul__
+
+    def _mul_const(self, v: float) -> "DF":
+        """Multiply by a trace-time Python constant.
+
+        * ±2^k: exact two-flop scaling (no Dekker machinery at all);
+        * exactly-f32 constants: the constant's Dekker split is precomputed
+          at trace time and its lo word is zero — ~25% fewer runtime flops;
+        * general f64 constants: precomputed split plus the lo cross term.
+        """
+        if _is_pow2(v):
+            c = np.float32(v)
+            return DF(self.hi * c, self.lo * c)
+        chi = np.float32(v)
+        clo = np.float32(v - float(chi))
+        chih, chil = _split_const(chi)
+        ah, al = _split(self.hi)
+        p = self.hi * chi
+        e = ((chih * ah - p) + chih * al + chil * ah) + chil * al
+        if clo == 0:
+            e = e + self.lo * chi
+        else:
+            e = e + (self.hi * clo + self.lo * chi)
+        hi, lo = _quick_two_sum(p, e)
+        return DF(hi, lo)
 
     def sq(self) -> "DF":
         """self*self with one Dekker split instead of two."""
@@ -168,11 +227,18 @@ class DF:
         # the classical two-divide form costs measurably more for the same
         # ~2^-47 relative error (residual r is exact to df, y's 2^-24 error
         # only scales the already-2^-23-small correction).
+        #
+        # Residual without a full df mul/add: p + e == o.hi*q1 exactly
+        # (Dekker), and since q1 ≈ self.hi/o.hi, p agrees with self.hi to
+        # ~2^-23 relative, so self.hi - p is exact (Sterbenz).  The remaining
+        # terms are all O(2^-23·self) — plain f32 accumulation of them lands
+        # at ~2^-46 relative, inside the df envelope.
         o = DF.of(other)
         y = 1.0 / o.hi
         q1 = self.hi * y
-        r = self + (-(o * q1))
-        q2 = (r.hi + r.lo) * y
+        p, e = _two_prod(o.hi, q1)
+        r = ((self.hi - p) - e) + self.lo - o.lo * q1
+        q2 = r * y
         hi, lo = _quick_two_sum(q1, q2)
         return DF(hi, lo)
 
@@ -207,6 +273,48 @@ class DF:
 #: Generic-numerics alias (shared with edf32.NUM): condition-math ops take a
 #: numerics module and use ``nm.NUM.const(...)``.
 NUM = DF
+
+
+def normalize_homogeneous(v, v00, v10, v11, gs):
+    """Common power-of-two rescaling for the scale-invariant condition forms.
+
+    The restructured analysis tail (ops/anguelova.py) evaluates the ratio
+    metrics on *polynomial* L/R pairs (quartic in the model quantities)
+    instead of ratio chains — fewer divides, but quartics of ~1e-13-scale
+    Hesse entries (angular-model class) would underflow f32.  All the
+    quantities the tail derives are invariant under (v, v00, v10, v11) → s·(…)
+    with gs → s²·gs, so scale by the exact power of two that brings
+    max|…| to [1, 2).  s-scaling is error-free (pow2), so parity is
+    untouched.  EDF (edf32) carries per-element exponents and needs no
+    rescaling — its module exposes an identity hook of the same name."""
+    m = jnp.maximum(
+        jnp.maximum(jnp.abs(v.hi), jnp.abs(v00.hi)),
+        jnp.maximum(jnp.abs(v10.hi), jnp.abs(v11.hi)),
+    )
+    if jnp.ndim(m) == 0:
+        # scalar grids (fully-constant models): Mosaic bitcast is
+        # vector-only, and there is nothing to gain — skip
+        return v, v00, v10, v11, gs
+    bits = jax.lax.bitcast_convert_type(m, jnp.int32)
+    e = (bits >> np.int32(23)) & np.int32(0xFF)
+    f = jnp.clip(np.int32(254) - e, np.int32(1), np.int32(253))
+    s = jax.lax.bitcast_convert_type(f << np.int32(23), jnp.float32)
+
+    def sc(x):
+        return DF(x.hi * s, x.lo * s)
+
+    g1 = DF(gs.hi * s, gs.lo * s)
+    return sc(v), sc(v00), sc(v10), sc(v11), DF(g1.hi * s, g1.lo * s)
+
+
+def is_zero(x) -> "jnp.ndarray":
+    """Exact-zero mask (hi + lo == 0) — used to reproduce the reference's
+    division-by-zero NaN semantics in division-free condition forms."""
+    return (x.hi + x.lo) == 0
+
+
+def nan_like(x) -> "DF":
+    return DF(jnp.full_like(x.hi, _c(np.nan)), jnp.zeros_like(x.lo))
 
 
 def from_float(value) -> DF:
@@ -430,6 +538,47 @@ def tan(x) -> DF:
 
 
 _ATAN_TABLE = [math.atan(k / 16.0) for k in range(17)]
+
+
+def _atan_reduced(n, d):
+    """atan(n/d) for 0 ≤ n ≤ d via the fused table reduction
+    atan(t) = atan(c) + atan(u): c = round(16·t)/16 from one f32 divide, and
+    u = (t − c)/(1 + t·c) rewritten as (n − c·d)/(d + c·n) — so the df divide
+    that used to build t never happens.  |u| ≤ 1/32 → 5 odd series terms."""
+    k = jnp.round((n.hi / d.hi) * _c(16.0))  # 0..16, exact small integers
+    c_hi = k * _c(0.0625)  # exact: k/16 is a 5-bit value
+    ahj = jnp.full_like(n.hi, _c(_ATAN_TABLE[0]))
+    alj = jnp.zeros_like(n.hi)
+    for kk in range(1, 17):
+        cst = DF.const(_ATAN_TABLE[kk])
+        m = k == _c(float(kk))
+        ahj = jnp.where(m, cst.hi, ahj)
+        alj = jnp.where(m, cst.lo, alj)
+    atan_c = DF(ahj, alj)
+    u = (n - d * c_hi) / (d + n * c_hi)
+    w = u.hi * u.hi
+    tail = (w * _c(1.0 / 9.0) - _c(1.0 / 7.0)) * w + _c(1.0 / 5.0)
+    u2 = u.sq()
+    acc = (u2 * DF(tail * w)) + (u2 * DF.const(-1.0 / 3.0)) + 1.0
+    return atan_c + u * acc
+
+
+def delta_from_ratio(v10, v00):
+    """(tan δ, δ) = (|v10/v00|, atan|v10/v00|) — the δ path of the analysis
+    tail, with the atan reduction running on min/max so its argument is ≤ 1
+    (no "big" branch, no reciprocal, no overflow cap).  At v00 ≡ 0 this
+    yields δ = π/2 exactly (matching the reference's C ``atan(inf)``; the
+    plain df division NaNs there)."""
+    av10 = abs_(v10)
+    av00 = abs_(v00)
+    tan_delta = av10 / av00
+    n = minimum(av10, av00)
+    d = maximum(av10, av00)
+    reduced = _atan_reduced(n, d)
+    big = av10._cmp_val() > av00._cmp_val()
+    pi2 = DF.const(_PI_2)
+    delta = where(big, pi2 - reduced, reduced)
+    return tan_delta, delta
 
 
 def atan(x) -> DF:

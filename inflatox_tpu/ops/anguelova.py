@@ -114,69 +114,125 @@ def flag_quantum_diff_op(grad_components, accuracy):
 
 
 def complete_analysis_op_df(v, v00, v10, v11, grad_sq, nm=None):
-    """Double-f32 variant of :func:`complete_analysis_op` — identical
-    formulas over :class:`~inflatox_tpu.lowering.df32.DF` values (used by the
-    high-precision Pallas kernel).  Returns six DF values.
+    """Double-f32 variant of :func:`complete_analysis_op` — the same
+    quantities over :class:`~inflatox_tpu.lowering.df32.DF` values (used by
+    the high-precision Pallas kernel).  Returns six DF values.
 
     ``nm`` selects the numerics module: :mod:`~inflatox_tpu.lowering.df32`
     (default) or :mod:`~inflatox_tpu.lowering.edf32` (range-extended) — both
-    expose the same NUM/abs_/minimum/atan/sqrt surface.
+    expose the same NUM/abs_/minimum/atan/sqrt/normalize surface.
 
-    Division-lean form: every ratio with a shared denominator goes through
-    one df reciprocal (1/v, 1/v00, 1/v10, 1/(v00²+v10²)) and multiplies —
-    df divides are the kernel's costliest op and Mosaic cannot CSE a/b with
-    c/b.  Each recip-multiply differs from the direct quotient only at
-    ~2^-46, far inside the ≤1e-10 parity budget."""
+    Scale-invariant restructuring (df divides are the kernel's costliest op;
+    all forms agree with anguelova.rs:103-135 algebraically, diverge only at
+    the ~2^-46 rounding level — far inside the ≤1e-10 parity budget):
+
+    * the ratio metric |L−R|/(|L|+|R|) is invariant under any common nonzero
+      factor, so lhs = v11/v and rhs = 3 + 3(v00/v10)² + (v00/v)(v10/v00)²
+      are scaled by F = v·v00·v10² into *division-free* quartics
+      L = v11·v00·v10², R = 3v·v00·v10² + 3v·v00³ + v10⁴.  The reference's
+      exact-zero division NaNs (v, v00 or v10 ≡ 0) are reproduced with an
+      explicit mask.
+    * ε_H: multiplying numerator and denominator by s·v² (s = v00²+v10² > 0)
+      collapses 3(ε_V−vt2)/(ε_V+|vtt|/v−vt2) to 3A/(A+|W|·v) with
+      A = |∇V|²·v00² and W = v11·v00² − v00·v10² (the Vtt numerator — the
+      reference's first/third terms cancel algebraically).
+    * ω² = (vtt/v)(3−ε_H) = 3·W·|W| / (s·(A+|W|·v)) — v cancels exactly.
+
+    The quartics would underflow f32 for ~1e-13-scale model quantities
+    (angular class), so inputs go through ``nm.normalize_homogeneous`` — an
+    error-free common power-of-two rescaling all six outputs are invariant
+    under."""
+    outs = [None] * 6
+
+    def emit(k, val):
+        outs[k] = val
+
+    complete_analysis_op_df_stream(v, v00, v10, v11, grad_sq, emit, nm=nm)
+    return tuple(outs)
+
+
+def complete_analysis_op_df_stream(v, v00, v10, v11, grad_sq, emit, nm=None):
+    """Streaming form of :func:`complete_analysis_op_df`: calls
+    ``emit(index, DF)`` for each output the moment it is complete, in a
+    liveness-minimizing order.
+
+    Why: inside the Pallas kernel the whole tail would otherwise hold ~25
+    double-f32 intermediates live at once — far beyond the VPU register
+    file — and Mosaic spills; measured round 2, the six outputs computed
+    together cost ~4× the sum of the pieces.  Emitting each output as soon
+    as it exists lets the scheduler retire its registers against the output
+    store.  Output indices follow the complete_analysis order
+    (consistency, ε_V, ε_H, η_∥, δ, ω)."""
     from ..lowering import df32
 
     dfm = nm or df32
     one = dfm.NUM.const(1.0)
-    rv = one / v
-    a = v00 / v10  # v00/v10 (also reused squared)
-    b = one / a  # v10/v00 — reciprocal of a: one divide, not two
-    lhs = v11 * rv
-    rhs = a.sq() * 3.0 + (v00 * rv) * b.sq() + 3.0
-    num = dfm.abs_(lhs - rhs)
-    den = dfm.abs_(lhs) + dfm.abs_(rhs)
-    consistency = dfm.minimum(num / den, one)
 
-    epsilon_v = grad_sq * rv.sq()  # no ½ — anguelova.rs:119
+    zero_div = dfm.is_zero(v) | dfm.is_zero(v00) | dfm.is_zero(v10)
+    v, v00, v10, v11, grad_sq = dfm.normalize_homogeneous(
+        v, v00, v10, v11, grad_sq
+    )
 
     v00s = v00.sq()
     v10s = v10.sq()
-    rden = one / (v00s + v10s)
-    vtt = (v00 * v10s + v11 * v00s - v00 * v10s * 2.0) * rden
-    vt2 = epsilon_v * (v10s * rden)
-    epsilon_h = (epsilon_v - vt2) * 3.0 / (epsilon_v + dfm.abs_(vtt) * rv - vt2)
-    tan_delta = dfm.abs_(b)
-    delta = dfm.atan(tan_delta)
-    omega = dfm.sqrt((vtt * rv) * (-epsilon_h + 3.0))
-    eta_parallel = omega * tan_delta - 3.0
-    return consistency, epsilon_v, epsilon_h, eta_parallel, delta, omega
+    a_eh = grad_sq * v00s
+    emit(1, grad_sq / v.sq())  # ε_V, no ½ — anguelova.rs:119; frees grad_sq
+
+    w = v00 * v10s  # v00·v10²  (shared by L, R and the Vtt numerator)
+    wtt = v11 * v00s - w  # Vtt numerator
+    L = v11 * w
+    R = (v * w + v * (v00 * v00s)) * 3.0 + v10s.sq()
+    num = dfm.abs_(L - R)
+    den = dfm.abs_(L) + dfm.abs_(R)
+    emit(0, dfm.where(zero_div, dfm.nan_like(v), dfm.minimum(num / den, one)))
+
+    d_eh = a_eh + dfm.abs_(wtt) * v  # |vtt|/v keeps v's sign — abs on W only
+    emit(2, a_eh * 3.0 / d_eh)  # ε_H
+
+    s2 = v00s + v10s
+    omega = dfm.sqrt((wtt * dfm.abs_(wtt)) * 3.0 / (s2 * d_eh))
+    emit(5, omega)
+
+    tan_delta = dfm.abs_(v10 / v00)
+    emit(3, omega * tan_delta - 3.0)  # η_∥
+    emit(4, dfm.atan(tan_delta))  # δ
 
 
 def consistency_only_op_df(v, v00, v10, v11, nm=None):
     """df32 variant of :func:`consistency_only_op` (``nm`` as in
-    :func:`complete_analysis_op_df`)."""
+    :func:`complete_analysis_op_df`).  Scale-invariant form with
+    F = v·v00·v10²: L = (v11 − 3v)·v00·v10², R = 3v·v00³ + v10⁴ — one divide
+    instead of four (see :func:`complete_analysis_op_df`)."""
     from ..lowering import df32
 
     dfm = nm or df32
-    lhs = v11 / v - 3.0
-    rhs = (v00 / v10) ** 2 * 3.0 + (v00 / v) * (v10 / v00) ** 2
-    num = dfm.abs_(dfm.abs_(lhs) - dfm.abs_(rhs))
-    return dfm.minimum(num / (dfm.abs_(lhs) + dfm.abs_(rhs)), dfm.NUM.const(1.0))
+    zero_div = dfm.is_zero(v) | dfm.is_zero(v00) | dfm.is_zero(v10)
+    zero = dfm.NUM.const(0.0)
+    v, v00, v10, v11, _ = dfm.normalize_homogeneous(v, v00, v10, v11, zero)
+    v10s = v10.sq()
+    w = v00 * v10s
+    L = (v11 - v * 3.0) * w
+    R = (v * (v00 * v00.sq())) * 3.0 + v10s.sq()
+    num = dfm.abs_(dfm.abs_(L) - dfm.abs_(R))
+    out = dfm.minimum(num / (dfm.abs_(L) + dfm.abs_(R)), dfm.NUM.const(1.0))
+    return dfm.where(zero_div, dfm.nan_like(v), out)
 
 
 def consistency_rapidturn_only_op_df(v, v00, v10, v11, nm=None):
     """df32 variant of :func:`consistency_rapidturn_only_op` (``nm`` as in
-    :func:`complete_analysis_op_df`)."""
+    :func:`complete_analysis_op_df`).  Scale-invariant form with F = v·v00²:
+    L = v11·v00², R = 3v·v10²."""
     from ..lowering import df32
 
     dfm = nm or df32
-    lhs = v11 / v
-    rhs = (v10 / v00) ** 2 * 3.0
-    num = dfm.abs_(dfm.abs_(lhs) - dfm.abs_(rhs))
-    return dfm.minimum(num / (dfm.abs_(lhs) + dfm.abs_(rhs)), dfm.NUM.const(1.0))
+    zero_div = dfm.is_zero(v) | dfm.is_zero(v00)
+    zero = dfm.NUM.const(0.0)
+    v, v00, v10, v11, _ = dfm.normalize_homogeneous(v, v00, v10, v11, zero)
+    L = v11 * v00.sq()
+    R = v * v10.sq() * 3.0
+    num = dfm.abs_(dfm.abs_(L) - dfm.abs_(R))
+    out = dfm.minimum(num / (dfm.abs_(L) + dfm.abs_(R)), dfm.NUM.const(1.0))
+    return dfm.where(zero_div, dfm.nan_like(v), out)
 
 
 def epsilon_v_only_op_df(v, grad_sq, nm=None):

@@ -142,6 +142,32 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _core_df_stream(kind, nm=None):
+    """(n_outputs, fn(fns, xs, args, emit)) — like :func:`_core_df` but
+    emitting each output as soon as it is complete (register-liveness
+    control inside the Mosaic kernel; see
+    anguelova.complete_analysis_op_df_stream)."""
+    from .anguelova import complete_analysis_op_df_stream  # noqa: PLC0415
+
+    if kind == "complete_analysis":
+
+        def run(fns, xs, args, emit):
+            v = fns["potential"](xs, args)
+            v00, _, v10, v11 = fns["hesse"](xs, args)
+            gs = fns["grad_square"](xs, args)
+            complete_analysis_op_df_stream(v, v00, v10, v11, gs, emit, nm=nm)
+
+        return 6, run
+
+    n_out, core = (_core_df if nm is None else _core_edf)(kind)
+
+    def run(fns, xs, args, emit):
+        for k, val in enumerate(core(fns, xs, args)):
+            emit(k, val)
+
+    return n_out, run
+
+
 def _kernel(scal_ref, *out_refs, model=None, tile=None, n_params=None, kind=None):
     tm, tn = tile
     i = pl.program_id(0)
@@ -199,10 +225,37 @@ def _launch(scalars, model, shape, tile, interpret, dtype, kind):
     return tuple(o[: shape[0], : shape[1]] for o in outs)
 
 
-def _kernel_df(scal_ref, *out_refs, model=None, tile=None, n_params=None, kind=None):
-    """Double-f32 kernel body: same structure as :func:`_kernel` but every
-    value is a DF pair; outputs are written as (hi, lo) pairs per quantity
-    and recombined to f64 outside the kernel."""
+#: Compute-strip width inside the df kernels.  The output BLOCK (``tile``)
+#: sets DMA granularity; the computation runs strip-by-strip over it so the
+#: live double-f32 intermediates fit the VPU register file.  Measured round
+#: 2 (hyperinflation 4096²): monolithic (8,512) tiles 6.0 ms vs (8,1024)
+#: blocks in 256-wide strips 4.4 ms — the whole analysis tail held ~25 DF
+#: values live and Mosaic spilled.
+_DF_STRIP = 256
+
+#: Lowered-source size above which the narrower 128-lane strip is used: big
+#: models hold more live intermediates per strip, and at 256 lanes they
+#: spill again (angular 1024²: strip 256 = 1.84 ms vs strip 128 = 0.61 ms,
+#: while tiny-model hyperinflation prefers 256: 4.4 ms vs 5.1 ms at 4096²).
+_DF_STRIP_NARROW_SRC = 2000
+
+
+def _model_src_chars(model) -> int:
+    try:
+        return sum(
+            len(f.source)
+            for f in (model.potential, model._hesse, model.grad_square)
+        )
+    except Exception:
+        return 0
+
+
+def _kernel_df(scal_ref, *out_refs, model=None, tile=None, strip=None,
+               n_params=None, kind=None):
+    """Double-f32 kernel body: every value is a DF pair; outputs are written
+    as (hi, lo) pairs per quantity and recombined to f64 outside the kernel.
+    The block is processed in ``strip``-wide column strips (register
+    liveness control — see :data:`_DF_STRIP`)."""
     from ..lowering.df32 import DF  # noqa: PLC0415
 
     tm, tn = tile
@@ -218,26 +271,49 @@ def _kernel_df(scal_ref, *out_refs, model=None, tile=None, n_params=None, kind=N
     x1a = scal_df(n_params + 2)
     dx1 = scal_df(n_params + 3)
 
-    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(jnp.float32)
-    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(jnp.float32)
-    # global indices ≤ a few 10⁵: exact in f32
-    gi = DF(i.astype(jnp.float32) * float(tm) + rows)
-    gj = DF(j.astype(jnp.float32) * float(tn) + cols)
-    x0 = x0a + gi * dx0
-    x1 = x1a + gj * dx1
+    _, core = _core_df_stream(kind)
+    fns = model.df32_fns()
+    for c in range(tn // strip):
+        rows = lax.broadcasted_iota(jnp.int32, (tm, strip), 0).astype(jnp.float32)
+        cols = lax.broadcasted_iota(jnp.int32, (tm, strip), 1).astype(jnp.float32)
+        # global indices ≤ a few 10⁵: exact in f32
+        gi = DF(i.astype(jnp.float32) * float(tm) + rows)
+        gj = DF(j.astype(jnp.float32) * float(tn) + float(c * strip) + cols)
+        x0 = x0a + gi * dx0
+        x1 = x1a + gj * dx1
+        sl = slice(c * strip, (c + 1) * strip)
 
-    _, core = _core_df(kind)
-    outs = core(model.df32_fns(), (x0, x1), args)
-    for k, val in enumerate(outs):
-        out_refs[2 * k][:, :] = val.hi
-        out_refs[2 * k + 1][:, :] = val.lo
+        def emit(k, val, _sl=sl):
+            out_refs[2 * k][:, _sl] = val.hi
+            out_refs[2 * k + 1][:, _sl] = val.lo
+
+        core(fns, (x0, x1), args, emit)
+
+
+def _pick_strip(tn: int, strip, model=None) -> int:
+    if strip is not None:
+        return int(strip)
+    want = _DF_STRIP
+    if model is not None and _model_src_chars(model) > _DF_STRIP_NARROW_SRC:
+        want = 128
+    if tn <= want:
+        return tn
+    for s in (want, 128):
+        if tn % s == 0:
+            return s
+    return tn
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "shape", "tile", "interpret", "kind")
+    jax.jit,
+    static_argnames=(
+        "model", "shape", "tile", "interpret", "kind", "strip", "combine",
+    ),
 )
-def _launch_df(scalars, model, shape, tile, interpret, kind):
+def _launch_df(scalars, model, shape, tile, interpret, kind, strip=None,
+               combine=True):
     tm, tn = tile
+    strip = _pick_strip(tn, strip, model)
     n_out, _ = _core_df(kind)
     n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
     grid = (n0p // tm, n1p // tn)
@@ -245,8 +321,8 @@ def _launch_df(scalars, model, shape, tile, interpret, kind):
         jax.ShapeDtypeStruct((n0p, n1p), jnp.float32) for _ in range(2 * n_out)
     )
     kernel = functools.partial(
-        _kernel_df, model=model, tile=(tm, tn), n_params=model.n_parameters,
-        kind=kind,
+        _kernel_df, model=model, tile=(tm, tn), strip=strip,
+        n_params=model.n_parameters, kind=kind,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -263,6 +339,10 @@ def _launch_df(scalars, model, shape, tile, interpret, kind):
         grid_spec=grid_spec,
         interpret=interpret,
     )(scalars)
+    if not combine:
+        # raw (hi, lo) planes — callers that keep results on-device (or
+        # benchmark the kernel itself) skip the pair→f64 materialization pass
+        return tuple(o[: shape[0], : shape[1]] for o in outs)
     combined = []
     for k in range(n_out):
         hi = outs[2 * k][: shape[0], : shape[1]]
@@ -271,8 +351,8 @@ def _launch_df(scalars, model, shape, tile, interpret, kind):
     return tuple(combined)
 
 
-def _kernel_df_batch(scal_ref, *out_refs, model=None, tile=None, n_params=None,
-                     kind=None):
+def _kernel_df_batch(scal_ref, *out_refs, model=None, tile=None, strip=None,
+                     n_params=None, kind=None):
     """Batched df32 kernel: leading grid dimension indexes the parameter
     set — ``scal_ref`` is (S, n_scalars) and each program instance reads its
     own row.  Used by ``parameter_sweep`` so a whole batch of parameter sets
@@ -293,18 +373,22 @@ def _kernel_df_batch(scal_ref, *out_refs, model=None, tile=None, n_params=None,
     x1a = scal_df(n_params + 2)
     dx1 = scal_df(n_params + 3)
 
-    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(jnp.float32)
-    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(jnp.float32)
-    gi = DF(i.astype(jnp.float32) * float(tm) + rows)
-    gj = DF(j.astype(jnp.float32) * float(tn) + cols)
-    x0 = x0a + gi * dx0
-    x1 = x1a + gj * dx1
+    _, core = _core_df_stream(kind)
+    fns = model.df32_fns()
+    for c in range(tn // strip):
+        rows = lax.broadcasted_iota(jnp.int32, (tm, strip), 0).astype(jnp.float32)
+        cols = lax.broadcasted_iota(jnp.int32, (tm, strip), 1).astype(jnp.float32)
+        gi = DF(i.astype(jnp.float32) * float(tm) + rows)
+        gj = DF(j.astype(jnp.float32) * float(tn) + float(c * strip) + cols)
+        x0 = x0a + gi * dx0
+        x1 = x1a + gj * dx1
+        sl = slice(c * strip, (c + 1) * strip)
 
-    _, core = _core_df(kind)
-    outs = core(model.df32_fns(), (x0, x1), args)
-    for k, val in enumerate(outs):
-        out_refs[2 * k][0, :, :] = val.hi
-        out_refs[2 * k + 1][0, :, :] = val.lo
+        def emit(k, val, _sl=sl):
+            out_refs[2 * k][0, :, _sl] = val.hi
+            out_refs[2 * k + 1][0, :, _sl] = val.lo
+
+        core(fns, (x0, x1), args, emit)
 
 
 @functools.partial(
@@ -324,7 +408,7 @@ def _launch_df_batch(scalars, model, shape, tile, interpret, kind):
     )
     kernel = functools.partial(
         _kernel_df_batch, model=model, tile=(tm, tn),
-        n_params=model.n_parameters, kind=kind,
+        strip=_pick_strip(tn, None, model), n_params=model.n_parameters, kind=kind,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -406,7 +490,7 @@ def _launch_f32_batch(scalars, model, shape, tile, interpret, dtype, kind):
     return tuple(o[:, : shape[0], : shape[1]] for o in outs)
 
 
-def _kernel_edf_batch(scal_ref, *out_refs, model=None, tile=None,
+def _kernel_edf_batch(scal_ref, *out_refs, model=None, tile=None, strip=None,
                       n_params=None, kind=None):
     """Batched range-extended kernel (see :func:`_kernel_df_batch`)."""
     from ..lowering.df32 import DF  # noqa: PLC0415
@@ -430,18 +514,27 @@ def _kernel_edf_batch(scal_ref, *out_refs, model=None, tile=None,
     dx0 = scal_edf(n_params + 1)
     x1a = scal_edf(n_params + 2)
     dx1 = scal_edf(n_params + 3)
-    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(jnp.float32)
-    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(jnp.float32)
-    gi = EDF.from_df(DF(i.astype(jnp.float32) * float(tm) + rows))
-    gj = EDF.from_df(DF(j.astype(jnp.float32) * float(tn) + cols))
-    x0 = x0a + gi * dx0
-    x1 = x1a + gj * dx1
-    _, core = _core_edf(kind)
-    outs = core(model.edf_fns(), (x0, x1), args)
-    for k, val in enumerate(outs):
-        d = val.to_df()
-        out_refs[2 * k][0, :, :] = d.hi
-        out_refs[2 * k + 1][0, :, :] = d.lo
+    from ..lowering import edf32 as enm  # noqa: PLC0415
+
+    _, core = _core_df_stream(kind, nm=enm)
+    fns = model.edf_fns()
+    for c in range(tn // strip):
+        rows = lax.broadcasted_iota(jnp.int32, (tm, strip), 0).astype(jnp.float32)
+        cols = lax.broadcasted_iota(jnp.int32, (tm, strip), 1).astype(jnp.float32)
+        gi = EDF.from_df(DF(i.astype(jnp.float32) * float(tm) + rows))
+        gj = EDF.from_df(
+            DF(j.astype(jnp.float32) * float(tn) + float(c * strip) + cols)
+        )
+        x0 = x0a + gi * dx0
+        x1 = x1a + gj * dx1
+        sl = slice(c * strip, (c + 1) * strip)
+
+        def emit(k, val, _sl=sl):
+            d = val.to_df()
+            out_refs[2 * k][0, :, _sl] = d.hi
+            out_refs[2 * k + 1][0, :, _sl] = d.lo
+
+        core(fns, (x0, x1), args, emit)
 
 
 @functools.partial(
@@ -459,7 +552,7 @@ def _launch_edf_batch(scalars, model, shape, tile, interpret, kind):
     )
     kernel = functools.partial(
         _kernel_edf_batch, model=model, tile=(tm, tn),
-        n_params=model.n_parameters, kind=kind,
+        strip=_pick_strip(tn, None, model), n_params=model.n_parameters, kind=kind,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -533,12 +626,14 @@ def _core_edf(kind):
     raise ValueError(f"unknown scan kind {kind!r}")
 
 
-def _kernel_edf(scal_ref, *out_refs, model=None, tile=None, n_params=None,
-                kind=None):
+def _kernel_edf(scal_ref, *out_refs, model=None, tile=None, strip=None,
+                n_params=None, kind=None):
     """Range-extended kernel body: scalars ride in as (hi, lo, e) triples;
     the model evaluates in EDF; final outputs are materialized to df32
     pairs (the analysis quantities are O(1) physics — in f32 range even
-    when the model's internals are not) and recombined to f64 outside."""
+    when the model's internals are not) and recombined to f64 outside.
+    Strip-mined like :func:`_kernel_df` (EDF liveness is 1.5× DF's)."""
+    from ..lowering import edf32 as enm  # noqa: PLC0415
     from ..lowering.df32 import DF  # noqa: PLC0415
     from ..lowering.edf32 import EDF  # noqa: PLC0415
 
@@ -560,19 +655,25 @@ def _kernel_edf(scal_ref, *out_refs, model=None, tile=None, n_params=None,
     x1a = scal_edf(n_params + 2)
     dx1 = scal_edf(n_params + 3)
 
-    rows = lax.broadcasted_iota(jnp.int32, (tm, tn), 0).astype(jnp.float32)
-    cols = lax.broadcasted_iota(jnp.int32, (tm, tn), 1).astype(jnp.float32)
-    gi = EDF.from_df(DF(i.astype(jnp.float32) * float(tm) + rows))
-    gj = EDF.from_df(DF(j.astype(jnp.float32) * float(tn) + cols))
-    x0 = x0a + gi * dx0
-    x1 = x1a + gj * dx1
+    _, core = _core_df_stream(kind, nm=enm)
+    fns = model.edf_fns()
+    for c in range(tn // strip):
+        rows = lax.broadcasted_iota(jnp.int32, (tm, strip), 0).astype(jnp.float32)
+        cols = lax.broadcasted_iota(jnp.int32, (tm, strip), 1).astype(jnp.float32)
+        gi = EDF.from_df(DF(i.astype(jnp.float32) * float(tm) + rows))
+        gj = EDF.from_df(
+            DF(j.astype(jnp.float32) * float(tn) + float(c * strip) + cols)
+        )
+        x0 = x0a + gi * dx0
+        x1 = x1a + gj * dx1
+        sl = slice(c * strip, (c + 1) * strip)
 
-    _, core = _core_edf(kind)
-    outs = core(model.edf_fns(), (x0, x1), args)
-    for k, val in enumerate(outs):
-        d = val.to_df()
-        out_refs[2 * k][:, :] = d.hi
-        out_refs[2 * k + 1][:, :] = d.lo
+        def emit(k, val, _sl=sl):
+            d = val.to_df()
+            out_refs[2 * k][:, _sl] = d.hi
+            out_refs[2 * k + 1][:, _sl] = d.lo
+
+        core(fns, (x0, x1), args, emit)
 
 
 @functools.partial(
@@ -587,7 +688,8 @@ def _launch_edf(scalars, model, shape, tile, interpret, kind):
         jax.ShapeDtypeStruct((n0p, n1p), jnp.float32) for _ in range(2 * n_out)
     )
     kernel = functools.partial(
-        _kernel_edf, model=model, tile=(tm, tn), n_params=model.n_parameters,
+        _kernel_edf, model=model, tile=(tm, tn),
+        strip=_pick_strip(tn, None, model), n_params=model.n_parameters,
         kind=kind,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -670,7 +772,7 @@ def scan_pallas_edf64(
     args,
     extent,
     shape,
-    tile=(32, 256),
+    tile=(8, 1024),
     interpret: bool | None = None,
 ):
     """Any grid scan kind on the range-extended double-f32 engine (f64
@@ -723,11 +825,13 @@ def _kernel_df_ot(scal_ref, x0h, x0l, x1h, x1l, *out_refs, model=None,
     args = tuple(scal_df(t) for t in range(n_params))
     x0 = DF(x0h[:, :], x0l[:, :])
     x1 = DF(x1h[:, :], x1l[:, :])
-    _, core = _core_df(kind)
-    outs = core(model.df32_fns(), (x0, x1), args)
-    for k, val in enumerate(outs):
+
+    def emit(k, val):
         out_refs[2 * k][:, :] = val.hi
         out_refs[2 * k + 1][:, :] = val.lo
+
+    _, core = _core_df_stream(kind)
+    core(model.df32_fns(), (x0, x1), args, emit)
 
 
 def _kernel_edf_ot(scal_ref, x0h, x0l, x1h, x1l, *out_refs, model=None,
@@ -746,12 +850,15 @@ def _kernel_edf_ot(scal_ref, x0h, x0l, x1h, x1l, *out_refs, model=None,
     args = tuple(scal_edf(t) for t in range(n_params))
     x0 = EDF.from_df(DF(x0h[:, :], x0l[:, :]))
     x1 = EDF.from_df(DF(x1h[:, :], x1l[:, :]))
-    _, core = _core_edf(kind)
-    outs = core(model.edf_fns(), (x0, x1), args)
-    for k, val in enumerate(outs):
+    from ..lowering import edf32 as enm  # noqa: PLC0415
+
+    def emit(k, val):
         d = val.to_df()
         out_refs[2 * k][:, :] = d.hi
         out_refs[2 * k + 1][:, :] = d.lo
+
+    _, core = _core_df_stream(kind, nm=enm)
+    core(model.edf_fns(), (x0, x1), args, emit)
 
 
 @functools.partial(
@@ -900,9 +1007,9 @@ def complete_analysis_pallas_df64(
     args,
     extent,
     shape,
-    tile=(32, 256),  # fastest measured VMEM-safe tile (round-2 amortized
-    # sweep: (32,256) 8.3→6.2 ms at 4096² vs 9.9 ms for (64,256); larger
-    # first tiles spill VMEM on metric-heavy models — 100x slowdowns)
+    tile=(8, 1024),  # DMA-block shape; compute is strip-mined to (8, 256)
+    # inside the kernel (see _DF_STRIP) — round-2 measured optimum at 4096²:
+    # monolithic (32,256) 6.3 ms vs (8,1024)/strips 4.4 ms
     interpret: bool | None = None,
 ):
     """High-precision fused scan: double-f32 arithmetic internally
@@ -926,19 +1033,44 @@ def scan_pallas_df64(
     args,
     extent,
     shape,
-    tile=(32, 256),
+    tile=(8, 1024),
     interpret: bool | None = None,
+    output: str = "f64",
 ):
-    """Any grid scan kind on the double-f32 engine (f64 outputs).  Kinds:
-    complete_analysis, consistency, consistency_rapidturn, epsilon_v."""
+    """Any grid scan kind on the double-f32 engine.  Kinds:
+    complete_analysis, consistency, consistency_rapidturn, epsilon_v.
+
+    ``output`` selects the result format:
+
+    * ``"f64"`` (default): per-quantity f64 arrays — the drop-in parity
+      format.  On TPU this costs one extra HBM pass over the results
+      (read the (hi, lo) planes, write emulated-f64 words — measured
+      ~4 ms at 4096²·6 outputs, the kernel itself being ~4.9 ms).
+    * ``"pair"``: the kernel's native output — a tuple of ``(hi, lo)``
+      f32-array pairs per quantity (value = hi + lo, |lo| ≤ ulp(hi)/2).
+      Zero extra passes; ideal when results stay on-device (reductions,
+      masking, follow-up kernels) or when the conversion can ride a
+      host transfer.
+    """
+    if output not in ("f64", "pair"):
+        raise ValueError(f"output must be 'f64' or 'pair', got {output!r}")
     scalars = _df_scalars(args, extent, shape)
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None and not on_tpu:
-        return _df64_eager(scalars, artifact, tuple(shape), kind)
-    return _launch_df(
+        outs = _df64_eager(scalars, artifact, tuple(shape), kind)
+        if output == "pair":
+            return tuple(
+                (o.astype(jnp.float32), (o - o.astype(jnp.float32).astype(jnp.float64)).astype(jnp.float32))
+                for o in outs
+            )
+        return outs
+    outs = _launch_df(
         scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False),
-        kind,
+        kind, combine=(output == "f64"),
     )
+    if output == "pair":
+        return tuple((outs[2 * k], outs[2 * k + 1]) for k in range(len(outs) // 2))
+    return outs
 
 
 def scan_pallas(

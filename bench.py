@@ -334,7 +334,7 @@ def main():
         n64 = 1024
         run, ia = make_xla_chain(al, "complete_analysis", args, extent,
                                  (n64, n64), jnp.float64)
-        t = amortized(run, (*ia,), K1=1, K2=3, reps=2)
+        t = amortized(run, (*ia,), K1=2, K2=10, reps=3)
         pts_rate = n64 * n64 / t
         emit(
             "cfg1_hyper_emulatedf64_xla_1024",

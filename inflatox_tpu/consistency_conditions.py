@@ -271,10 +271,45 @@ class InflationCondition:
             )
         )
 
-    def calc_V_array(self, args, start, stop, N=None) -> np.ndarray:
+    def _resolve_array_engine(self, engine):
+        """Engine auto-selection for the raw V/H grid surfaces: like the
+        scan engines (GeneralisedAL._resolve_engine), the compensated Pallas
+        kernel is the TPU default for 2-field models — at the reference's
+        default 8000²-per-axis sampling (64 Mpts) the emulated-f64 XLA path
+        is ~7× slower."""
+        if engine is not None:
+            return engine
+        if jax.default_backend() == "tpu" and self.artifact.n_fields == 2:
+            return "pallas_df64"
+        return "xla"
+
+    def _array_pallas(self, kind, args, start_stop, N, engine):
+        from .ops.pallas_kernels import (  # noqa: PLC0415
+            scan_pallas,
+            scan_pallas_df64,
+            scan_pallas_edf64,
+        )
+
+        extent = (start_stop[0][0], start_stop[0][1],
+                  start_stop[1][0], start_stop[1][1])
+        shape = (N[0], N[1])
+        if engine == "pallas":
+            return scan_pallas(self.artifact, kind, args, extent, shape)
+        if engine == "pallas_edf64":
+            return scan_pallas_edf64(self.artifact, kind, args, extent, shape)
+        if engine == "pallas_df64":
+            return scan_pallas_df64(self.artifact, kind, args, extent, shape)
+        raise ValueError(
+            f"unknown engine {engine!r}; expected None (auto), "
+            '"xla", "pallas", "pallas_df64" or "pallas_edf64"'
+        )
+
+    def calc_V_array(self, args, start, stop, N=None, engine=None) -> np.ndarray:
         """Potential sampled on an n-D grid; grid convention is
         endpoint-exclusive (see ops.grid).  Default 8000 samples/axis
-        (consistency_conditions.py:67-101)."""
+        (consistency_conditions.py:67-101).  ``engine`` as in
+        :meth:`GeneralisedAL.complete_analysis` (Pallas engines require a
+        2-field model; ``None`` auto-selects)."""
         args = self._validate_args(args)
         d = self.artifact.n_fields
         N = [8000] * d if N is None else [int(n) for n in N]
@@ -284,6 +319,11 @@ class InflationCondition:
                 (d,), (len(start_stop),),
                 "expected start/stop/N with one entry per field-space coordinate",
             )
+        engine = self._resolve_array_engine(engine)
+        if engine != "xla":
+            self._validate_2field()
+            out = self._array_pallas("potential", args, start_stop, N, engine)
+            return np.asarray(out[0])
         fn = self._cached_grid_fn("V_array", tuple(N), self.dtype)
         flat = np.asarray([v for ab in start_stop for v in ab])
         return np.asarray(fn(jnp.asarray(args, self.dtype), jnp.asarray(flat, self.dtype)))
@@ -320,12 +360,12 @@ class InflationCondition:
             args, [x0_start, x1_start], [x0_stop, x1_stop], N
         )
 
-    def calc_H_array_nd(self, args, start, stop, N=None) -> np.ndarray:
+    def calc_H_array_nd(self, args, start, stop, N=None, engine=None) -> np.ndarray:
         """Projected Hesse matrix on an n-D grid → shape (d, d, *N).
 
         The n-field grid evaluation of the reference's ``Hesse::hesse_array``
         (hesse_bindings.rs:113-193), which its Python surface never exposed
-        beyond 2 fields."""
+        beyond 2 fields.  ``engine`` as in :meth:`calc_V_array`."""
         args = self._validate_args(args)
         d = self.artifact.n_fields
         N = [8000] * d if N is None else [int(n) for n in N]
@@ -336,6 +376,12 @@ class InflationCondition:
                 "expected start/stop/N with one entry per field-space "
                 "coordinate",
             )
+        engine = self._resolve_array_engine(engine)
+        if engine != "xla":
+            self._validate_2field()
+            outs = self._array_pallas("hesse", args, start_stop, N, engine)
+            flat = np.stack([np.asarray(o) for o in outs])
+            return flat.reshape(2, 2, *flat.shape[1:])
         fn = self._cached_grid_fn("H_array", tuple(N), self.dtype)
         flat = np.asarray([v for ab in start_stop for v in ab])
         return np.asarray(

@@ -90,6 +90,18 @@ def _core_f32(kind):
             return (epsilon_v_only_op(v, gs),)
 
         return 1, run
+    if kind == "potential":
+
+        def run(model, xs, args):
+            return (model.potential(xs, args),)
+
+        return 1, run
+    if kind == "hesse":
+
+        def run(model, xs, args):
+            return tuple(model.hesse_tuple(xs, args))
+
+        return 4, run
     raise ValueError(f"unknown scan kind {kind!r}")
 
 
@@ -135,6 +147,18 @@ def _core_df(kind):
             return (epsilon_v_only_op_df(v, gs),)
 
         return 1, run
+    if kind == "potential":
+
+        def run(fns, xs, args):
+            return (fns["potential"](xs, args),)
+
+        return 1, run
+    if kind == "hesse":
+
+        def run(fns, xs, args):
+            return tuple(fns["hesse"](xs, args))
+
+        return 4, run
     raise ValueError(f"unknown scan kind {kind!r}")
 
 
@@ -623,6 +647,18 @@ def _core_edf(kind):
             return (epsilon_v_only_op_df(v, gs, nm=enm),)
 
         return 1, run
+    if kind == "potential":
+
+        def run(fns, xs, args):
+            return (fns["potential"](xs, args),)
+
+        return 1, run
+    if kind == "hesse":
+
+        def run(fns, xs, args):
+            return tuple(fns["hesse"](xs, args))
+
+        return 4, run
     raise ValueError(f"unknown scan kind {kind!r}")
 
 
@@ -1038,7 +1074,8 @@ def scan_pallas_df64(
     output: str = "f64",
 ):
     """Any grid scan kind on the double-f32 engine.  Kinds:
-    complete_analysis, consistency, consistency_rapidturn, epsilon_v.
+    complete_analysis, consistency, consistency_rapidturn, epsilon_v,
+    potential, hesse (the raw V/H_ab grid surfaces, 2-field).
 
     ``output`` selects the result format:
 

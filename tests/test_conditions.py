@@ -229,3 +229,20 @@ def test_calc_H_array_nd_three_fields():
     # the 2-field signature keeps rejecting n-field models
     with pytest.raises(Exception):
         cond.calc_H_array(np.array([1.0]), 0.0, 1.0, 0.0, 1.0, [4, 4])
+
+
+def test_v_h_array_pallas_engines(al):
+    """calc_V_array / calc_H_array honor engine= (round 2: raw V/H grid
+    surfaces gained the compensated Pallas engines; reference default
+    sampling is 8000²/axis where emulated f64 is ~7× slower)."""
+    args = np.array([1.0])
+    ref_v = al.calc_V_array(args, [0.5, 0.25], [2.5, 3.0], N=[16, 16],
+                                engine="xla")
+    got_v = al.calc_V_array(args, [0.5, 0.25], [2.5, 3.0], N=[16, 16],
+                                engine="pallas_df64")
+    np.testing.assert_allclose(got_v, ref_v, rtol=1e-12)
+    ref_h = al.calc_H_array(args, 0.5, 2.5, 0.25, 3.0, N=[16, 16])
+    got_h = al.calc_H_array_nd(args, [0.5, 0.25], [2.5, 3.0], N=[16, 16],
+                                   engine="pallas_df64")
+    assert got_h.shape == (2, 2, 16, 16)
+    np.testing.assert_allclose(got_h, ref_h, rtol=1e-11)

@@ -185,6 +185,22 @@ class CompiledModel:
             }
         return self._df32_fns
 
+    def tf_fns(self) -> dict:
+        """Model functions compiled against the triple-f32 extended-precision
+        engine (lowering/tf32.py, ~71-bit) — for cancellation-heavy models
+        (EGNO-class covariant Hesse) where every ~48-bit format, and even the
+        reference's f64, loses 7-8 digits (docs/numerics.md §8)."""
+        if getattr(self, "_tf_fns", None) is None:
+            from .lowering.tf32 import compile_tf32  # noqa: PLC0415
+
+            self._tf_fns = {
+                "potential": compile_tf32(self.potential),
+                "hesse": compile_tf32(self._hesse),
+                "grad_square": compile_tf32(self.grad_square),
+                "grad": compile_tf32(self._grad),
+            }
+        return self._tf_fns
+
     def edf_fns(self) -> dict:
         """Model functions compiled against the range-extended double-f32
         engine (lowering/edf32.py) — for models whose intermediates leave

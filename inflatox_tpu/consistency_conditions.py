@@ -299,9 +299,13 @@ class InflationCondition:
             return scan_pallas_edf64(self.artifact, kind, args, extent, shape)
         if engine == "pallas_df64":
             return scan_pallas_df64(self.artifact, kind, args, extent, shape)
+        if engine == "pallas_tf64":
+            from .ops.pallas_kernels import scan_pallas_tf64  # noqa: PLC0415
+
+            return scan_pallas_tf64(self.artifact, kind, args, extent, shape)
         raise ValueError(
             f"unknown engine {engine!r}; expected None (auto), "
-            '"xla", "pallas", "pallas_df64" or "pallas_edf64"'
+            '"xla", "pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
         )
 
     def calc_V_array(self, args, start, stop, N=None, engine=None) -> np.ndarray:
@@ -533,7 +537,7 @@ class GeneralisedAL(InflationCondition):
     # ---------------- full-grid scans ---------------------------------- #
 
     #: engines the fused Pallas kernels implement
-    _PALLAS_ENGINES = ("pallas", "pallas_df64", "pallas_edf64")
+    _PALLAS_ENGINES = ("pallas", "pallas_df64", "pallas_edf64", "pallas_tf64")
 
     def _resolve_engine(self, engine, dtype=None):
         """``engine=None`` → auto-select: on TPU the df32 Pallas kernel (the
@@ -566,6 +570,10 @@ class GeneralisedAL(InflationCondition):
                 )
             elif engine == "pallas_edf64":
                 out = scan_pallas_edf64(self.artifact, kind, args, extent, shape)
+            elif engine == "pallas_tf64":
+                from .ops.pallas_kernels import scan_pallas_tf64  # noqa: PLC0415
+
+                out = scan_pallas_tf64(self.artifact, kind, args, extent, shape)
             else:
                 out = scan_pallas_df64(self.artifact, kind, args, extent, shape)
             out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
@@ -596,6 +604,10 @@ class GeneralisedAL(InflationCondition):
           * "xla" — fused XLA scan, any dtype (fp64 on CPU is true IEEE; on
             TPU it is the ~4×-slower emulated path);
           * "pallas" — hand-tiled TPU kernel, fp32 (fast path);
+          * "pallas_tf64" — triple-f32 extended precision (~71-bit) for the
+            model evaluation: for cancellation-heavy models (EGNO-class)
+            where every 48-bit format — and the reference's own f64 — loses
+            7-8 digits (docs/numerics.md §8); ~3-5× the df64 cost;
           * "pallas_df64" — hand-tiled TPU kernel computing in double-f32
             (~1e-13, f64 outputs): parity-grade accuracy at near-fp32 speed —
             the recommended high-precision engine on TPU;

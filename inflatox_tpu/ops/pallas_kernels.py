@@ -52,6 +52,7 @@ __all__ = [
     "scan_pallas",
     "scan_pallas_df64",
     "scan_pallas_edf64",
+    "scan_pallas_tf64",
 ]
 
 
@@ -1163,3 +1164,175 @@ def complete_analysis_pallas(
         artifact, "complete_analysis", args, extent, shape, dtype=dtype,
         tile=tile, interpret=interpret,
     )
+
+# ---------------------------------------------------------------------- #
+# triple-f32 extended-precision engine (~71-bit model evaluation)        #
+# ---------------------------------------------------------------------- #
+
+
+def _tf_fns_as_df(model):
+    """Model functions evaluated in triple-f32, demoted to DF for the
+    analysis tail (the tail's conditioning is mild once its inputs are
+    accurate — docs/numerics.md §8)."""
+    tfns = model.tf_fns()
+
+    def wrap(name):
+        def f(xs, args):
+            out = tfns[name](xs, args)
+            if isinstance(out, tuple):
+                return tuple(o.to_df() for o in out)
+            return out.to_df()
+
+        return f
+
+    return {k: wrap(k) for k in ("potential", "hesse", "grad_square", "grad")}
+
+
+def _tf_scalars(args, extent, shape):
+    """Three exact f32 words per scalar (full f64 payloads + headroom)."""
+    x0a, x0b, x1a, x1b = (float(v) for v in extent)
+    n0, n1 = shape
+    vals = [float(v) for v in args] + [
+        x0a,
+        (x0b - x0a) / n0,
+        x1a,
+        (x1b - x1a) / n1,
+    ]
+    import numpy as _np
+
+    words = []
+    for v in vals:
+        w0 = float(_np.float32(v))
+        r = v - w0
+        w1 = float(_np.float32(r))
+        w2 = float(_np.float32(r - w1))
+        words.extend([w0, w1, w2])
+    return jnp.asarray(words, dtype=jnp.float32)
+
+
+def _kernel_tf(scal_ref, *out_refs, model=None, tile=None, strip=None,
+               n_params=None, kind=None):
+    """Triple-f32 kernel body: coordinates and model evaluation in TF,
+    analysis tail in DF (strip-mined like :func:`_kernel_df`)."""
+    from ..lowering.tf32 import TF  # noqa: PLC0415
+
+    tm, tn = tile
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def scal_tf(t):
+        return TF(scal_ref[3 * t], scal_ref[3 * t + 1], scal_ref[3 * t + 2])
+
+    args = tuple(scal_tf(t) for t in range(n_params))
+    x0a = scal_tf(n_params + 0)
+    dx0 = scal_tf(n_params + 1)
+    x1a = scal_tf(n_params + 2)
+    dx1 = scal_tf(n_params + 3)
+
+    _, core = _core_df_stream(kind)
+    fns = _tf_fns_as_df(model)
+    for c in range(tn // strip):
+        rows = lax.broadcasted_iota(jnp.int32, (tm, strip), 0).astype(jnp.float32)
+        cols = lax.broadcasted_iota(jnp.int32, (tm, strip), 1).astype(jnp.float32)
+        gi = TF(i.astype(jnp.float32) * float(tm) + rows)
+        gj = TF(j.astype(jnp.float32) * float(tn) + float(c * strip) + cols)
+        x0 = x0a + gi * dx0
+        x1 = x1a + gj * dx1
+        sl = slice(c * strip, (c + 1) * strip)
+
+        def emit(k, val, _sl=sl):
+            out_refs[2 * k][:, _sl] = val.hi
+            out_refs[2 * k + 1][:, _sl] = val.lo
+
+        core(fns, (x0, x1), args, emit)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "shape", "tile", "interpret", "kind", "combine"),
+)
+def _launch_tf(scalars, model, shape, tile, interpret, kind, combine=True):
+    tm, tn = tile
+    n_out, _ = _core_df(kind)
+    n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
+    grid = (n0p // tm, n1p // tn)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((n0p, n1p), jnp.float32) for _ in range(2 * n_out)
+    )
+    kernel = functools.partial(
+        _kernel_tf, model=model, tile=(tm, tn),
+        strip=_pick_strip(tn, None, model), n_params=model.n_parameters,
+        kind=kind,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[],
+        out_specs=tuple(
+            pl.BlockSpec((tm, tn), lambda i, j, *_: (i, j))
+            for _ in range(2 * n_out)
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars)
+    if not combine:
+        return tuple(o[: shape[0], : shape[1]] for o in outs)
+    combined = []
+    for k in range(n_out):
+        hi = outs[2 * k][: shape[0], : shape[1]]
+        lo = outs[2 * k + 1][: shape[0], : shape[1]]
+        combined.append(hi.astype(jnp.float64) + lo.astype(jnp.float64))
+    return tuple(combined)
+
+
+def _tf_eager(scalars, model, shape, kind="complete_analysis"):
+    """Eager TF fallback off-TPU (same EFT-preservation reasoning as
+    :func:`_df64_eager`)."""
+    from ..lowering.tf32 import TF  # noqa: PLC0415
+
+    n_params = model.n_parameters
+
+    def scal_tf(t):
+        return TF(scalars[3 * t], scalars[3 * t + 1], scalars[3 * t + 2])
+
+    args = tuple(scal_tf(t) for t in range(n_params))
+    x0a, dx0 = scal_tf(n_params + 0), scal_tf(n_params + 1)
+    x1a, dx1 = scal_tf(n_params + 2), scal_tf(n_params + 3)
+    rows = lax.broadcasted_iota(jnp.int32, shape, 0).astype(jnp.float32)
+    cols = lax.broadcasted_iota(jnp.int32, shape, 1).astype(jnp.float32)
+    x0 = x0a + TF(rows) * dx0
+    x1 = x1a + TF(cols) * dx1
+    _, core = _core_df(kind)
+    outs = core(_tf_fns_as_df(model), (x0, x1), args)
+    return tuple(o.to_f64() for o in outs)
+
+
+def scan_pallas_tf64(
+    artifact,
+    kind,
+    args,
+    extent,
+    shape,
+    tile=(8, 512),
+    interpret: bool | None = None,
+):
+    """Any grid scan kind on the triple-f32 extended-precision engine:
+    ~71-bit model evaluation + df32 analysis tail, f64 outputs.
+
+    For cancellation-heavy models (EGNO-class): measured EGNO Hesse accuracy
+    ~1e-13 vs 40-digit ground truth — ~400× beyond the reference's own f64
+    evaluation (docs/numerics.md §8).  Costs ~3-5× the df32 engine; special
+    functions are not available on this engine."""
+    scalars = _tf_scalars(args, extent, shape)
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None and not on_tpu:
+        return _tf_eager(scalars, artifact, tuple(shape), kind)
+    return _launch_tf(
+        scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False),
+        kind,
+    )
+

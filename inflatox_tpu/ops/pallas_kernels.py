@@ -1336,3 +1336,82 @@ def scan_pallas_tf64(
         kind,
     )
 
+def _kernel_tf_batch(scal_ref, *out_refs, model=None, tile=None, strip=None,
+                     n_params=None, kind=None):
+    """Batched triple-f32 kernel (see :func:`_kernel_df_batch`)."""
+    from ..lowering.tf32 import TF  # noqa: PLC0415
+
+    tm, tn = tile
+    sgrid = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    def scal_tf(t):
+        return TF(scal_ref[sgrid, 3 * t], scal_ref[sgrid, 3 * t + 1],
+                  scal_ref[sgrid, 3 * t + 2])
+
+    args = tuple(scal_tf(t) for t in range(n_params))
+    x0a = scal_tf(n_params + 0)
+    dx0 = scal_tf(n_params + 1)
+    x1a = scal_tf(n_params + 2)
+    dx1 = scal_tf(n_params + 3)
+    _, core = _core_df_stream(kind)
+    fns = _tf_fns_as_df(model)
+    for c in range(tn // strip):
+        rows = lax.broadcasted_iota(jnp.int32, (tm, strip), 0).astype(jnp.float32)
+        cols = lax.broadcasted_iota(jnp.int32, (tm, strip), 1).astype(jnp.float32)
+        gi = TF(i.astype(jnp.float32) * float(tm) + rows)
+        gj = TF(j.astype(jnp.float32) * float(tn) + float(c * strip) + cols)
+        x0 = x0a + gi * dx0
+        x1 = x1a + gj * dx1
+        sl = slice(c * strip, (c + 1) * strip)
+
+        def emit(k, val, _sl=sl):
+            out_refs[2 * k][0, :, _sl] = val.hi
+            out_refs[2 * k + 1][0, :, _sl] = val.lo
+
+        core(fns, (x0, x1), args, emit)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "shape", "tile", "interpret", "kind")
+)
+def _launch_tf_batch(scalars, model, shape, tile, interpret, kind):
+    """Batched tf32 launch: ``scalars`` is (S, n_scalars·3); returns a tuple
+    of (S, N0, N1) f64 arrays."""
+    S = scalars.shape[0]
+    tm, tn = tile
+    n_out, _ = _core_df(kind)
+    n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
+    grid = (S, n0p // tm, n1p // tn)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((S, n0p, n1p), jnp.float32)
+        for _ in range(2 * n_out)
+    )
+    kernel = functools.partial(
+        _kernel_tf_batch, model=model, tile=(tm, tn),
+        strip=_pick_strip(tn, None, model), n_params=model.n_parameters,
+        kind=kind,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[],
+        out_specs=tuple(
+            pl.BlockSpec((1, tm, tn), lambda s, i, j, *_: (s, i, j))
+            for _ in range(2 * n_out)
+        ),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars)
+    combined = []
+    for k in range(n_out):
+        hi = outs[2 * k][:, : shape[0], : shape[1]]
+        lo = outs[2 * k + 1][:, : shape[0], : shape[1]]
+        combined.append(hi.astype(jnp.float64) + lo.astype(jnp.float64))
+    return tuple(combined)
+

@@ -42,7 +42,7 @@ from ..utils.logging import Progress, log_warn
 
 __all__ = ["sharded_scan", "parameter_sweep"]
 
-_PALLAS_ENGINES = ("pallas", "pallas_df64", "pallas_edf64")
+_PALLAS_ENGINES = ("pallas", "pallas_df64", "pallas_edf64", "pallas_tf64")
 
 
 def _analysis_fn(model, shape, dtype):
@@ -63,12 +63,14 @@ def _analysis_fn(model, shape, dtype):
 
 def _scalars_for(engine, args, extent, shape, dtype):
     """Host-side scalar-prefetch row for one (args, extent) pair."""
-    from ..ops.pallas_kernels import _df_scalars, _edf_scalars
+    from ..ops.pallas_kernels import _df_scalars, _edf_scalars, _tf_scalars
 
     if engine == "pallas_df64":
         return np.asarray(_df_scalars(args, extent, shape))
     if engine == "pallas_edf64":
         return np.asarray(_edf_scalars(args, extent, shape))
+    if engine == "pallas_tf64":
+        return np.asarray(_tf_scalars(args, extent, shape))
     x0a, x0b, x1a, x1b = (float(v) for v in extent)
     geom = [x0a, (x0b - x0a) / shape[0], x1a, (x1b - x1a) / shape[1]]
     return np.asarray([float(v) for v in args] + geom, dtype=np.dtype(dtype))
@@ -76,9 +78,11 @@ def _scalars_for(engine, args, extent, shape, dtype):
 
 def _eager_compensated(engine, scalars_row, model, shape, kind):
     """Run one shard's scan on the EFT-safe eager fallback (host)."""
-    from ..ops.pallas_kernels import _df64_eager, _edf_eager
+    from ..ops.pallas_kernels import _df64_eager, _edf_eager, _tf_eager
 
-    fn = _edf_eager if engine == "pallas_edf64" else _df64_eager
+    fn = {"pallas_edf64": _edf_eager, "pallas_tf64": _tf_eager}.get(
+        engine, _df64_eager
+    )
     return fn(jnp.asarray(scalars_row), model, shape, kind)
 
 
@@ -167,7 +171,12 @@ def _sharded_scan_pallas(
     geometry) are precomputed host-side as one (n_dev, S) array sharded along
     the grid axis — exact f32 splitting for the df64/edf64 engines happens on
     host where f64 is cheap."""
-    from ..ops.pallas_kernels import _launch, _launch_df, _launch_edf
+    from ..ops.pallas_kernels import (
+        _launch,
+        _launch_df,
+        _launch_edf,
+        _launch_tf,
+    )
 
     n0, n1 = shape
     n_dev = mesh.shape[grid_axis]
@@ -175,7 +184,7 @@ def _sharded_scan_pallas(
     on_tpu = jax.default_backend() == "tpu"
     out_sharding = NamedSharding(mesh, P(None, grid_axis, None))
 
-    if not on_tpu and engine in ("pallas_df64", "pallas_edf64"):
+    if not on_tpu and engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
         # EFT-safe fallback: neither the Pallas interpreter nor fused
         # XLA:CPU may run compensated arithmetic — compute each shard
         # eagerly on host (bit-identical to the single-device engine) and
@@ -206,6 +215,9 @@ def _sharded_scan_pallas(
         elif engine == "pallas_edf64":
             outs = _launch_edf(local, model, local_shape, tile, interpret,
                                "complete_analysis")
+        elif engine == "pallas_tf64":
+            outs = _launch_tf(local, model, local_shape, tile, interpret,
+                              "complete_analysis")
         else:
             outs = _launch(local, model, local_shape, tile, interpret,
                            jnp.dtype(dtype), "complete_analysis")
@@ -386,11 +398,12 @@ def _pallas_chunk_runner(model, extent, shape, mesh, sweep_axis, dtype,
         _launch_df_batch,
         _launch_edf_batch,
         _launch_f32_batch,
+        _launch_tf_batch,
     )
 
     tile = (min(8, shape[0]), min(1024, shape[1]))
 
-    if not on_tpu and engine in ("pallas_df64", "pallas_edf64"):
+    if not on_tpu and engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
         # EFT-safe eager fallback, one parameter set at a time (host path —
         # correctness/CI only; production sweeps run on the TPU mesh)
         log_warn(
@@ -419,6 +432,9 @@ def _pallas_chunk_runner(model, extent, shape, mesh, sweep_axis, dtype,
         elif engine == "pallas_edf64":
             outs = _launch_edf_batch(scal_block, model, shape, tile,
                                      not on_tpu, "complete_analysis")
+        elif engine == "pallas_tf64":
+            outs = _launch_tf_batch(scal_block, model, shape, tile,
+                                    not on_tpu, "complete_analysis")
         else:
             outs = _launch_f32_batch(scal_block, model, shape, tile,
                                      not on_tpu, jnp.dtype(dtype),

@@ -202,3 +202,31 @@ def test_parameter_sweep_manifest_guard(al, tmp_path):
     with pytest.raises(ValueError, match="different sweep"):
         parameter_sweep(al, other, EXTENT, (8, 8), chunk_size=2,
                         checkpoint_dir=ckpt, progress=False)
+
+
+def test_sharded_scan_tf64_matches_single_device(al):
+    """The extended-precision engine shards like the others (eager EFT-safe
+    fallback off-TPU, bit-identical to the single-device path)."""
+    from inflatox_tpu.ops.pallas_kernels import scan_pallas_tf64
+
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    out = sharded_scan(al, PARAMS, EXTENT, (32, 32), mesh,
+                       engine="pallas_tf64")
+    single = scan_pallas_tf64(al.artifact, "complete_analysis", PARAMS,
+                              EXTENT, (32, 32))
+    got = np.asarray(out)
+    want = np.stack([np.asarray(o) for o in single])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_parameter_sweep_tf64(al):
+    mesh = make_mesh(axis_names=("sweep",), devices=jax.devices())
+    sweep = np.linspace(0.8, 1.2, 4)[:, None]
+    res_tf = parameter_sweep(al, sweep, EXTENT, (16, 16),
+                             mesh=mesh, progress=False, engine="pallas_tf64")
+    res_df = parameter_sweep(al, sweep, EXTENT, (16, 16),
+                             mesh=mesh, progress=False, engine="pallas_df64")
+    both = np.isfinite(res_tf) & np.isfinite(res_df)
+    np.testing.assert_allclose(
+        np.asarray(res_tf)[both], np.asarray(res_df)[both], rtol=1e-9
+    )

@@ -400,6 +400,39 @@ def main():
     except Exception as e:
         log(f"cfg3 egno FAILED: {type(e).__name__}: {e}")
 
+    # cfg3b: same EGNO window on the triple-f32 extended-precision engine
+    # (~71-bit model eval; docs/numerics.md §8 — ~400× more accurate than
+    # the reference's own f64 on this model's Hesse)
+    try:
+        from inflatox_tpu.ops import pallas_kernels as pk  # noqa: PLC0415
+
+        scal_tf = pk._tf_scalars(eargs, eextent, (en, en))
+
+        @jax.jit
+        def run_tf(s, K):
+            from jax import lax  # noqa: PLC0415
+
+            def body(_, carry):
+                ss, acc = carry
+                outs = pk._launch_tf(ss, eart, (en, en), (8, 512), False,
+                                     "consistency_rapidturn", combine=False)
+                probe = outs[0][0, 0]
+                return (ss + (probe * 0.0).astype(ss.dtype), acc + probe)
+
+            _, acc = lax.fori_loop(0, K, body, (s, jnp.float32(0.0)))
+            return acc
+
+        t = amortized(run_tf, (scal_tf,), K1=2, K2=12)
+        pts_rate = en * en / t
+        emit(
+            "cfg3b_egno_rapidturn_tf64_pallas_2048",
+            ms_per_call=round(t * 1e3, 3),
+            gpts_per_s=round(pts_rate / 1e9, 3),
+            engine="pallas_tf64 (triple-f32 extended precision)",
+        )
+    except Exception as e:
+        log(f"cfg3b egno tf64 FAILED: {type(e).__name__}: {e}")
+
     # ---------------- config 4: D5 (special-function class) --------------- #
     try:
         import os

@@ -212,6 +212,249 @@ def _bessel_frac(nu, z, modified: bool):
     return pref * hyp0f1(nu + 1.0, arg)
 
 
+# --------------------------------------------------------------------------- #
+# Fractional-order J/Y: Steed's method (CF1 + complex CF2) with Temme's
+# series for small arguments — the standard full-accuracy algorithm
+# (Numerical Recipes bessjy / Barnett).  Replaces the round-1 0F1-connection
+# route whose alternating series lost digits beyond z ≈ 10.  Validated
+# ≤1e-12 (amplitude-floored) vs 40-digit mpmath for ν ∈ [0.1, 4.6],
+# z ∈ [0.05, 40] (tests/test_special.py).  Orders are capped at ν < 30
+# (larger orders should be integers, which take the Chebyshev paths).
+# --------------------------------------------------------------------------- #
+
+_TEMME_G1 = np.array([
+    -0.5710113401855841, -1.97551434264295e-17, 0.00651651126707368,
+    -1.9461688077422866e-17, 0.0003087090173085056, -1.9637573943002206e-17,
+    -3.4706269649151143e-06, -1.39082417974295e-17, 6.943766421246031e-09,
+    -1.621927686259548e-17, 3.677951441937119e-11, -1.1051165107663382e-17,
+    -1.356340297563193e-13, -7.138982946540495e-18, -3.5327647554267563e-17
+])
+_TEMME_G2 = np.array([
+    0.921870293650453, 3.523462454814079e-17, -0.0768528408447866,
+    5.2912295582844394e-17, 0.0012719271366546513, 5.4734676185828735e-17,
+    -4.9717367041385e-06, 2.377817426824363e-17, -3.312611969802513e-08,
+    9.312654661450359e-17, 2.4230963292765556e-10, 2.9257568727534474e-17,
+    -1.701486781673822e-13, 4.44840869628458e-17, -1.4628228722797227e-15
+])
+
+
+_STEED_ITERS = 100
+_STEED_MAX_NL = 30
+_STEED_XMIN = 2.0
+
+
+def _bessjy_steed(nu, x):
+    """(J_ν(x), Y_ν(x)) for real ν ≥ 0, x > 0, elementwise."""
+    dtype = _dtype_of(nu, x)
+    nu = jnp.asarray(nu, dtype)
+    x = jnp.asarray(x, dtype)
+    shape = jnp.broadcast_shapes(jnp.shape(nu), jnp.shape(x))
+    nu = jnp.broadcast_to(nu, shape)
+    xs = jnp.broadcast_to(jnp.where(x > 0, x, 1.0), shape)
+
+    nl = jnp.where(
+        xs < _STEED_XMIN,
+        jnp.floor(nu + 0.5),
+        jnp.maximum(0.0, jnp.floor(nu - xs + 1.5)),
+    )
+    nl = jnp.clip(nl, 0.0, float(_STEED_MAX_NL))
+    xmu = nu - nl
+    xmu2 = xmu * xmu
+    xi = 1.0 / xs
+    xi2 = 2.0 * xi
+    w = xi2 / jnp.pi
+
+    # ---- CF1: h = J'_ν/J_ν, sign of J_ν tracked in isign --------------- #
+    tiny = 1e-30
+    h0 = jnp.maximum(nu * xi, tiny)
+
+    def cf1_body(i, carry):
+        b, c, d, h, isign, done = carry
+        fi = i.astype(dtype)
+        b2 = b + xi2
+        d2 = b2 - d
+        d2 = jnp.where(jnp.abs(d2) < tiny, tiny, d2)
+        c2 = b2 - 1.0 / c
+        c2 = jnp.where(jnp.abs(c2) < tiny, tiny, c2)
+        d2 = 1.0 / d2
+        dl = c2 * d2
+        h2 = h * dl
+        flip = d2 < 0
+        isign2 = jnp.where(flip & ~done, -isign, isign)
+        conv = jnp.abs(dl - 1.0) < 1e-16
+        keep = done
+        return (
+            jnp.where(keep, b, b2), jnp.where(keep, c, c2),
+            jnp.where(keep, d, d2), jnp.where(keep, h, h2),
+            isign2, done | conv,
+        )
+
+    del_unused = None  # noqa: F841
+    b0 = xi2 * nu
+    init = (b0, h0, jnp.zeros(shape, dtype), h0,
+            jnp.ones(shape, dtype), jnp.zeros(shape, bool))
+    b, c, d, h, isign, _ = lax.fori_loop(1, _STEED_ITERS, cf1_body, init)
+
+    # ---- downward recurrence nl steps (masked fixed-trip) --------------- #
+    rjl = isign * tiny
+    rjpl = h * rjl
+    rjl1 = rjl
+    fact = nu * xi
+
+    def down_body(i, carry):
+        rjl, rjpl, fact = carry
+        step = i.astype(dtype) < nl
+        rjtemp = fact * rjl + rjpl
+        fact2 = fact - xi
+        rjpl2 = fact2 * rjtemp - rjl
+        return (
+            jnp.where(step, rjtemp, rjl),
+            jnp.where(step, rjpl2, rjpl),
+            jnp.where(step, fact2, fact),
+        )
+
+    rjl, rjpl, fact = lax.fori_loop(0, _STEED_MAX_NL, down_body,
+                                    (rjl, rjpl, fact))
+    rjl = jnp.where(rjl == 0.0, tiny, rjl)
+    f = rjpl / rjl
+
+    # ---- small-x: Temme's series ---------------------------------------- #
+    xc = jnp.minimum(xs, _STEED_XMIN)
+    x2 = 0.5 * xc
+    pimu = jnp.pi * xmu
+    fact_t = jnp.where(jnp.abs(pimu) < 1e-15, 1.0, pimu / jnp.sin(pimu))
+    dd = -jnp.log(x2)
+    e = xmu * dd
+    fact2_t = jnp.where(jnp.abs(e) < 1e-15, 1.0, jnp.sinh(e) / e)
+    tg = 2.0 * xmu  # Chebyshev argument for the ±½ window
+    gam1 = _cheb_eval(_TEMME_G1, tg)
+    gam2 = _cheb_eval(_TEMME_G2, tg)
+    ff = 2.0 / jnp.pi * fact_t * (gam1 * jnp.cosh(e) + gam2 * fact2_t * dd)
+    ee = jnp.exp(e)
+    gampl = gam2 - xmu * gam1
+    gammi = gam2 + xmu * gam1
+    pt = ee / (gampl * jnp.pi)
+    qt = 1.0 / (ee * jnp.pi * gammi)
+    pimu2 = 0.5 * pimu
+    fact3 = jnp.where(jnp.abs(pimu2) < 1e-15, 1.0, jnp.sin(pimu2) / pimu2)
+    rr = jnp.pi * pimu2 * fact3 * fact3
+    dd2 = -x2 * x2
+
+    def temme_body(i, carry):
+        ff, cc, pt, qt, ssum, ssum1, done = carry
+        fi = i.astype(dtype)
+        ff2 = (fi * ff + pt + qt) / (fi * fi - xmu2)
+        cc2 = cc * dd2 / fi
+        pt2 = pt / (fi - xmu)
+        qt2 = qt / (fi + xmu)
+        dl = cc2 * (ff2 + rr * qt2)
+        ssum2 = ssum + dl
+        dl1 = cc2 * pt2 - fi * dl
+        ssum12 = ssum1 + dl1
+        conv = jnp.abs(dl) < (1.0 + jnp.abs(ssum2)) * 1e-17
+        keep = done
+        return (
+            jnp.where(keep, ff, ff2), jnp.where(keep, cc, cc2),
+            jnp.where(keep, pt, pt2), jnp.where(keep, qt, qt2),
+            jnp.where(keep, ssum, ssum2), jnp.where(keep, ssum1, ssum12),
+            done | conv,
+        )
+
+    init_t = (ff, jnp.ones(shape, dtype), pt, qt, ff + rr * qt, pt,
+              jnp.zeros(shape, bool))
+    ff_, cc_, pt_, qt_, ssum, ssum1, _ = lax.fori_loop(
+        1, _STEED_ITERS, temme_body, init_t
+    )
+    rymu_s = -ssum
+    ry1_s = -ssum1 * (2.0 / xc)
+    rymup_s = xmu / xc * rymu_s - ry1_s
+    w_small = 2.0 / (jnp.pi * xc)
+    rjmu_s = w_small / (rymup_s - f * rymu_s)
+
+    # ---- large-x: complex CF2 ------------------------------------------- #
+    xb = jnp.maximum(xs, _STEED_XMIN)
+    xib = 1.0 / xb
+    a0 = 0.25 - xmu2
+    pc = -0.5 * xib
+    qc = jnp.ones(shape, dtype)
+    br = 2.0 * xb
+    bi = jnp.full(shape, 2.0, dtype)
+    fact_c = a0 * xib / (pc * pc + qc * qc)
+    cr = br + qc * fact_c
+    ci = bi + pc * fact_c
+    den0 = br * br + bi * bi
+    dr = br / den0
+    di = -bi / den0
+    dlr = cr * dr - ci * di
+    dli = cr * di + ci * dr
+    temp = pc * dlr - qc * dli
+    qc = pc * dli + qc * dlr
+    pc = temp
+
+    def cf2_body(i, carry):
+        a, br, bi, cr, ci, dr, di, pc, qc, done = carry
+        fi = i.astype(dtype)
+        a2 = a + 2.0 * (fi - 1.0)
+        bi2 = bi + 2.0
+        dr2 = a2 * dr + br
+        di2 = a2 * di + bi2
+        small = (jnp.abs(dr2) + jnp.abs(di2)) < tiny
+        dr2 = jnp.where(small, tiny, dr2)
+        fact = a2 / (cr * cr + ci * ci)
+        cr2 = br + cr * fact
+        ci2 = bi2 - ci * fact
+        smallc = (jnp.abs(cr2) + jnp.abs(ci2)) < tiny
+        cr2 = jnp.where(smallc, tiny, cr2)
+        den = dr2 * dr2 + di2 * di2
+        dr3 = dr2 / den
+        di3 = -di2 / den
+        dlr = cr2 * dr3 - ci2 * di3
+        dli = cr2 * di3 + ci2 * dr3
+        temp = pc * dlr - qc * dli
+        qc2 = pc * dli + qc * dlr
+        pc2 = temp
+        conv = (jnp.abs(dlr - 1.0) + jnp.abs(dli)) < 1e-16
+        keep = done
+        return (
+            jnp.where(keep, a, a2), br, jnp.where(keep, bi, bi2),
+            jnp.where(keep, cr, cr2), jnp.where(keep, ci, ci2),
+            jnp.where(keep, dr, dr3), jnp.where(keep, di, di3),
+            jnp.where(keep, pc, pc2), jnp.where(keep, qc, qc2),
+            done | conv,
+        )
+
+    init_c = (a0, br, bi, cr, ci, dr, di, pc, qc, jnp.zeros(shape, bool))
+    a_, br_, bi_, cr_, ci_, dr_, di_, pc, qc, _ = lax.fori_loop(
+        2, _STEED_ITERS, cf2_body, init_c
+    )
+    gam = (pc - f) / qc
+    w_big = 2.0 / (jnp.pi * xb)
+    rjmu_b = jnp.sqrt(jnp.abs(w_big / ((pc - f) * gam + qc)))
+    rjmu_b = jnp.where(rjl >= 0, rjmu_b, -rjmu_b)
+    rymu_b = rjmu_b * gam
+    rymup_b = rymu_b * (pc + qc / gam)
+    ry1_b = xmu * xib * rymu_b - rymup_b
+
+    small_mask = xs < _STEED_XMIN
+    rjmu = jnp.where(small_mask, rjmu_s, rjmu_b)
+    rymu = jnp.where(small_mask, rymu_s, rymu_b)
+    ry1 = jnp.where(small_mask, ry1_s, ry1_b)
+
+    rj = rjl1 * (rjmu / rjl)
+
+    def up_body(i, carry):
+        rymu, ry1 = carry
+        step = i.astype(dtype) < nl
+        rytemp = (xmu + i.astype(dtype) + 1.0) * xi2 * ry1 - rymu
+        return (jnp.where(step, ry1, rymu), jnp.where(step, rytemp, ry1))
+
+    rymu, ry1 = lax.fori_loop(0, _STEED_MAX_NL, up_body, (rymu, ry1))
+    ry = rymu
+    bad = x <= 0
+    return jnp.where(bad, jnp.nan, rj), jnp.where(bad, jnp.nan, ry)
+
+
+
 def besselj(nu, z):
     """Bessel function of the first kind J_ν(z).
 
@@ -219,7 +462,7 @@ def besselj(nu, z):
     Fractional ν: requires z ≥ 0."""
     if _is_static_int(nu):
         return _bessel_j_int(int(nu), z)
-    return _bessel_frac(nu, z, modified=False)
+    return _bessjy_steed(nu, z)[0]
 
 
 def besseli(nu, z):
@@ -452,12 +695,8 @@ def bessely(nu, z):
                 prev, cur = cur, (2.0 * k / zs) * cur - prev
                 out = cur
         return sign * jnp.where(z > 0, out, jnp.nan)
-    # fractional order: connection formula
-    dtype = _dtype_of(nu, z)
-    nu = jnp.asarray(nu, dtype)
-    jp = _bessel_frac(nu, z, modified=False)
-    jm = _bessel_frac(-nu, z, modified=False)
-    return (jp * jnp.cos(jnp.pi * nu) - jm) / jnp.sin(jnp.pi * nu)
+    # fractional order: Steed's method (full accuracy for all z)
+    return _bessjy_steed(nu, z)[1]
 
 
 def besselk(nu, z):

@@ -50,9 +50,15 @@ def test_besselj_negative_order():
 
 
 def test_besselj_fractional():
-    z = _z(0.1, 12.0)
-    got = np.asarray(sp.besselj(0.5, z))
-    np.testing.assert_allclose(got, sps.jv(0.5, z), rtol=1e-9, atol=1e-12)
+    # Steed's method (CF1 + complex CF2 + Temme): full accuracy at every z,
+    # replacing the round-1 0F1 route that lost digits beyond z ≈ 10
+    z = _z(0.05, 40.0, 400)
+    for nu in (0.1, 0.5, 1.3, 2.7, 4.6):
+        got = np.asarray(sp.besselj(nu, z))
+        want = sps.jv(nu, z)
+        floor = 1e-3 * np.max(np.abs(want))
+        rel = np.abs(got - want) / np.maximum(np.abs(want), floor)
+        assert rel.max() < 1e-11, (nu, rel.max())
 
 
 def test_besseli():
@@ -72,9 +78,14 @@ def test_bessely():
     for n in (0, 1, 3, 5):
         got = np.asarray(sp.bessely(n, z))
         np.testing.assert_allclose(got, sps.yv(n, z), rtol=2e-11, atol=1e-13)
-    # fractional order (0F1 connection; degrades slowly with z)
-    got = np.asarray(sp.bessely(0.5, _z(0.2, 10.0)))
-    np.testing.assert_allclose(got, sps.yv(0.5, _z(0.2, 10.0)), rtol=1e-9, atol=1e-12)
+    # fractional orders via Steed's method: full accuracy at every z
+    zf = _z(0.05, 40.0, 400)
+    for nu in (0.1, 0.5, 1.3, 2.7):
+        got = np.asarray(sp.bessely(nu, zf))
+        want = sps.yv(nu, zf)
+        floor = 1e-3 * np.max(np.abs(want))
+        rel = np.abs(got - want) / np.maximum(np.abs(want), floor)
+        assert rel.max() < 1e-11, (nu, rel.max())
 
 
 def test_bessely_domain():

@@ -511,6 +511,36 @@ def main():
     except Exception as e:
         log(f"cfg5 sweep FAILED: {type(e).__name__}: {e}")
 
+    # cfg5b: batched on-device background-trajectory solves (the other half
+    # of BASELINE config 5's description)
+    try:
+        from inflatox_tpu import background
+
+        B, steps = 256, 2000
+        rng = np.random.default_rng(0)
+        f0 = np.stack([rng.uniform(1.5, 2.5, B), rng.uniform(1.5, 2.5, B)], 1)
+        d0 = np.zeros((B, 2))
+        t0 = time.perf_counter()
+        out = background.solve_eom_batch(al.artifact, args, steps, f0, d0,
+                                         solver="rkf")
+        _ = np.asarray(out)
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = background.solve_eom_batch(al.artifact, args, steps, f0, d0,
+                                         solver="rkf")
+        _ = np.asarray(out)
+        t_warm = time.perf_counter() - t0
+        emit(
+            "cfg5b_batched_solves_256x2000",
+            s_warm=round(t_warm, 3),
+            s_cold=round(t_cold, 2),
+            trajectories_per_s=round(B / t_warm, 1),
+            note="256 RKF45 trajectories x 2000 output rows, one vmapped "
+                 "launch (wall incl. dispatch + fetch)",
+        )
+    except Exception as e:
+        log(f"cfg5b solves FAILED: {type(e).__name__}: {e}")
+
     # ---------------- write matrix + headline ----------------------------- #
     try:
         with open("BENCH_MATRIX.json", "w") as f:

@@ -877,7 +877,7 @@ class GeneralisedAL(InflationCondition):
         self._validate_2field()
         args_v = self._validate_args(args)
         engine = self._resolve_engine(engine)
-        if engine in ("pallas_df64", "pallas_edf64"):
+        if engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
             from .ops.pallas_kernels import scan_pallas_ot  # noqa: PLC0415
 
             core_kind = kind[: -len("_ot")]
@@ -899,7 +899,8 @@ class GeneralisedAL(InflationCondition):
         if engine != "xla":
             raise ValueError(
                 f'unknown engine {engine!r} for trajectory scans; expected '
-                'None (auto), "xla", "pallas_df64" or "pallas_edf64"'
+                'None (auto), "xla", "pallas_df64", "pallas_edf64" or '
+                '"pallas_tf64"'
             )
         xs = self._trajectory_coords(x)
         fn = self._cached_point_fn(kind)

@@ -289,11 +289,10 @@ def _bessjy_steed(nu, x):
             isign2, done | conv,
         )
 
-    del_unused = None  # noqa: F841
     b0 = xi2 * nu
     init = (b0, h0, jnp.zeros(shape, dtype), h0,
             jnp.ones(shape, dtype), jnp.zeros(shape, bool))
-    b, c, d, h, isign, _ = lax.fori_loop(1, _STEED_ITERS, cf1_body, init)
+    _, _, _, h, isign, _ = lax.fori_loop(1, _STEED_ITERS, cf1_body, init)
 
     # ---- downward recurrence nl steps (masked fixed-trip) --------------- #
     rjl = isign * tiny
@@ -313,8 +312,8 @@ def _bessjy_steed(nu, x):
             jnp.where(step, fact2, fact),
         )
 
-    rjl, rjpl, fact = lax.fori_loop(0, _STEED_MAX_NL, down_body,
-                                    (rjl, rjpl, fact))
+    rjl, rjpl, _ = lax.fori_loop(0, _STEED_MAX_NL, down_body,
+                                 (rjl, rjpl, fact))
     rjl = jnp.where(rjl == 0.0, tiny, rjl)
     f = rjpl / rjl
 
@@ -362,7 +361,7 @@ def _bessjy_steed(nu, x):
 
     init_t = (ff, jnp.ones(shape, dtype), pt, qt, ff + rr * qt, pt,
               jnp.zeros(shape, bool))
-    ff_, cc_, pt_, qt_, ssum, ssum1, _ = lax.fori_loop(
+    _, _, _, _, ssum, ssum1, _ = lax.fori_loop(
         1, _STEED_ITERS, temme_body, init_t
     )
     rymu_s = -ssum
@@ -424,7 +423,7 @@ def _bessjy_steed(nu, x):
         )
 
     init_c = (a0, br, bi, cr, ci, dr, di, pc, qc, jnp.zeros(shape, bool))
-    a_, br_, bi_, cr_, ci_, dr_, di_, pc, qc, _ = lax.fori_loop(
+    _, _, _, _, _, _, _, pc, qc, _ = lax.fori_loop(
         2, _STEED_ITERS, cf2_body, init_c
     )
     gam = (pc - f) / qc

@@ -898,6 +898,28 @@ def _kernel_edf_ot(scal_ref, x0h, x0l, x1h, x1l, *out_refs, model=None,
     core(model.edf_fns(), (x0, x1), args, emit)
 
 
+def _kernel_tf_ot(scal_ref, x0h, x0l, x1h, x1l, *out_refs, model=None,
+                  n_params=None, kind=None):
+    from ..lowering.tf32 import TF  # noqa: PLC0415
+
+    def scal_tf(t):
+        return TF(scal_ref[3 * t], scal_ref[3 * t + 1], scal_ref[3 * t + 2])
+
+    args = tuple(scal_tf(t) for t in range(n_params))
+    # trajectory coordinates are f64 inputs: a (hi, lo) f32 pair carries the
+    # full payload only to ~48 bits; the last ~5 bits of the f64 mantissa
+    # are below every trajectory's own accuracy, so the pair is sufficient
+    x0 = TF(x0h[:, :], x0l[:, :])
+    x1 = TF(x1h[:, :], x1l[:, :])
+
+    def emit(k, val):
+        out_refs[2 * k][:, :] = val.hi
+        out_refs[2 * k + 1][:, :] = val.lo
+
+    _, core = _core_df_stream(kind)
+    core(_tf_fns_as_df(model), (x0, x1), args, emit)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "R", "interpret", "kind", "engine"),
@@ -908,7 +930,10 @@ def _launch_ot(scalars, x0h, x0l, x1h, x1l, model, R, interpret, kind, engine):
     # NB: index maps must not contain literal ints — under x64 a literal 0
     # traces as i64, which Mosaic cannot legalize; i*0 stays i32
     in_spec = pl.BlockSpec((_OT_ROWS, _OT_LANES), lambda i, *_: (i, i * 0))
-    kern = _kernel_edf_ot if engine == "pallas_edf64" else _kernel_df_ot
+    kern = {
+        "pallas_edf64": _kernel_edf_ot,
+        "pallas_tf64": _kernel_tf_ot,
+    }.get(engine, _kernel_df_ot)
     kernel = functools.partial(
         kern, model=model, n_params=model.n_parameters, kind=kind,
     )
@@ -954,6 +979,8 @@ def scan_pallas_ot(artifact, kind, args, x, engine="pallas_df64"):
 
     if engine == "pallas_edf64":
         scalars = _edf_scalars(args, (0.0, 1.0, 0.0, 1.0), (1, 1))[: 3 * len(args)]
+    elif engine == "pallas_tf64":
+        scalars = _tf_scalars(args, (0.0, 1.0, 0.0, 1.0), (1, 1))[: 3 * len(args)]
     else:
         scalars = _df_scalars(args, (0.0, 1.0, 0.0, 1.0), (1, 1))[: 2 * len(args)]
 
@@ -975,6 +1002,16 @@ def scan_pallas_ot(artifact, kind, args, x, engine="pallas_df64"):
             fns = artifact.edf_fns()
             outs = core(fns, tuple(cols), a)
             return tuple(o.to_df().to_f64() for o in outs)
+        if engine == "pallas_tf64":
+            from ..lowering.tf32 import TF  # noqa: PLC0415
+
+            a = tuple(
+                TF(scalars[3 * t], scalars[3 * t + 1], scalars[3 * t + 2])
+                for t in range(len(args))
+            )
+            outs = core(_tf_fns_as_df(artifact),
+                        tuple(TF(c.hi, c.lo) for c in cols), a)
+            return tuple(o.to_f64() for o in outs)
         a = tuple(
             DF(scalars[2 * t], scalars[2 * t + 1]) for t in range(len(args))
         )

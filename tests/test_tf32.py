@@ -106,3 +106,22 @@ def egno_artifact_and_args():
         art.model, {"m": 1e-3, "a": 0.5, "c": 1000.0, "alpha": 1.0}
     )
     return art, args
+
+
+def test_tf64_on_trajectory(egno_artifact_and_args):
+    """OT scans run on the extended-precision engine too."""
+    art, args = egno_artifact_and_args
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    al = GeneralisedAL(art, validate_basis=False)
+    rng = np.random.default_rng(5)
+    traj = np.stack([rng.uniform(0.46, 0.50, 64), rng.uniform(0.1, 3.0, 64)], 1)
+    tf = al.complete_analysis_ot(args, traj, engine="pallas_tf64")
+    df = al.complete_analysis_ot(args, traj, engine="pallas_df64")
+    for t, d in zip(tf, df):
+        both = np.isfinite(t) & np.isfinite(d)
+        assert both.mean() > 0.9
+        # agreement at the df engine's own EGNO envelope
+        np.testing.assert_allclose(
+            np.asarray(t)[both], np.asarray(d)[both], rtol=1e-4
+        )

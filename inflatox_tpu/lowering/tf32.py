@@ -40,7 +40,6 @@ from .df32 import (
     _c,
     _pow2_f32,
     _quick_two_sum,
-    _split_const,
     _two_prod,
     _two_sum,
 )

@@ -12,17 +12,21 @@ computes all six analysis quantities tile-by-tile:
 * all six outputs are written once per tile: the scan is a pure
   write-bandwidth workload, the theoretical floor for this computation.
 
-Precision: Mosaic/TPU has no f64.  Three kernel families exist:
+Precision: Mosaic/TPU has no f64.  Four kernel families exist:
 
 * the **fp32 fast path** (`scan_pallas`, ``dtype=jnp.float32``),
 * the **double-f32 parity path** (`scan_pallas_df64`): compensated
   float-float arithmetic (lowering/df32.py) with f64 outputs — ~1e-13
-  relative, ~5× the fp32 kernel cost, ~4× faster than XLA's emulated f64
-  (BENCH_MATRIX.json has the measured matrix), and
+  relative, ~3.5× the fp32 kernel cost, ~7× faster than XLA's emulated f64
+  (BENCH_MATRIX.json has the measured matrix),
 * the **range-extended path** (`scan_pallas_edf64`): df32 mantissa + a
   per-element int32 exponent (lowering/edf32.py) — the only TPU engine for
   models whose intermediates leave the f32 dynamic range (even XLA's
-  emulated f64 has f32 range); ~2.5× the df32 kernel cost.
+  emulated f64 has f32 range), and
+* the **extended-precision path** (`scan_pallas_tf64`): triple-f32
+  (~71-bit) model evaluation + df32 analysis tail (lowering/tf32.py) — for
+  cancellation-heavy models where every 48-bit format, and the reference's
+  own f64, loses 7-8 digits (docs/numerics.md §8).
 
 On non-TPU backends the fp32 kernels run in interpreter mode (tests); the
 df32 path falls back to eager evaluation instead — the interpreter evaluates

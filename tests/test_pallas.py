@@ -136,3 +136,62 @@ def test_trajectory_pallas_edf64(doc_model_artifact):
     ref = al.epsilon_v_ot(args, traj, progress=False)
     got = al.epsilon_v_ot(args, traj, progress=False, engine="pallas_edf64")
     np.testing.assert_allclose(got, ref, rtol=1e-11)
+
+
+def test_engines_parameterless_model():
+    """A model with zero free parameters runs on every engine (the scalar
+    prefetch vector then carries only grid geometry)."""
+    import sympy
+
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    x, y = sympy.symbols("x y")
+    V = x**2 * y**2 + x**2 + y**2 + 1
+    model = inflatox.InflationModelBuilder.new(
+        [x, y], [[1, 0], [0, 1]], V, silent=True
+    ).build()
+    al = GeneralisedAL(inflatox.Compiler(model, silent=True).compile(),
+                       validate_basis=False)
+    args = np.array([])
+    ref = al.complete_analysis(args, 0.5, 2.0, 0.5, 2.0, 16, 16,
+                               progress=False, engine="xla")
+    for engine in ("pallas", "pallas_df64", "pallas_edf64", "pallas_tf64"):
+        got = al.complete_analysis(args, 0.5, 2.0, 0.5, 2.0, 16, 16,
+                                   progress=False, engine=engine)
+        both = np.isfinite(ref[1]) & np.isfinite(got[1])
+        assert both.mean() > 0.9, engine
+        rtol = 1e-4 if engine == "pallas" else 1e-10
+        np.testing.assert_allclose(got[1][both], ref[1][both], rtol=rtol,
+                                   err_msg=engine)
+
+
+def test_pair_output_cpu_fallback(doc_model_artifact):
+    """output='pair' works on the eager (non-TPU) path and recombines to
+    the f64 result exactly."""
+    from inflatox_tpu.ops.pallas_kernels import scan_pallas_df64
+
+    args = np.array([1.0])
+    extent = (0.5, 2.5, 0.25, 3.0)
+    f64 = scan_pallas_df64(doc_model_artifact, "complete_analysis", args,
+                           extent, (16, 16), output="f64")
+    pairs = scan_pallas_df64(doc_model_artifact, "complete_analysis", args,
+                             extent, (16, 16), output="pair")
+    for (hi, lo), o in zip(pairs, f64):
+        got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+        np.testing.assert_allclose(got, np.asarray(o), rtol=1e-7,
+                                   equal_nan=True)
+
+
+def test_unknown_engine_raises(doc_model_artifact):
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    al = GeneralisedAL(doc_model_artifact, validate_basis=False)
+    with pytest.raises(ValueError, match="engine"):
+        al.complete_analysis(np.array([1.0]), 0.0, 1.0, 0.0, 1.0, 8, 8,
+                             progress=False, engine="bogus")
+    with pytest.raises(ValueError, match="pair"):
+        from inflatox_tpu.ops.pallas_kernels import scan_pallas_df64
+
+        scan_pallas_df64(doc_model_artifact, "epsilon_v", np.array([1.0]),
+                         (0.0, 1.0, 0.0, 1.0), (8, 8), output="planar")

@@ -108,7 +108,7 @@ def make_pallas_chain(artifact, kind, args, extent, shape, df64=True,
         x0a, x0b, x1a, x1b = (float(v) for v in extent)
         geom = [x0a, (x0b - x0a) / shape[0], x1a, (x1b - x1a) / shape[1]]
         scalars = jnp.asarray([float(v) for v in args] + geom, jnp.float32)
-        tile = tile or (256, 256)
+        tile = tile or (8, 2048)
         launch = lambda s: pk._launch(  # noqa: E731
             s, artifact, tuple(shape), tuple(tile), False,
             jnp.dtype(jnp.float32), kind,
@@ -510,6 +510,34 @@ def main():
         )
     except Exception as e:
         log(f"cfg5 sweep FAILED: {type(e).__name__}: {e}")
+
+    # cfg4b: Bessel-containing model on the FAST engine (round 2: the df32
+    # engine gained the special-function family — lowering/df32_special.py;
+    # round 1 had no fast TPU story for this class at all)
+    try:
+        import sympy
+
+        bx, by, ba = sympy.symbols("bx by b_a")
+        bV = ba * sympy.besselj(0, bx) ** 2 + sympy.besselk(1, bx + 2) * by**2 + 2
+        bmodel = inflatox.InflationModelBuilder.new(
+            [bx, by], [[1, 0], [0, 1]], bV, silent=True, simplify=False,
+            assertions=False,
+        ).build()
+        bart = inflatox.Compiler(bmodel, silent=True).compile()
+        bargs = np.array([2.0])
+        bextent = (0.5, 3.0, 0.2, 1.5)
+        bn = 1024
+        run, ia = make_pallas_chain(bart, "complete_analysis", bargs,
+                                    bextent, (bn, bn), df64=True)
+        t = amortized(run, ia, K1=2, K2=12)
+        emit(
+            "cfg4b_bessel_df64_pallas_1024",
+            ms_per_call=round(t * 1e3, 3),
+            gpts_per_s=round(bn * bn / t / 1e9, 3),
+            engine="pallas_df64 with df32 special functions (J0, K1)",
+        )
+    except Exception as e:
+        log(f"cfg4b bessel FAILED: {type(e).__name__}: {e}")
 
     # cfg5b: batched on-device background-trajectory solves (the other half
     # of BASELINE config 5's description)

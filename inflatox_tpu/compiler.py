@@ -185,6 +185,49 @@ class CompiledModel:
             }
         return self._df32_fns
 
+    #: special functions the df32 engine implements (integer orders only
+    #: for the Bessel family) — lowering/df32_special.py
+    _DF32_SPECIALS = frozenset(
+        {"hyp0f1", "besselj", "bessely", "besseli", "besselk",
+         "sph_jn", "sph_yn"}
+    )
+
+    @property
+    def df32_compatible(self) -> bool:
+        """True when every construct in the lowered sources has a df32-engine
+        implementation.  Used by engine auto-selection: a 2-field model on
+        TPU defaults to the fast compensated kernel only when this holds —
+        otherwise the f64-XLA engine is chosen, so models using (say) hyp1f1
+        or fractional Bessel orders keep working out of the box instead of
+        hitting the engine's NotImplementedError."""
+        if getattr(self, "_df32_ok", None) is None:
+            import re  # noqa: PLC0415
+
+            ok = True
+            srcs = (self.potential.source, self._hesse.source,
+                    self.grad_square.source, self._grad.source)
+            for src in srcs:
+                for m in re.finditer(r"_special\.(\w+)\(\s*([^,)]+)[,)]", src):
+                    name, first = m.group(1), m.group(2).strip()
+                    if name not in self._DF32_SPECIALS:
+                        ok = False
+                        break
+                    if name != "hyp0f1":
+                        # Bessel family: the engine needs a static integer
+                        # order; anything non-literal is conservative-False
+                        try:
+                            v = float(first)
+                        except ValueError:
+                            ok = False
+                            break
+                        if v != int(v):
+                            ok = False
+                            break
+                if not ok:
+                    break
+            self._df32_ok = ok
+        return self._df32_ok
+
     def tf_fns(self) -> dict:
         """Model functions compiled against the triple-f32 extended-precision
         engine (lowering/tf32.py, ~71-bit) — for cancellation-heavy models

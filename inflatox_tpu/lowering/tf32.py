@@ -370,11 +370,31 @@ def _select(condlist, choicelist, default=None):
     return out
 
 
+def _via_df(fn):
+    """Lift a DF elementary function into TF by demoting the argument.
+
+    The result carries df (~2⁻⁴⁷) accuracy rather than tf — acceptable for
+    the bounded trig/inverse-trig phases models use them for (the tf engine
+    exists for the *cancellation-prone polynomial/exp/log* structure of the
+    Hesse; a phase's error does not amplify)."""
+
+    def run(x):
+        return TF.of(fn(TF.of(x).to_df()))
+
+    return run
+
+
 def _jnp_like() -> types.SimpleNamespace:
+    from . import df32 as _dfm  # noqa: PLC0415
+
     return _LazyConstNamespace(
         sqrt=sqrt,
         exp=exp,
         log=log,
+        sin=_via_df(_dfm.sin),
+        cos=_via_df(_dfm.cos),
+        tan=_via_df(_dfm.tan),
+        arctan=_via_df(_dfm.atan),
         abs=abs_,
         absolute=abs_,
         minimum=minimum,
@@ -394,9 +414,15 @@ def _jnp_like() -> types.SimpleNamespace:
 
 
 def _amath_like() -> types.SimpleNamespace:
+    from . import df32 as _dfm  # noqa: PLC0415
+
     return types.SimpleNamespace(
         exp=exp,
         pow=pow,
+        atan=_via_df(_dfm.atan),
+        acos=lambda x: _via_df(_dfm.atan)(
+            sqrt((TF.const(1.0) - TF.of(x)) / (TF.const(1.0) + TF.of(x)))
+        ) * 2.0,
         log2=lambda x: log(x) * (1.0 / _LN2),
         log10=lambda x: log(x) * (1.0 / math.log(10.0)),
         exp2=lambda x: exp(TF.of(x) * _LN2),

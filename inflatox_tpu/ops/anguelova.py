@@ -195,7 +195,12 @@ def complete_analysis_op_df_stream(v, v00, v10, v11, grad_sq, emit, nm=None):
 
     tan_delta = dfm.abs_(v10 / v00)
     emit(3, omega * tan_delta - 3.0)  # η_∥
-    emit(4, dfm.atan(tan_delta))  # δ
+    # at exact v00 ≡ 0 the df division NaNs where the reference's C computes
+    # atan(inf) = π/2 — restore that limit (η stays NaN vs the reference's
+    # ±inf there; docs/divergences.md)
+    delta = dfm.atan(tan_delta)
+    v00_zero = dfm.is_zero(v00) & ~dfm.is_zero(v10)
+    emit(4, dfm.where(v00_zero, dfm.NUM.const(1.5707963267948966), delta))  # δ
 
 
 def consistency_only_op_df(v, v00, v10, v11, nm=None):

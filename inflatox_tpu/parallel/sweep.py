@@ -236,6 +236,22 @@ def _sharded_scan_pallas(
     return fn(scal)
 
 
+def _reduce_fingerprint(reduce_fn):
+    """Identify *which* reduction wrote a checkpoint, not just whether one
+    did — resuming with a different same-shape reduce_fn must not silently
+    mix chunks (ADVICE/review round 2).  Uses the function's qualname plus a
+    hash of its bytecode and constants; falls back to repr for callables
+    without __code__ (e.g. jitted wrappers)."""
+    if reduce_fn is None:
+        return None
+    code = getattr(reduce_fn, "__code__", None)
+    if code is not None:
+        h = hashlib.sha256(code.co_code)
+        h.update(repr(code.co_consts).encode())
+        return f"{getattr(reduce_fn, '__qualname__', '?')}:{h.hexdigest()[:16]}"
+    return repr(reduce_fn)
+
+
 def _sweep_manifest(args_batch, extent, shape, chunk_size, engine, reduce_fn):
     """Fingerprint of everything that shapes chunk contents — resuming a
     checkpoint directory written under different inputs silently mixes
@@ -247,7 +263,7 @@ def _sweep_manifest(args_batch, extent, shape, chunk_size, engine, reduce_fn):
         "shape": [int(v) for v in shape],
         "chunk_size": int(chunk_size),
         "engine": engine or "xla",
-        "reduced": reduce_fn is not None,
+        "reduced": _reduce_fingerprint(reduce_fn),
     }
     h.update(json.dumps(meta, sort_keys=True).encode())
     return {"sha256": h.hexdigest(), **meta}
@@ -288,7 +304,8 @@ def parameter_sweep(
         *on device* (e.g. extract min consistency + argmin) so that huge
         sweeps don't materialize full maps.
     engine: None (auto: "pallas_df64" on TPU, "xla" elsewhere), "xla",
-        "pallas", "pallas_df64" or "pallas_edf64".  On the Pallas engines
+        "pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64".  On the
+        Pallas engines
         each device scans its whole sub-batch in one kernel launch (the
         parameter set is a grid dimension).
 

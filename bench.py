@@ -48,6 +48,13 @@ def emit(config, **fields):
     fields = {"config": config, **fields}
     MATRIX[config] = fields
     log(json.dumps(fields))
+    # write-through after every config: a timeout mid-run (cold compiles can
+    # take minutes) must not lose the configs already measured
+    try:
+        with open("BENCH_MATRIX.json", "w") as f:
+            json.dump(MATRIX, f, indent=1)
+    except Exception:
+        pass
 
 
 def _fetch(out):
@@ -526,12 +533,12 @@ def main():
         bart = inflatox.Compiler(bmodel, silent=True).compile()
         bargs = np.array([2.0])
         bextent = (0.5, 3.0, 0.2, 1.5)
-        bn = 1024
+        bn = 512
         run, ia = make_pallas_chain(bart, "complete_analysis", bargs,
                                     bextent, (bn, bn), df64=True)
         t = amortized(run, ia, K1=2, K2=12)
         emit(
-            "cfg4b_bessel_df64_pallas_1024",
+            "cfg4b_bessel_df64_pallas_512",
             ms_per_call=round(t * 1e3, 3),
             gpts_per_s=round(bn * bn / t / 1e9, 3),
             engine="pallas_df64 with df32 special functions (J0, K1)",
@@ -568,6 +575,36 @@ def main():
         )
     except Exception as e:
         log(f"cfg5b solves FAILED: {type(e).__name__}: {e}")
+
+    # re-measure the CPU baseline at the end and keep the FASTER reading —
+    # a transiently busy host during either phase would otherwise corrupt
+    # every vs_* field (observed: a contended run read 537 ms best-of-10
+    # vs ~190 ms on a quiet host, flattering vs_baseline ~3×)
+    try:
+        if native is not None and baseline_pps is not None:
+            pps2, ts2 = cpu_baseline(native, args, extent, nb, repeats=6)
+            if pps2 > baseline_pps:
+                log(json.dumps({
+                    "note": "end-of-run CPU baseline faster; using it",
+                    "ms_best_start": MATRIX["cpu_refstyle_1024_hyper"]["ms_best"],
+                    "ms_best_end": round(ts2[0] * 1e3, 1),
+                }))
+                baseline_pps = pps2
+                MATRIX["cpu_refstyle_1024_hyper"]["ms_best"] = round(ts2[0] * 1e3, 1)
+                MATRIX["cpu_refstyle_1024_hyper"]["mpts_per_s_32core"] = round(
+                    baseline_pps / 1e6, 1
+                )
+                for cfg, fields in MATRIX.items():
+                    if "vs_ref32" in fields and fields.get("gpts_per_s"):
+                        fields["vs_ref32"] = round(
+                            fields["gpts_per_s"] * 1e9 / baseline_pps, 2
+                        )
+                    elif "vs_ref32" in fields and fields.get("mpts_per_s"):
+                        fields["vs_ref32"] = round(
+                            fields["mpts_per_s"] * 1e6 / baseline_pps, 2
+                        )
+    except Exception as e:
+        log(f"baseline re-measure failed: {e}")
 
     # ---------------- write matrix + headline ----------------------------- #
     try:

@@ -518,34 +518,6 @@ def main():
     except Exception as e:
         log(f"cfg5 sweep FAILED: {type(e).__name__}: {e}")
 
-    # cfg4b: Bessel-containing model on the FAST engine (round 2: the df32
-    # engine gained the special-function family — lowering/df32_special.py;
-    # round 1 had no fast TPU story for this class at all)
-    try:
-        import sympy
-
-        bx, by, ba = sympy.symbols("bx by b_a")
-        bV = ba * sympy.besselj(0, bx) ** 2 + sympy.besselk(1, bx + 2) * by**2 + 2
-        bmodel = inflatox.InflationModelBuilder.new(
-            [bx, by], [[1, 0], [0, 1]], bV, silent=True, simplify=False,
-            assertions=False,
-        ).build()
-        bart = inflatox.Compiler(bmodel, silent=True).compile()
-        bargs = np.array([2.0])
-        bextent = (0.5, 3.0, 0.2, 1.5)
-        bn = 512
-        run, ia = make_pallas_chain(bart, "complete_analysis", bargs,
-                                    bextent, (bn, bn), df64=True)
-        t = amortized(run, ia, K1=2, K2=12)
-        emit(
-            "cfg4b_bessel_df64_pallas_512",
-            ms_per_call=round(t * 1e3, 3),
-            gpts_per_s=round(bn * bn / t / 1e9, 3),
-            engine="pallas_df64 with df32 special functions (J0, K1)",
-        )
-    except Exception as e:
-        log(f"cfg4b bessel FAILED: {type(e).__name__}: {e}")
-
     # cfg5b: batched on-device background-trajectory solves (the other half
     # of BASELINE config 5's description)
     try:

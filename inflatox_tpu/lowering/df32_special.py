@@ -55,7 +55,12 @@ from .special import (
 
 __all__ = ["DF32Special"]
 
-_SERIES_ITERS = 48
+# 36 terms: the J/I/Y/K series arguments are capped at the Chebyshev
+# handovers (q = z²/4 ≤ ~5), where ~25 terms reach 1e-14 — and every term
+# is ~15 unrolled Mosaic ops, so the count is also a kernel COMPILE-TIME
+# lever (a Bessel-model complete-analysis kernel takes minutes to build;
+# see docs/manual.md)
+_SERIES_ITERS = 36
 _EULER_GAMMA = 0.57721566490153286060651209008240243
 
 

@@ -469,13 +469,32 @@ class _EDFSeq:
         return self._items[i]
 
 
-class _EDFSpecialStub:
+class _EDFSpecial:
+    """Special functions for the range-extended engine.
+
+    Arguments to the Bessel/0F1 family are physical scales (radii, masses)
+    that sit inside f32 range even when a model's *other* intermediates do
+    not — so each function demotes its EDF argument to DF (saturating like
+    the trig demotions above), evaluates the df32 implementation
+    (lowering/df32_special.py), and promotes the result back.  Functions
+    the df32 engine lacks raise its informative error unchanged."""
+
+    _DF32 = None
+
     def __getattr__(self, name):
-        raise NotImplementedError(
-            f"special function {name!r} is not available in the edf32 "
-            "engine yet; use the f64 XLA path on CPU for special-function "
-            "models"
-        )
+        if _EDFSpecial._DF32 is None:
+            from .df32_special import DF32Special  # noqa: PLC0415
+
+            _EDFSpecial._DF32 = DF32Special()
+        fn = getattr(_EDFSpecial._DF32, name)  # raises NotImplementedError
+
+        def run(*args):
+            conv = [
+                a.to_df() if isinstance(a, EDF) else a for a in args
+            ]
+            return EDF.from_df(fn(*conv))
+
+        return run
 
 
 def compile_edf32(lowered):
@@ -486,7 +505,7 @@ def compile_edf32(lowered):
     namespace = {
         "jax": fake_jax,
         "_amath": _amath_like(),
-        "_special": _EDFSpecialStub(),
+        "_special": _EDFSpecial(),
     }
     exec(compile(lowered.source, f"<edf32:{lowered.name}>", "exec"), namespace)
     inner = namespace[lowered.name]

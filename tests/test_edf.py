@@ -175,3 +175,31 @@ def test_engine_dispatch_and_auto(d5):
     with pytest.raises(ValueError, match="unknown engine"):
         al.consistency(args, 0.1, 1.0, 0.0, 1.0, 8, 8, progress=False,
                        engine="nope")
+
+
+def test_edf_special_functions():
+    """Bessel models run on the range-extended engine (round 2: the edf32
+    special stub became a DF-demoting implementation — arguments to the
+    Bessel family are physical scales inside f32 range even when a model's
+    other intermediates are not)."""
+    import sympy
+
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    x, y, a = sympy.symbols("x y a")
+    V = a * sympy.besselj(0, x) ** 2 + sympy.besselk(1, x + 2) * y**2 + 2
+    model = inflatox.InflationModelBuilder.new(
+        [x, y], [[1, 0], [0, 1]], V, silent=True, simplify=False,
+        assertions=False,
+    ).build()
+    al = GeneralisedAL(inflatox.Compiler(model, silent=True).compile(),
+                       validate_basis=False)
+    args = np.array([2.0])
+    ext = (0.5, 3.0, 0.2, 1.5)
+    ref = al.complete_analysis(args, *ext, 12, 12, progress=False,
+                               engine="xla")
+    got = al.complete_analysis(args, *ext, 12, 12, progress=False,
+                               engine="pallas_edf64")
+    both = np.isfinite(ref[1]) & np.isfinite(got[1])
+    np.testing.assert_allclose(got[1][both], ref[1][both], rtol=1e-10)

@@ -246,3 +246,35 @@ def test_v_h_array_pallas_engines(al):
                                    engine="pallas_df64")
     assert got_h.shape == (2, 2, 16, 16)
     np.testing.assert_allclose(got_h, ref_h, rtol=1e-11)
+
+
+def test_basis_triage_warn_respects_scan_order(al, monkeypatch, capsys):
+    """NaN warnings past the first violation (in the reference's point-major
+    scan order) must be suppressed even when the violation lives in a later
+    (i, j) pair than the NaN (two-pass triage, round-2 review fix)."""
+    import jax.numpy as jnp
+
+    from inflatox_tpu.utils.errors import BasisNormError
+
+    n = 12
+    ip00 = np.ones(n)
+    ip01 = np.zeros(n)
+    ip11 = np.ones(n)
+    ip00[10] = np.nan  # NaN at point 10 in the FIRST pair scanned...
+    ip11[5] = 7.0      # ...but the violation is at point 5 in a LATER pair
+
+    def fake_ips(xs, p):
+        return {
+            (0, 0): jnp.asarray(ip00),
+            (0, 1): jnp.asarray(ip01),
+            (1, 1): jnp.asarray(ip11),
+        }
+
+    monkeypatch.setattr(al, "_basis_inner_products", fake_ips)
+    xs = (np.linspace(0, 1, n), np.linspace(0, 1, n))
+    with pytest.raises(BasisNormError):
+        al._check_basis_points(xs, np.array([1.0]), accuracy=1e-3)
+    err = capsys.readouterr().err
+    # the reference's scan raises at point 5 and never reaches point 10:
+    # no NaN warning may be emitted for it
+    assert "Norm of basisvector" not in err

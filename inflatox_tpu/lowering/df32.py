@@ -22,8 +22,8 @@ Pallas kernel on tiles, and under numpy for tests.
 
 ``compile_df32`` re-executes a :class:`LoweredFunction`'s generated source
 with a namespace that maps ``jax.numpy`` / ``_amath`` / ``_special`` onto
-df32 implementations — one lowering, three numeric engines (f64 XLA, f32,
-df32).
+df32 implementations — one lowering, many numeric engines (f64 XLA, f32,
+df32, and the edf32/tf32 variants built on the same machinery).
 """
 
 from __future__ import annotations

@@ -29,7 +29,12 @@ from .ops.anguelova import (
 )
 from .ops.grid import grid_coords
 from .utils.errors import BasisNormError, BasisOrthogonalityError, ShapeError
-from .utils.logging import Progress, log_warn
+from .utils.logging import Progress, log_info, log_warn
+
+
+def _default_backend_is_tpu() -> bool:
+    """Engine auto-selection's TPU check (factored for testability)."""
+    return jax.default_backend() == "tpu"
 
 __all__ = ["InflationCondition", "GeneralisedAL"]
 
@@ -277,19 +282,131 @@ class InflationCondition:
             )
         )
 
-    def _resolve_array_engine(self, engine):
+    # ------------------------------------------------------------------ #
+    # engine auto-selection: range probing + post-scan NaN guard          #
+    # ------------------------------------------------------------------ #
+
+    #: df-core kinds the range probe can evaluate directly; anything else
+    #: (e.g. on-trajectory wrappers) probes via complete_analysis, which
+    #: exercises every model function (V, Hesse, |∇V|²)
+    _PROBE_KINDS = frozenset(
+        {"complete_analysis", "consistency", "consistency_rapidturn",
+         "epsilon_v", "potential", "hesse"}
+    )
+
+    def _probe_points(self, extent=None, x=None, n=8) -> np.ndarray:
+        """Sample points for the range probe: an n×n inclusive mesh over the
+        scan extent, or a ≤n² subsample of a trajectory."""
+        if x is not None:
+            x = np.asarray(x, dtype=float)
+            step = max(1, x.shape[0] // (n * n))
+            return x[::step][: n * n]
+        x0a, x0b, x1a, x1b = (float(v) for v in extent)
+        g0 = np.linspace(x0a, x0b, n)
+        g1 = np.linspace(x1a, x1b, n)
+        m0, m1 = np.meshgrid(g0, g1, indexing="ij")
+        return np.stack([m0.ravel(), m1.ravel()], axis=1)
+
+    def _auto_compensated_engine(self, kind, args, extent=None, x=None) -> str:
+        """Pick pallas_df64 vs pallas_edf64 by probing the model's dynamic
+        range on the requested domain (VERDICT r2 item 2).
+
+        The reference's compiled C is true f64 with full dynamic range
+        (hesse_bindings.rs:29-193) — every model runs out of the box.  On
+        TPU the fast default is the f32-range df32 engine, which silently
+        NaNs on range-heavy (D5-class) models; a cheap host-eager probe of
+        both engines at ≤64 sample points detects that and auto-routes to
+        the range-extended engine.  Legitimate NaN regions (e.g. ω where
+        the radicand is negative) appear under BOTH engines and do not
+        trigger the switch."""
+        from .ops.pallas_kernels import eager_engine_probe  # noqa: PLC0415
+
+        try:
+            pts = self._probe_points(extent=extent, x=x)
+        except Exception:  # malformed inputs: let the real scan raise
+            return "pallas_df64"
+        probe_kind = kind if kind in self._PROBE_KINDS else "complete_analysis"
+        key = (
+            probe_kind,
+            tuple(float(a) for a in np.asarray(args, dtype=float).ravel()),
+            None if extent is None else tuple(float(v) for v in extent),
+            None if x is None else pts.tobytes(),
+        )
+        cache = getattr(self, "_engine_probe_cache", None)
+        if cache is None:
+            cache = self._engine_probe_cache = {}
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        try:
+            f_df = eager_engine_probe(
+                self.artifact, probe_kind, args, pts, "pallas_df64"
+            )
+        except Exception:  # malformed inputs: let the real scan raise
+            return "pallas_df64"
+        choice = "pallas_df64"
+        if f_df < 1.0:
+            f_edf = eager_engine_probe(
+                self.artifact, probe_kind, args, pts, "pallas_edf64"
+            )
+            if f_edf > f_df + 1e-9:
+                log_info(
+                    "Engine auto-selection: the model leaves the f32 dynamic "
+                    f"range on {1.0 - f_df:.0%} of probe points — using the "
+                    "range-extended engine (pallas_edf64).  Pass engine= to "
+                    "override."
+                )
+                choice = "pallas_edf64"
+        cache[key] = choice
+        return choice
+
+    #: finite-fraction floor below which a compensated-engine scan warns
+    _NAN_GUARD_FLOOR = 0.05
+
+    def _nan_guard(self, out, engine, kind) -> None:
+        """Post-scan finite-fraction check for the compensated engines
+        (VERDICT r2 item 2): an overflowing model returns all-NaN maps with
+        no error, unlike the reference's full-range f64.  One on-device
+        isfinite reduction per output is ~free next to the scan's writes."""
+        if engine not in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
+            return
+        arrs = out if isinstance(out, tuple) else (out,)
+        arrs = [a for a in arrs if hasattr(a, "dtype")]
+        if not arrs:
+            return
+        fracs = [
+            float(jnp.mean(jnp.isfinite(a).astype(jnp.float32))) for a in arrs
+        ]
+        self.last_finite_fractions = fracs
+        if min(fracs) < self._NAN_GUARD_FLOOR:
+            worst = min(fracs)
+            log_warn(
+                f"{kind}: only {worst:.1%} of the scanned points are finite "
+                f"on engine={engine!r}.  If the model's expressions leave "
+                "the f32 dynamic range, use engine='pallas_edf64' (range-"
+                "extended); if this NaN fraction is expected for your model "
+                "(e.g. ω over a negative radicand), ignore this warning."
+            )
+
+    def _resolve_array_engine(self, engine, kind=None, args=None,
+                              start_stop=None):
         """Engine auto-selection for the raw V/H grid surfaces: like the
         scan engines (GeneralisedAL._resolve_engine), the compensated Pallas
         kernel is the TPU default for 2-field models — at the reference's
         default 8000²-per-axis sampling (64 Mpts) the emulated-f64 XLA path
-        is ~7× slower."""
+        is ~7× slower.  With scan context (kind/args/start_stop) the choice
+        is range-probed (see :meth:`_auto_compensated_engine`)."""
         if engine is not None:
             return engine
         if (
-            jax.default_backend() == "tpu"
+            _default_backend_is_tpu()
             and self.artifact.n_fields == 2
             and self.artifact.df32_compatible
         ):
+            if args is not None and start_stop is not None and kind is not None:
+                extent = (start_stop[0][0], start_stop[0][1],
+                          start_stop[1][0], start_stop[1][1])
+                return self._auto_compensated_engine(kind, args, extent=extent)
             return "pallas_df64"
         return "xla"
 
@@ -333,10 +450,14 @@ class InflationCondition:
                 (d,), (len(start_stop),),
                 "expected start/stop/N with one entry per field-space coordinate",
             )
-        engine = self._resolve_array_engine(engine)
+        engine = self._resolve_array_engine(
+            engine, kind="potential", args=args,
+            start_stop=start_stop if d == 2 else None,
+        )
         if engine != "xla":
             self._validate_2field()
             out = self._array_pallas("potential", args, start_stop, N, engine)
+            self._nan_guard(out, engine, "V_array")
             return np.asarray(out[0])
         fn = self._cached_grid_fn("V_array", tuple(N), self.dtype)
         flat = np.asarray([v for ab in start_stop for v in ab])
@@ -390,10 +511,14 @@ class InflationCondition:
                 "expected start/stop/N with one entry per field-space "
                 "coordinate",
             )
-        engine = self._resolve_array_engine(engine)
+        engine = self._resolve_array_engine(
+            engine, kind="hesse", args=args,
+            start_stop=start_stop if d == 2 else None,
+        )
         if engine != "xla":
             self._validate_2field()
             outs = self._array_pallas("hesse", args, start_stop, N, engine)
+            self._nan_guard(outs, engine, "H_array")
             flat = np.stack([np.asarray(o) for o in outs])
             return flat.reshape(2, 2, *flat.shape[1:])
         fn = self._cached_grid_fn("H_array", tuple(N), self.dtype)
@@ -549,21 +674,33 @@ class GeneralisedAL(InflationCondition):
     #: engines the fused Pallas kernels implement
     _PALLAS_ENGINES = ("pallas", "pallas_df64", "pallas_edf64", "pallas_tf64")
 
-    def _resolve_engine(self, engine, dtype=None):
+    def _resolve_engine(self, engine, dtype=None, kind=None, args=None,
+                        extent=None, x=None):
         """``engine=None`` → auto-select: on TPU the df32 Pallas kernel (the
         parity engine — f64-grade accuracy at near-f32 speed; the emulated
         f64 XLA path is ~4× slower, docs/numerics.md); elsewhere the fused
         XLA scan (true IEEE f64 on CPU).  An explicit ``dtype`` pins the XLA
-        engine, since only it honors arbitrary dtypes."""
+        engine, since only it honors arbitrary dtypes.
+
+        When the scan context (kind/args + extent or trajectory) is given,
+        the df64/edf64 choice is range-probed so D5-class models that
+        overflow the f32 dynamic range run out of the box
+        (:meth:`InflationCondition._auto_compensated_engine`)."""
         if engine is not None:
             return engine
         if dtype is not None:
             return "xla"
         if (
-            jax.default_backend() == "tpu"
+            _default_backend_is_tpu()
             and self.artifact.n_fields == 2
             and self.artifact.df32_compatible
         ):
+            if args is not None and kind is not None and (
+                extent is not None or x is not None
+            ):
+                return self._auto_compensated_engine(
+                    kind, args, extent=extent, x=x
+                )
             return "pallas_df64"
         return "xla"
 
@@ -591,6 +728,7 @@ class GeneralisedAL(InflationCondition):
             else:
                 out = scan_pallas_df64(self.artifact, kind, args, extent, shape)
             out = jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+        self._nan_guard(out, engine, kind)
         return out
 
     def complete_analysis(
@@ -631,7 +769,10 @@ class GeneralisedAL(InflationCondition):
             that can run them (even XLA's emulated f64 has f32 range).
         """
         del threads
-        engine = self._resolve_engine(engine, dtype)
+        engine = self._resolve_engine(
+            engine, dtype, kind="complete_analysis", args=args,
+            extent=(x0_start, x0_stop, x1_start, x1_stop),
+        )
         if engine in self._PALLAS_ENGINES:
             out = self._pallas_scan(
                 "complete_analysis",
@@ -675,7 +816,10 @@ class GeneralisedAL(InflationCondition):
         """Generalised consistency condition ||lhs|−|rhs||/(|lhs|+|rhs|) with
         lhs = V_ww/V − 3 (consistency_conditions.py:310-365)."""
         del threads
-        engine = self._resolve_engine(engine, dtype)
+        engine = self._resolve_engine(
+            engine, dtype, kind="consistency", args=args,
+            extent=(x0_start, x0_stop, x1_start, x1_stop),
+        )
         if engine in self._PALLAS_ENGINES:
             out = self._pallas_scan(
                 "consistency",
@@ -719,7 +863,10 @@ class GeneralisedAL(InflationCondition):
     ) -> np.ndarray:
         """ε_V = ½(∇V/V)² (consistency_conditions.py:367-418)."""
         del threads
-        engine = self._resolve_engine(engine, dtype)
+        engine = self._resolve_engine(
+            engine, dtype, kind="epsilon_v", args=args,
+            extent=(x0_start, x0_stop, x1_start, x1_stop),
+        )
         if engine in self._PALLAS_ENGINES:
             out = self._pallas_scan(
                 "epsilon_v",
@@ -764,7 +911,10 @@ class GeneralisedAL(InflationCondition):
         """Original AL rapid-turn condition
         (consistency_conditions.py:420-475)."""
         del threads
-        engine = self._resolve_engine(engine, dtype)
+        engine = self._resolve_engine(
+            engine, dtype, kind="consistency_rapidturn", args=args,
+            extent=(x0_start, x0_stop, x1_start, x1_stop),
+        )
         if engine in self._PALLAS_ENGINES:
             out = self._pallas_scan(
                 "consistency_rapidturn",
@@ -890,7 +1040,7 @@ class GeneralisedAL(InflationCondition):
         that the parity engines are always affordable."""
         self._validate_2field()
         args_v = self._validate_args(args)
-        engine = self._resolve_engine(engine)
+        engine = self._resolve_engine(engine, kind=kind, args=args_v, x=x)
         if engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
             from .ops.pallas_kernels import scan_pallas_ot  # noqa: PLC0415
 
@@ -909,6 +1059,7 @@ class GeneralisedAL(InflationCondition):
                 out = jax.tree_util.tree_map(
                     lambda a: a.block_until_ready(), out
                 )
+            self._nan_guard(out, engine, kind)
             return out if len(out) > 1 else out[0]
         if engine != "xla":
             raise ValueError(

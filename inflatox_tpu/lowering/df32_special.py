@@ -74,12 +74,28 @@ def _cheb_eval_df(coeffs, t: DF) -> DF:
     return t * d - dd + float(coeffs[0])
 
 
+def _series_guard(acc: DF, term: DF) -> DF:
+    """Poison non-converged series results with NaN.
+
+    The fixed ``_SERIES_ITERS``-term series (hyp0f1, besseli) hold precision
+    only inside their argument envelope; outside it they return a
+    plausible-looking but wrong value under the default engine (round-2
+    advisor finding).  The self-diagnosing check — has the last term decayed
+    below ~1e-11 of the accumulated sum? — costs two vector ops and turns
+    silent inaccuracy into a NaN that engine auto-selection and the
+    post-scan finite-fraction guard can see.
+    """
+    bad = jnp.abs(term.hi) > 1e-11 * (jnp.abs(acc.hi) + 1e-30)
+    nan = jnp.float32(jnp.nan)
+    return DF(jnp.where(bad, nan, acc.hi), jnp.where(bad, nan, acc.lo))
+
+
 def hyp0f1(b, z) -> DF:
     """₀F₁(; b; z) power series in DF.
 
     When ``b`` is a trace-time constant the per-term reciprocal
     1/((b+n)(n+1)) is computed in exact Python arithmetic — each term costs
-    two DF multiplies."""
+    two DF multiplies.  NaN outside the converged domain (``_series_guard``)."""
     z = DF.of(z)
     acc = DF.const(1.0) + (z * 0.0)  # broadcast ones
     term = acc
@@ -88,22 +104,24 @@ def hyp0f1(b, z) -> DF:
         for n in range(_SERIES_ITERS):
             term = term * z * (1.0 / ((bf + n) * (n + 1.0)))
             acc = acc + term
-        return acc
+        return _series_guard(acc, term)
     b = DF.of(b)
     for n in range(_SERIES_ITERS):
         term = term * z / ((b + float(n)) * (n + 1.0))
         acc = acc + term
-    return acc
+    return _series_guard(acc, term)
 
 
 def _i_series(n: int, z: DF) -> DF:
-    """I_n(z) for integer n ≥ 0 via its all-positive power series."""
+    """I_n(z) for integer n ≥ 0 via its all-positive power series.  NaN
+    outside the converged domain (``_series_guard``)."""
     q = z.sq() * 0.25
     acc = DF.const(1.0) + (q * 0.0)
     term = acc
     for k in range(_SERIES_ITERS):
         term = term * q * (1.0 / ((k + 1.0) * (k + 1.0 + n)))
         acc = acc + term
+    acc = _series_guard(acc, term)
     pref = dfm.pow(z * 0.5, n) if n else DF.const(1.0)
     scale = 1.0 / math.factorial(n)
     return acc * pref * scale if n else acc

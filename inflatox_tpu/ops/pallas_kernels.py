@@ -997,37 +997,7 @@ def scan_pallas_ot(artifact, kind, args, x, engine="pallas_df64"):
 
     if not on_tpu:
         # eager fallback, coordinates fed as exact (hi, lo) pairs
-        _, core = (_core_edf if engine == "pallas_edf64" else _core_df)(kind)
-        cols = []
-        for i in range(2):
-            hi = x[:, i].astype(_np.float32)
-            lo = (x[:, i] - hi.astype(_np.float64)).astype(_np.float32)
-            d = DF(jnp.asarray(hi), jnp.asarray(lo))
-            cols.append(EDF.from_df(d) if engine == "pallas_edf64" else d)
-        if engine == "pallas_edf64":
-            a = tuple(
-                EDF(scalars[3 * t], scalars[3 * t + 1],
-                    scalars[3 * t + 2].astype(jnp.int32), _raw=True)
-                for t in range(len(args))
-            )
-            fns = artifact.edf_fns()
-            outs = core(fns, tuple(cols), a)
-            return tuple(o.to_df().to_f64() for o in outs)
-        if engine == "pallas_tf64":
-            from ..lowering.tf32 import TF  # noqa: PLC0415
-
-            a = tuple(
-                TF(scalars[3 * t], scalars[3 * t + 1], scalars[3 * t + 2])
-                for t in range(len(args))
-            )
-            outs = core(_tf_fns_as_df(artifact),
-                        tuple(TF(c.hi, c.lo) for c in cols), a)
-            return tuple(o.to_f64() for o in outs)
-        a = tuple(
-            DF(scalars[2 * t], scalars[2 * t + 1]) for t in range(len(args))
-        )
-        outs = core(artifact.df32_fns(), tuple(cols), a)
-        return tuple(o.to_f64() for o in outs)
+        return _eager_points_eval(artifact, kind, scalars, len(args), x, engine)
 
     x0h, x0l, npad = _traj_pad_2d(x[:, 0])
     x1h, x1l, _ = _traj_pad_2d(x[:, 1])
@@ -1038,6 +1008,80 @@ def scan_pallas_ot(artifact, kind, args, x, engine="pallas_df64"):
         artifact, R, False, kind, engine,
     )
     return tuple(o.reshape(-1)[:n] for o in outs)
+
+
+def _eager_points_eval(artifact, kind, scalars, n_args, x, engine):
+    """Eager (op-by-op) engine evaluation at explicit (n, 2) f64 points.
+
+    Shared by the OT scans' non-TPU fallback and ``eager_engine_probe`` —
+    eager execution is the only EFT-safe path off-Mosaic (see
+    :func:`_df64_eager`).  Returns a tuple of (n,) f64 arrays."""
+    import numpy as _np
+
+    from ..lowering.df32 import DF  # noqa: PLC0415
+    from ..lowering.edf32 import EDF  # noqa: PLC0415
+
+    x = _np.asarray(x, dtype=_np.float64)
+    _, core = (_core_edf if engine == "pallas_edf64" else _core_df)(kind)
+    cols = []
+    for i in range(2):
+        hi = x[:, i].astype(_np.float32)
+        lo = (x[:, i] - hi.astype(_np.float64)).astype(_np.float32)
+        d = DF(jnp.asarray(hi), jnp.asarray(lo))
+        cols.append(EDF.from_df(d) if engine == "pallas_edf64" else d)
+    if engine == "pallas_edf64":
+        a = tuple(
+            EDF(scalars[3 * t], scalars[3 * t + 1],
+                scalars[3 * t + 2].astype(jnp.int32), _raw=True)
+            for t in range(n_args)
+        )
+        fns = artifact.edf_fns()
+        outs = core(fns, tuple(cols), a)
+        return tuple(o.to_df().to_f64() for o in outs)
+    if engine == "pallas_tf64":
+        from ..lowering.tf32 import TF  # noqa: PLC0415
+
+        a = tuple(
+            TF(scalars[3 * t], scalars[3 * t + 1], scalars[3 * t + 2])
+            for t in range(n_args)
+        )
+        outs = core(_tf_fns_as_df(artifact),
+                    tuple(TF(c.hi, c.lo) for c in cols), a)
+        return tuple(o.to_f64() for o in outs)
+    a = tuple(
+        DF(scalars[2 * t], scalars[2 * t + 1]) for t in range(n_args)
+    )
+    outs = core(artifact.df32_fns(), tuple(cols), a)
+    return tuple(o.to_f64() for o in outs)
+
+
+def eager_engine_probe(artifact, kind, args, pts, engine="pallas_df64"):
+    """Minimum finite fraction over the outputs of ``engine`` evaluated
+    eagerly on the host at sample points ``pts`` ((n, 2) float64).
+
+    Engine auto-selection calls this to detect f32-dynamic-range overflow
+    before committing to the df32 default (VERDICT r2: D5-class models
+    silently NaN'd under ``engine=None``).  Eager op-by-op execution is
+    EFT-safe, needs no Mosaic compile, and has the same overflow/NaN
+    behavior as the compiled kernel; forcing the host CPU device keeps the
+    per-op dispatch off the TPU tunnel (~30 ms/op there)."""
+    import numpy as _np
+
+    pts = _np.asarray(pts, dtype=_np.float64)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        dummy_extent = (0.0, 1.0, 0.0, 1.0)
+        if engine == "pallas_edf64":
+            scalars = _edf_scalars(args, dummy_extent, (1, 1))[: 3 * len(args)]
+        else:
+            scalars = _df_scalars(args, dummy_extent, (1, 1))[: 2 * len(args)]
+        outs = _eager_points_eval(
+            artifact, kind, scalars, len(args), pts, engine
+        )
+        fracs = [
+            float(jnp.mean(jnp.isfinite(o).astype(jnp.float32))) for o in outs
+        ]
+    return min(fracs) if fracs else 1.0
 
 
 def _df64_eager(scalars, model, shape, kind="complete_analysis"):

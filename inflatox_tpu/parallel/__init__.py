@@ -1,11 +1,12 @@
 from . import distributed
 from .mesh import make_mesh, default_mesh
-from .sweep import sharded_scan, parameter_sweep
+from .sweep import sharded_scan, sharded_scan_ot, parameter_sweep
 
 __all__ = [
     "distributed",
     "make_mesh",
     "default_mesh",
     "sharded_scan",
+    "sharded_scan_ot",
     "parameter_sweep",
 ]

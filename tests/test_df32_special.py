@@ -99,3 +99,20 @@ def test_bessel_model_df64_engine_parity():
         # consistency ratio metric are conditioning-limited (docs/numerics.md)
         assert np.quantile(rel, 0.99) < 1e-9, np.quantile(rel, 0.99)
         assert rel.max() < 1e-6, rel.max()
+
+
+def test_series_envelope_guard():
+    """Round-2 advisor finding: the fixed-term hyp0f1/besseli series must
+    not return plausible-but-wrong values outside their converged domain —
+    they NaN instead (picked up by engine auto-selection and the post-scan
+    finite-fraction guard)."""
+    # far outside the envelope: the 36-term series has not converged
+    z_bad = np.array([-2000.0, -5000.0, 3000.0])
+    out = np.asarray(dsp.hyp0f1(1.5, DF.of(jnp.asarray(z_bad))).to_f64())
+    assert np.isnan(out).all()
+    # inside: accurate as ever
+    z_ok = np.linspace(-15.0, 15.0, 50)
+    assert _rel(dsp.hyp0f1(1.5, DF.of(jnp.asarray(z_ok))), sps.hyp0f1(1.5, z_ok)) < 1e-10
+    # besseli series: in-envelope values unaffected by the guard
+    z = np.linspace(0.1, 8.0, 50)
+    assert _rel(dsp.besseli(0, DF.of(jnp.asarray(z))), sps.iv(0, z)) < 1e-12

@@ -203,3 +203,61 @@ def test_edf_special_functions():
                                engine="pallas_edf64")
     both = np.isfinite(ref[1]) & np.isfinite(got[1])
     np.testing.assert_allclose(got[1][both], ref[1][both], rtol=1e-10)
+
+
+def test_range_aware_auto_selection(d5, monkeypatch):
+    """VERDICT r2 item 2: engine=None on TPU must route range-heavy
+    (D5-class) models to the range-extended engine instead of silently
+    returning all-NaN maps.  The TPU check is monkeypatched; the probe
+    itself is the host-eager engine evaluation, backend-independent."""
+    from inflatox_tpu import consistency_conditions as cc
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    art, args = d5
+    al = GeneralisedAL(art, validate_basis=False)
+    monkeypatch.setattr(cc, "_default_backend_is_tpu", lambda: True)
+    assert art.df32_compatible  # D5 is ln/sqrt-only: the static check passes
+    ext = (0.1, 36.0, 0.0, 4 * np.pi)
+    eng = al._resolve_engine(
+        None, kind="complete_analysis", args=args, extent=ext
+    )
+    assert eng == "pallas_edf64"
+    # cached second resolution
+    assert al._resolve_engine(
+        None, kind="complete_analysis", args=args, extent=ext
+    ) == "pallas_edf64"
+    # without scan context the static default stands
+    assert al._resolve_engine(None) == "pallas_df64"
+
+
+def test_range_aware_auto_keeps_df64_in_range(doc_model_artifact, monkeypatch):
+    """A model comfortably inside f32 range keeps the fast df64 default."""
+    from inflatox_tpu import consistency_conditions as cc
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    al = GeneralisedAL(doc_model_artifact, validate_basis=False)
+    monkeypatch.setattr(cc, "_default_backend_is_tpu", lambda: True)
+    eng = al._resolve_engine(
+        None, kind="complete_analysis", args=np.array([1.0]),
+        extent=(0.5, 2.0, -1.0, 1.0),
+    )
+    assert eng == "pallas_df64"
+
+
+def test_nan_guard_warns_on_overflowing_scan(d5, capsys):
+    """An explicit df64 run on an overflowing model must warn (VERDICT r2:
+    'even an explicit pallas_df64 run returns all-NaN grids with no
+    warning')."""
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    art, args = d5
+    al = GeneralisedAL(art, validate_basis=False)
+    maps = al.complete_analysis(
+        args, 0.1, 36.0, 0.0, 4 * np.pi, 8, 8, progress=False,
+        engine="pallas_df64",
+    )
+    err = capsys.readouterr().err
+    assert "finite" in err and "pallas_edf64" in err
+    assert hasattr(al, "last_finite_fractions")
+    assert min(al.last_finite_fractions) < 0.05
+    del maps

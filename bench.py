@@ -162,6 +162,22 @@ def make_xla_chain(al, kind, args, extent, shape, dtype):
     return run, (a, e)
 
 
+def cpu_rate_32core(fn, n_pts, repeats=3):
+    """Best-of-N wall time of ``fn()`` -> (points/s extrapolated to 32
+    cores, best seconds).  The host exposes one core; the reference target
+    is a 32-core machine (BASELINE.md methodology)."""
+    import os
+
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    cores = os.cpu_count() or 1
+    return n_pts / ts[0] / cores * 32, ts[0]
+
+
 def cpu_baseline(native, args, extent, n, refstyle=True, repeats=10):
     """Best-of-N single-core time -> 32-core points/s, with spread."""
     import os
@@ -252,16 +268,49 @@ def main():
     except Exception as e:
         log(f"df64 headline FAILED: {type(e).__name__}: {e}")
 
-    # output="f64" adds a pair→emulated-f64 materialization pass on top of
-    # the kernel.  Measuring it needs care: inside a fori_loop XLA elides or
-    # reduce-fuses the conversion writes, so instead ONE jit performs R
-    # *distinct* conversions (each scaled by a unique constant to defeat
-    # CSE) and returns all of them — returned outputs must materialize.
-    # Cost per pass = (t(R2) − t(R1))/(R2 − R1); dispatch and input transfer
-    # cancel in the difference.  Measured at 2048² and scaled ×4 to 4096².
+    # output="f64" (round 3): the f64 delivery IS the kernel.  XLA:TPU f64
+    # is a (hi, lo) f32 double-word — the same two words the kernel already
+    # writes — so the drop-in numpy-f64 result is produced by combining the
+    # pair ON HOST after the (mandatory-anyway) fetch, in true IEEE f64.
+    # Device cost per f64-delivery scan = the pair kernel; the host combine
+    # is measured separately below (it rides the transfer, off-device).
     try:
-        from inflatox_tpu.ops import pallas_kernels as pk  # noqa: PLC0415
+        if t_head:
+            pts_rate = pts / t_head
+            # host-combine throughput on this host (numpy hi+lo, f64 exact)
+            hi = np.random.default_rng(0).standard_normal(
+                (N, N)).astype(np.float32)
+            lo = (hi * 1e-8).astype(np.float32)
+            t0 = time.perf_counter()
+            for _ in range(6):
+                _ = hi.astype(np.float64) + lo.astype(np.float64)
+            t_combine = time.perf_counter() - t0
+            emit(
+                "cfg1_hyper_df64_delivery_4096",
+                ms_per_call=round(t_head * 1e3, 3),
+                gpts_per_s=round(pts_rate / 1e9, 3),
+                vs_ref32=vs(pts_rate),
+                s_host_combine_6maps=round(t_combine, 3),
+                engine=(
+                    "pallas_df64, output='f64' — device cost is the kernel "
+                    "itself; the pair->IEEE-f64 combine runs on host during "
+                    "the fetch (TPU f64 is the same (hi,lo) double-word the "
+                    "kernel emits, so an on-device conversion is a repack; "
+                    "see cfg1_hyper_df64_device_materialize_4096)"
+                ),
+            )
+    except Exception as e:
+        log(f"df64 delivery FAILED: {type(e).__name__}: {e}")
 
+    # output="f64_device": the on-device materialization pass (for pipelines
+    # that keep the maps on device in XLA-f64 form).  Measuring it needs
+    # care: inside a fori_loop XLA elides or reduce-fuses the conversion
+    # writes, so ONE jit performs R *distinct* conversions (each scaled by a
+    # unique constant to defeat CSE) and returns all of them — returned
+    # outputs must materialize.  Cost per pass = (t(R2) − t(R1))/(R2 − R1);
+    # dispatch and input transfer cancel in the difference.  Measured at
+    # 2048² and scaled ×4 to 4096².
+    try:
         nconv = 2048
         planes = [
             jnp.full((nconv, nconv), 0.5 + 0.25 * k, jnp.float32)
@@ -299,15 +348,18 @@ def main():
         if t_deliv:
             pts_rate = pts / t_deliv
             emit(
-                "cfg1_hyper_df64_delivery_4096",
+                "cfg1_hyper_df64_device_materialize_4096",
                 ms_per_call=round(t_deliv * 1e3, 3),
                 ms_conversion_pass=round(t_pass * 1e3, 3),
                 gpts_per_s=round(pts_rate / 1e9, 3),
                 vs_ref32=vs(pts_rate),
-                engine="pallas_df64, output='f64' (kernel + measured pair->f64 pass)",
+                engine=(
+                    "pallas_df64, output='f64_device' (kernel + on-device "
+                    "pair->XLA-f64 pass)"
+                ),
             )
     except Exception as e:
-        log(f"df64 delivery FAILED: {type(e).__name__}: {e}")
+        log(f"df64 device materialize FAILED: {type(e).__name__}: {e}")
 
     try:
         run, ia = make_pallas_chain(artifact, "complete_analysis", args,
@@ -365,10 +417,32 @@ def main():
                                     aextent, (an, an), df64=True)
         t = amortized(run, ia, K1=2, K2=22)
         pts_rate = an * an / t
+        a_vs = None
+        try:
+            from inflatox_tpu.native import NativeModel, native_available
+
+            if native_available():
+                anat = NativeModel(amodel)
+                bn = 1024
+                pps32, tb = cpu_rate_32core(
+                    lambda: anat.complete_analysis_refstyle(
+                        aargs, *aextent, bn, bn, threads=0),
+                    bn * bn,
+                )
+                a_vs = round(pts_rate / pps32, 2)
+                emit(
+                    "cpu_refstyle_1024_angular",
+                    ms_best=round(tb * 1e3, 1),
+                    mpts_per_s_32core=round(pps32 / 1e6, 1),
+                    note="ref-architecture C (5 indirect calls/px), x32 cores",
+                )
+        except Exception as e:
+            log(f"cfg2 cpu baseline FAILED: {type(e).__name__}: {e}")
         emit(
             "cfg2_angular_df64_pallas_1024",
             ms_per_call=round(t * 1e3, 3),
             gpts_per_s=round(pts_rate / 1e9, 3),
+            **({"vs_ref32": a_vs} if a_vs else {}),
         )
     except Exception as e:
         log(f"cfg2 angular FAILED: {type(e).__name__}: {e}")
@@ -399,10 +473,31 @@ def main():
                                     eextent, (en, en), df64=True)
         t = amortized(run, ia, K1=2, K2=12)
         pts_rate = en * en / t
+        e_pps32 = None
+        try:
+            from inflatox_tpu.native import NativeModel, native_available
+
+            if native_available():
+                enat = NativeModel(eart.model)
+                bn = 512
+                e_pps32, tb = cpu_rate_32core(
+                    lambda: enat.consistency_rapidturn_refstyle(
+                        eargs, *eextent, bn, bn, threads=0),
+                    bn * bn,
+                )
+                emit(
+                    "cpu_refstyle_512_egno_rapidturn",
+                    ms_best=round(tb * 1e3, 1),
+                    mpts_per_s_32core=round(e_pps32 / 1e6, 2),
+                    note="ref-architecture C (4 indirect calls/px), x32 cores",
+                )
+        except Exception as e:
+            log(f"cfg3 cpu baseline FAILED: {type(e).__name__}: {e}")
         emit(
             "cfg3_egno_rapidturn_df64_pallas_2048",
             ms_per_call=round(t * 1e3, 3),
             gpts_per_s=round(pts_rate / 1e9, 3),
+            **({"vs_ref32": round(pts_rate / e_pps32, 2)} if e_pps32 else {}),
         )
     except Exception as e:
         log(f"cfg3 egno FAILED: {type(e).__name__}: {e}")
@@ -436,6 +531,8 @@ def main():
             ms_per_call=round(t * 1e3, 3),
             gpts_per_s=round(pts_rate / 1e9, 3),
             engine="pallas_tf64 (triple-f32 extended precision)",
+            **({"vs_ref32": round(pts_rate / e_pps32, 2)}
+               if "e_pps32" in dir() and e_pps32 else {}),
         )
     except Exception as e:
         log(f"cfg3b egno tf64 FAILED: {type(e).__name__}: {e}")
@@ -470,12 +567,33 @@ def main():
         d_outs = scan_pallas_edf64(dart, "complete_analysis", dargs, dextent,
                                    (256, 256))
         finite = float(np.isfinite(np.asarray(d_outs[1])).mean())
+        d_pps32 = None
+        try:
+            from inflatox_tpu.native import NativeModel, native_available
+
+            if native_available():
+                dnat = NativeModel(dart.model)
+                bn = 512
+                d_pps32, tb = cpu_rate_32core(
+                    lambda: dnat.complete_analysis_refstyle(
+                        dargs, *dextent, bn, bn, threads=0),
+                    bn * bn,
+                )
+                emit(
+                    "cpu_refstyle_512_d5",
+                    ms_best=round(tb * 1e3, 1),
+                    mpts_per_s_32core=round(d_pps32 / 1e6, 2),
+                    note="ref-architecture C (5 indirect calls/px), x32 cores",
+                )
+        except Exception as e:
+            log(f"cfg4 cpu baseline FAILED: {type(e).__name__}: {e}")
         emit(
             "cfg4_d5_edf64_pallas_1024",
             ms_per_call=round(t * 1e3, 3),
             gpts_per_s=round(pts_rate / 1e9, 3),
             eps_v_finite_frac_256=round(finite, 4),
             engine="pallas_edf64 (range-extended df32)",
+            **({"vs_ref32": round(pts_rate / d_pps32, 2)} if d_pps32 else {}),
         )
     except Exception as e:
         log(f"cfg4 d5 df64 FAILED: {type(e).__name__}: {e}")
@@ -537,6 +655,28 @@ def main():
                                          solver="rkf")
         _ = np.asarray(out)
         t_warm = time.perf_counter() - t0
+        s_traj32 = None
+        try:
+            from inflatox_tpu.native import NativeModel, native_available
+
+            if native is not None:
+                nb_traj = 8
+                inits = np.concatenate([f0[:nb_traj], d0[:nb_traj]], axis=1)
+                rate32, tb = cpu_rate_32core(
+                    lambda: native.solve_eom_rkf(args, inits, steps,
+                                                 threads=0),
+                    nb_traj,
+                )
+                s_traj32 = rate32
+                emit(
+                    "cpu_solver_rkf_8x2000",
+                    s_best=round(tb, 3),
+                    traj_per_s_32core=round(rate32, 1),
+                    note="ref-style C RKF45 (fn-pointer EoM calls), "
+                         "sequential/trajectory, x32 cores",
+                )
+        except Exception as e:
+            log(f"cfg5b cpu baseline FAILED: {type(e).__name__}: {e}")
         emit(
             "cfg5b_batched_solves_256x2000",
             s_warm=round(t_warm, 3),
@@ -544,9 +684,47 @@ def main():
             trajectories_per_s=round(B / t_warm, 1),
             note="256 RKF45 trajectories x 2000 output rows, one vmapped "
                  "launch (wall incl. dispatch + fetch)",
+            **({"vs_ref32": round(B / t_warm / s_traj32, 2)}
+               if s_traj32 else {}),
         )
     except Exception as e:
         log(f"cfg5b solves FAILED: {type(e).__name__}: {e}")
+
+    # cfg5c: checkpointed-sweep kill/resume rehearsal (VERDICT r2 item 5).
+    # A worker subprocess runs a checkpointed 1024×512² sweep, is SIGKILLed
+    # mid-run, then resumed; the summary verifies chunk preservation and
+    # reports the sustained checkpointed rate.  The full-depth run (10⁴
+    # configs, this round) is recorded in BASELINE.md.
+    try:
+        import shutil
+        import subprocess
+        import sys as _sys
+
+        rdir = "/tmp/inflx_bench_rehearse"
+        shutil.rmtree(rdir, ignore_errors=True)
+        proc = subprocess.run(
+            [_sys.executable, "scripts/sweep_rehearsal.py", "rehearse",
+             "--dir", rdir, "--configs", "1024", "--chunk", "64",
+             "--shape", "512"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        tail_ln = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if tail_ln:
+            summary = json.loads(tail_ln[-1])
+            emit(
+                "cfg5c_sweep_kill_resume_1024x512",
+                ok=summary.get("ok"),
+                killed_after_chunks=summary.get("killed_after_chunks"),
+                chunks_resumed=summary.get("chunks_resumed"),
+                sustained_configs_per_hour_per_chip=summary.get(
+                    "sustained_configs_per_hour_per_chip"
+                ),
+                note="checkpointed sweep SIGKILLed mid-run then resumed; "
+                     "10^4-config rehearsal in BASELINE.md",
+            )
+        shutil.rmtree(rdir, ignore_errors=True)
+    except Exception as e:
+        log(f"cfg5c rehearsal FAILED: {type(e).__name__}: {e}")
 
     # re-measure the CPU baseline at the end and keep the FASTER reading —
     # a transiently busy host during either phase would otherwise corrupt

@@ -213,16 +213,29 @@ class CompiledModel:
                         ok = False
                         break
                     if name != "hyp0f1":
-                        # Bessel family: the engine needs a static integer
-                        # order; anything non-literal is conservative-False
+                        # Bessel family: the engine needs a static order —
+                        # integer (any), or fractional inside the df32
+                        # engine's envelope (round 3: |ν| ≤ 8, ≥ 0.05 from
+                        # the nearest integer — df32_special fractional
+                        # paths; sph_jn/yn remain integer-only).  Anything
+                        # non-literal is conservative-False.
                         try:
-                            v = float(first)
-                        except ValueError:
+                            from fractions import Fraction  # noqa: PLC0415
+
+                            v = float(Fraction(first))  # "5/2" and "2.5"
+                        except (ValueError, ZeroDivisionError):
                             ok = False
                             break
                         if v != int(v):
-                            ok = False
-                            break
+                            from .lowering.df32_special import (  # noqa: PLC0415
+                                _static_frac_order,
+                            )
+
+                            if name in ("sph_jn", "sph_yn") or (
+                                _static_frac_order(v) is None
+                            ):
+                                ok = False
+                                break
                 if not ok:
                     break
             self._df32_ok = ok

@@ -24,12 +24,17 @@ Envelope notes (documented, enforced with informative errors where static):
 * series iteration counts are static (Pallas needs static trip counts);
   the 0F1/I series carry full precision for |z| ≲ 25 — beyond that use the
   f64-XLA engine;
-* fractional-order Y and the hypergeometric 1F1/2F1/2F0 stay on the f64-XLA
-  engine (raise with a message naming the alternative).
+* fractional orders (round 3): J/Y/I/K accept static non-integer orders with
+  |ν| ≤ 8 and ≥ 0.05 from the nearest integer (Miller/Neumann, reduced-order
+  reflection, CF2 — see the fractional-orders section below); the
+  hypergeometric 1F1/2F1/2F0 stay on the f64-XLA engine (raise with a
+  message naming the alternative).
 """
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 
 import numpy as np
@@ -162,11 +167,347 @@ def _jy01_large(n: int, z: DF, kind: str) -> DF:
     return amp * (p * s + q * c)
 
 
+# --------------------------------------------------------------------------- #
+# fractional orders (round 3, VERDICT r2 item 6)                               #
+#                                                                              #
+# Static non-integer orders run natively on the df32 engine instead of        #
+# demoting the whole model to the emulated-f64 XLA path (whose Bessel graph   #
+# compiles take >25 min on TPU).  Algorithms (validated ~2-4e-13 vs scipy     #
+# across ν ∈ [0.1, 8), z ∈ (0, 40] — scripts/dev_r3_fracbessel.py):          #
+#                                                                              #
+# * J_ν (z ≤ 40): Miller downward recurrence from ν+80 normalized with the   #
+#   Neumann-type sum Σ_k c_k J_{ν+2k} = (z/2)^ν/Γ(ν+1) (c_k exact Python     #
+#   constants) — cancellation-free where the direct series loses 5+ digits;  #
+#   joint power-of-two rescaling keeps the recurrence inside f32 range.      #
+# * Y_ν: reduced-order double reflection Y_μ = (J_μ cos μπ − J_{−μ})/sin μπ  #
+#   at μ, μ+1 ∈ (0, 2), then stable upward recurrence.                       #
+# * z > 40: Hankel modulus/phase asymptotics (coefficients are trace-time    #
+#   constants; fully converged there for ν ≤ 8).                             #
+# * I_ν: the 0F1-type series with Γ-constant terms (any real order).         #
+# * K_ν: reflection π(I_{−ν}−I_ν)/(2 sin νπ) for z < 2; Steed/Thompson-      #
+#   Barnett CF2 beyond, with a static schedule of exact 2^±64 rescalings     #
+#   (c_i ~ i!4^i overflows the f32 constant split, q_i ~ 1/c_i underflows)   #
+#   and per-element convergence freezing.                                    #
+#                                                                              #
+# Envelope (enforced statically by compiler.df32_compatible): |ν| ≤ 8 and    #
+# |ν − round(ν)| ≥ 0.05 (the reflection formulas carry a 1/sin νπ).          #
+# --------------------------------------------------------------------------- #
+
+_MILLER_STEPS = 44
+_FRAC_ZMAX = 15.0  # Miller/asymptotic handover: the 12-term DF Hankel
+# expansion is ≤3e-13 for every ν ≤ 8 from z = 15 on (measured vs scipy),
+# so the Miller chain only has to cover z ≤ 15 — at 44 steps instead of the
+# 80 a z ≤ 40 window would need (kernel-size lever; compile time scales
+# with the unrolled chain)
+_FRAC_NUMAX = 8.0
+_FRAC_MIN_DIST = 0.05
+_CF2_ITERS_DF = 60
+
+
+# --- trace-scoped call memoization ----------------------------------------- #
+# A model's Hesse typically repeats the same Bessel calls dozens-to-hundreds
+# of times (and V/Hesse/|∇V|² repeat each other's); each fractional call
+# unrolls a Miller/CF2 chain, so duplicate tracing multiplies kernel size
+# and Mosaic compile time catastrophically (measured: an un-CSE'd fractional
+# model failed to compile in 58 min; with source-CSE + this memo the same
+# kernel traces in seconds).  The memo lives in a contextvar scope that the
+# engine cores open around one point-evaluation pass, so cached DF results
+# never leak across jax traces.
+
+_CALL_MEMO: contextvars.ContextVar = contextvars.ContextVar(
+    "df32_special_call_memo", default=None
+)
+
+
+def _arg_ids(*zs):
+    out = []
+    for z in zs:
+        if isinstance(z, DF):
+            out.extend((id(z.hi), id(z.lo)))
+        else:
+            out.append(id(z))
+    return tuple(out)
+
+
+@contextlib.contextmanager
+def special_call_memo():
+    """Open a memoization scope for special-function calls (used by the
+    engine cores around each point-evaluation pass)."""
+    tok = _CALL_MEMO.set({})
+    try:
+        yield
+    finally:
+        _CALL_MEMO.reset(tok)
+
+
+def _memo(key, z_objs, compute):
+    memo = _CALL_MEMO.get()
+    if memo is None:
+        return compute()
+    full = key + _arg_ids(*z_objs)
+    hit = memo.get(full)
+    if hit is None:
+        # retain the keyed operands so their ids stay valid for the scope
+        hit = (compute(), z_objs)
+        memo[full] = hit
+    return hit[0]
+
+
+def _static_frac_order(nu):
+    """The order as a Python float when it is a supported static non-integer
+    fractional order, else None."""
+    if isinstance(nu, (int, float, np.floating)):
+        v = float(nu)
+        if v != int(v) and abs(v) <= _FRAC_NUMAX and (
+            abs(v - round(v)) >= _FRAC_MIN_DIST
+        ):
+            return v
+    return None
+
+
+def _i_series_nu(nu: float, z: DF) -> DF:
+    """I_ν(z) power series for any real static ν (Γ-constant terms)."""
+    q = z.sq() * 0.25
+    acc = DF.const(1.0) + (q * 0.0)
+    term = acc
+    for k in range(_SERIES_ITERS):
+        term = term * q * (1.0 / ((k + 1.0) * (k + 1.0 + nu)))
+        acc = acc + term
+    acc = _series_guard(acc, term)
+    return acc * dfm.pow(z * 0.5, nu) * (1.0 / math.gamma(nu + 1.0))
+
+
+def _miller_j(nu: float, z: DF, shifts=(0,)) -> dict:
+    """{s: J_{ν+s}(z)} for s in ``shifts`` (each < _MILLER_STEPS), for
+    0 < z ≤ _FRAC_ZMAX.  Downward recurrence from ν + _MILLER_STEPS with the
+    Neumann-sum normalization; every rescale is an exact power of two and
+    scales the sum alongside, so no exponent tracking is needed."""
+    zi = DF.const(1.0) / z
+    tiny = np.float32(2.0**-60)
+    jp = DF(jnp.zeros_like(z.hi))
+    j = DF(jnp.full_like(z.hi, tiny))
+    ssum = DF(jnp.zeros_like(z.hi))
+    # filled lazily: shift entries appear only near the bottom of the chain,
+    # so the periodic rescale below touches them at most ~3 times (a
+    # kernel-size economy: eagerly-created entries would be rescaled at
+    # every one of the ~11 rescale points)
+    outs: dict = {}
+    shift_set = frozenset(shifts)
+    gnu1 = math.gamma(nu + 1.0)
+    for k in range(_MILLER_STEPS, -1, -1):
+        if k % 2 == 0:
+            kk = k // 2
+            c = 1.0 if kk == 0 else (
+                (nu + 2 * kk) * math.gamma(nu + kk)
+                / (math.factorial(kk) * gnu1)
+            )
+            ssum = ssum + j * c
+        if k in shift_set:
+            outs[k] = j
+        if k == 0:
+            break
+        jm = zi * j * (2.0 * (nu + k)) - jp
+        jp, j = j, jm
+        if k % 4 == 0:
+            big = jnp.abs(j.hi) > np.float32(2.0**40)
+            sc = jnp.where(big, np.float32(2.0**-64), np.float32(1.0))
+            jp = DF(jp.hi * sc, jp.lo * sc)
+            j = DF(j.hi * sc, j.lo * sc)
+            ssum = DF(ssum.hi * sc, ssum.lo * sc)
+            outs = {
+                s: DF(o.hi * sc, o.lo * sc) for s, o in outs.items()
+            }
+    rhs = dfm.pow(z * 0.5, nu) * (1.0 / gnu1)
+    norm = rhs / ssum
+    return {s: o * norm for s, o in outs.items()}
+
+
+def _jy_asym_df(nu: float, z: DF, kind: str) -> DF:
+    """J_ν/Y_ν Hankel modulus/phase asymptotics in DF for z > _FRAC_ZMAX
+    (A&S 9.2.5-9.2.10); P/Q coefficients are exact trace-time constants and
+    the 12-term truncation is fully converged there for ν ≤ 8."""
+    mu = 4.0 * nu * nu
+    # P = Σ cp_k u^{2k},  Q = Σ cq_k u^{2k+1},  u = 1/(8z)
+    cp = [1.0]
+    cq = [(mu - 1.0) / 8.0]
+    tp, tq = cp[0], cq[0] * 8.0  # track the (8u)-free parts
+    for k in range(1, 12):
+        tp = -tp * (mu - (4 * k - 3) ** 2) * (mu - (4 * k - 1) ** 2) / (
+            (2 * k - 1) * (2 * k)
+        )
+        cp.append(tp / 8.0 ** (2 * k))
+        tq = -tq * (mu - (4 * k - 1) ** 2) * (mu - (4 * k + 1) ** 2) / (
+            (2 * k) * (2 * k + 1)
+        )
+        cq.append(tq / 8.0 ** (2 * k + 1))
+    inv = DF.const(1.0) / z
+    v = inv.sq()
+    p = DF.const(cp[-1]) + (z * 0.0)
+    for c in cp[-2::-1]:
+        p = p * v + c
+    q = DF.const(cq[-1]) + (z * 0.0)
+    for c in cq[-2::-1]:
+        q = q * v + c
+    q = q * inv
+    chi = z + DF.const(-(0.5 * nu + 0.25) * math.pi)
+    amp = dfm.sqrt(inv * (2.0 / math.pi))
+    s = dfm.sin(chi)
+    c = dfm.cos(chi)
+    if kind == "j":
+        return amp * (p * c - q * s)
+    return amp * (p * s + q * c)
+
+
+def _miller_j_memo(m: float, z: DF) -> dict:
+    """Memoized Miller chain at reduced base ``m``, emitting every shift the
+    fractional envelope can need (0..9): J- and Y-paths, and every J order
+    sharing the same fractional part, then reuse ONE chain per (base,
+    argument) — the kernel-size lever that makes fractional-Bessel models
+    compile (duplicate chains multiplied Mosaic compile time past an hour
+    before round 3's memoization)."""
+    return _memo(
+        ("miller", round(m, 12)), (z,),
+        lambda: _miller_j(
+            m, dfm.minimum(z, DF.const(_FRAC_ZMAX)), shifts=tuple(range(10))
+        ),
+    )
+
+
+def _jy_asym_memo(a: float, z: DF, kind: str) -> DF:
+    return _memo(
+        ("asym", kind, round(a, 12)), (z,),
+        lambda: _jy_asym_df(a, dfm.maximum(z, DF.const(_FRAC_ZMAX)), kind),
+    )
+
+
+def _besselj_frac_pos(a: float, z: DF) -> DF:
+    """J_a for static a > 0 non-integer, z > 0."""
+    nl = int(math.floor(a))
+    m = a - nl
+    small = _miller_j_memo(m, z)[nl]
+    large = _jy_asym_memo(a, z, "j")
+    return dfm.where(z.hi <= np.float32(_FRAC_ZMAX), small, large)
+
+
+def _bessely_frac_pos(a: float, z: DF) -> DF:
+    """Y_a for static a > 0 non-integer, z > 0: reduced-order double
+    reflection + stable upward recurrence (z ≤ 40), asymptotics beyond."""
+    nl = int(math.floor(a))
+    m = a - nl  # in (0, 1), bounded away from 0/1 by _FRAC_MIN_DIST
+    pos = _miller_j_memo(m, z)          # J_m, J_{m+1}
+    neg = _miller_j_memo(-m - 1.0, z)   # base −m−1: shifts 0,1 = J_{−m−1}, J_{−m}
+    sin_m = math.sin(math.pi * m)
+    cos_m = math.cos(math.pi * m)
+    ymu = (pos[0] * cos_m - neg[1]) * (1.0 / sin_m)
+    # sin/cos(π(m+1)) = -sin/-cos(πm)
+    ymu1 = (pos[1] * (-cos_m) - neg[0]) * (-1.0 / sin_m)
+    zi2 = DF.const(2.0) / dfm.minimum(z, DF.const(_FRAC_ZMAX))
+    for k in range(nl):
+        ymu, ymu1 = ymu1, zi2 * ymu1 * (m + k + 1.0) - ymu
+    large = _jy_asym_memo(a, z, "y")
+    return dfm.where(z.hi <= np.float32(_FRAC_ZMAX), ymu, large)
+
+
+def _besselk_frac_cf2_df(a: float, x: DF) -> DF:
+    """K_a via the Steed/Thompson-Barnett CF2 for x ≥ 2 (NR bessik
+    structure): reduced order μ = a − round(a) ∈ [−½, ½], static upward
+    recurrence.  The c_i Python constants and q_i DF values are jointly
+    rescaled by exact 2^∓64 on a trace-time schedule to stay inside f32
+    range; per-element freezing stops iteration at convergence (the
+    continued fraction converges fastest for large x, where the q-chain
+    would otherwise overflow post-convergence)."""
+    nl = int(math.floor(a + 0.5))
+    xmu = a - nl
+    a1 = 0.25 - xmu * xmu
+    xi = DF.const(1.0) / x
+    b = x * 2.0 + 2.0
+    d = DF.const(1.0) / b
+    h = d
+    delh = d
+    tiny = np.float32(1e-30)
+
+    def safe_recip(den):
+        bad = jnp.abs(den.hi) < tiny
+        den = DF(jnp.where(bad, tiny, den.hi),
+                 jnp.where(bad, np.float32(0.0), den.lo))
+        return DF.const(1.0) / den
+
+    if a1 == 0.0:  # half-integer order: the CF terminates
+        rkmu = dfm.sqrt(DF.const(math.pi) / (x * 2.0)) * dfm.exp(-x)
+        rk1 = rkmu * (x + (xmu + 0.5)) * xi
+        for k in range(nl):
+            rkmu, rk1 = rk1, rk1 * ((xmu + k + 1.0) * 2.0) * xi + rkmu
+        return rkmu
+
+    a_val = -a1
+    c_m = a1
+    q1 = DF(jnp.zeros_like(x.hi))
+    q2 = DF(jnp.ones_like(x.hi))
+    q = DF.const(a1) + DF(jnp.zeros_like(x.hi))
+    ssum = q * d + 1.0
+    done = jnp.zeros_like(x.hi, dtype=bool)
+
+    def frz(old, new):
+        return DF(jnp.where(done, old.hi, new.hi),
+                  jnp.where(done, old.lo, new.lo))
+
+    for i in range(2, _CF2_ITERS_DF + 1):
+        a_val = a_val - 2.0 * (i - 1)
+        c_m = -a_val * c_m / i
+        qnew = frz(q2, (q1 - b * q2) * (1.0 / a_val))
+        q1, q2 = frz(q1, q2), qnew
+        q = frz(q, q + qnew * c_m)
+        if abs(c_m) > 2.0**32:
+            c_m *= 2.0**-64
+            q1 = q1 * (2.0**64)
+            q2 = q2 * (2.0**64)
+        b = b + 2.0
+        d = frz(d, safe_recip(b + d * a_val))
+        delh = frz(delh, (b * d - 1.0) * delh)
+        h = frz(h, h + delh)
+        inc = q * delh
+        ssum = frz(ssum, ssum + inc)
+        done = done | (
+            jnp.abs(inc.hi) <= np.float32(2.0**-52) * jnp.abs(ssum.hi)
+        )
+    h = h * a1
+    rkmu = dfm.sqrt(DF.const(math.pi) / (x * 2.0)) * dfm.exp(-x) / ssum
+    rk1 = rkmu * (x + (xmu + 0.5) - h) * xi
+    for k in range(nl):
+        rkmu, rk1 = rk1, rk1 * ((xmu + k + 1.0) * 2.0) * xi + rkmu
+    return rkmu
+
+
+def _besselj_frac(frac: float, z) -> DF:
+    a = abs(frac)
+    z = DF.of(z)
+    bad = z.hi < 0  # J_ν(z<0) is complex for fractional ν
+    zero = z.hi == 0
+    zs = dfm.where(bad | zero, DF.const(1.0), z)
+    j = _besselj_frac_pos(a, zs)
+    if frac < 0:
+        y = _bessely_frac_pos(a, zs)
+        j = j * math.cos(math.pi * a) - y * math.sin(math.pi * a)
+    nan = np.float32(np.nan)
+    hi = jnp.where(bad, nan, j.hi)
+    lo = jnp.where(bad, nan, j.lo)
+    # J_a(0) = 0 for a > 0; J_{-a}(0) diverges
+    hi = jnp.where(zero, np.float32(0.0) if frac > 0 else nan, hi)
+    lo = jnp.where(zero, np.float32(0.0) if frac > 0 else nan, lo)
+    return DF(hi, lo)
+
+
 def besselj(nu, z) -> DF:
+    frac = _static_frac_order(nu)
+    if frac is not None:
+        return _memo(("besselj", round(frac, 12)), (z,),
+                     lambda: _besselj_frac(frac, z))
     if not _is_static_int(nu):
         raise NotImplementedError(
-            "fractional-order besselj is not available in the df32 engine; "
-            "use the f64 XLA engine (engine='xla') for this model"
+            "besselj in the df32 engine needs a static order: integer, or "
+            f"non-integer with |ν| ≤ {_FRAC_NUMAX} and ≥ {_FRAC_MIN_DIST} "
+            "from the nearest integer; use the f64 XLA engine "
+            "(engine='xla') otherwise"
         )
     n = int(nu)
     sign = 1.0 if n >= 0 else (-1.0) ** (-n)
@@ -219,11 +560,30 @@ def _y01_small(n: int, z: DF) -> DF:
     return ((logz2 + _EULER_GAMMA) * j1 - inv - z * acc * 0.25) * (2.0 / math.pi)
 
 
+def _bessely_frac(frac: float, z) -> DF:
+    a = abs(frac)
+    z = DF.of(z)
+    bad = z.hi <= 0
+    zs = dfm.where(bad, DF.const(1.0), z)
+    y = _bessely_frac_pos(a, zs)
+    if frac < 0:
+        j = _besselj_frac_pos(a, zs)
+        y = j * math.sin(math.pi * a) + y * math.cos(math.pi * a)
+    nan = np.float32(np.nan)
+    return DF(jnp.where(bad, nan, y.hi), jnp.where(bad, nan, y.lo))
+
+
 def bessely(nu, z) -> DF:
+    frac = _static_frac_order(nu)
+    if frac is not None:
+        return _memo(("bessely", round(frac, 12)), (z,),
+                     lambda: _bessely_frac(frac, z))
     if not _is_static_int(nu):
         raise NotImplementedError(
-            "fractional-order bessely is not available in the df32 engine; "
-            "use the f64 XLA engine (engine='xla') for this model"
+            "bessely in the df32 engine needs a static order: integer, or "
+            f"non-integer with |ν| ≤ {_FRAC_NUMAX} and ≥ {_FRAC_MIN_DIST} "
+            "from the nearest integer; use the f64 XLA engine "
+            "(engine='xla') otherwise"
         )
     n = int(nu)
     sign = 1.0 if n >= 0 else (-1.0) ** (-n)
@@ -253,11 +613,31 @@ def bessely(nu, z) -> DF:
     return DF(jnp.where(bad, nan, out.hi), jnp.where(bad, np.float32(0), out.lo))
 
 
+def _besseli_frac(frac: float, z) -> DF:
+    z = DF.of(z)
+    bad = z.hi < 0  # z^ν is complex for fractional ν
+    zero = z.hi == 0
+    zs = dfm.where(bad | zero, DF.const(1.0), z)
+    out = _i_series_nu(frac, zs)
+    nan = np.float32(np.nan)
+    hi = jnp.where(bad, nan, out.hi)
+    lo = jnp.where(bad, nan, out.lo)
+    hi = jnp.where(zero, np.float32(0.0) if frac > 0 else nan, hi)
+    lo = jnp.where(zero, np.float32(0.0) if frac > 0 else nan, lo)
+    return DF(hi, lo)
+
+
 def besseli(nu, z) -> DF:
+    frac = _static_frac_order(nu)
+    if frac is not None:
+        return _memo(("besseli", round(frac, 12)), (z,),
+                     lambda: _besseli_frac(frac, z))
     if not _is_static_int(nu):
         raise NotImplementedError(
-            "fractional-order besseli is not available in the df32 engine; "
-            "use the f64 XLA engine (engine='xla') for this model"
+            "besseli in the df32 engine needs a static order: integer, or "
+            f"non-integer with |ν| ≤ {_FRAC_NUMAX} and ≥ {_FRAC_MIN_DIST} "
+            "from the nearest integer; use the f64 XLA engine "
+            "(engine='xla') otherwise"
         )
     n = abs(int(nu))  # I_{-n} = I_n
     z = DF.of(z)
@@ -304,11 +684,32 @@ def _k01_cheb(n: int, z: DF) -> DF:
     return scaled * dfm.exp(-z) * dfm.sqrt(u)
 
 
+def _besselk_frac(frac: float, z) -> DF:
+    a = abs(frac)  # K_{-nu} = K_nu
+    z = DF.of(z)
+    bad = z.hi <= 0
+    zs = dfm.where(bad, DF.const(1.0), z)
+    z_small = dfm.minimum(zs, DF.const(2.0))
+    small = (_i_series_nu(-a, z_small) - _i_series_nu(a, z_small)) * (
+        math.pi / (2.0 * math.sin(math.pi * a))
+    )
+    big = _besselk_frac_cf2_df(a, dfm.maximum(zs, DF.const(2.0)))
+    out = dfm.where(zs.hi < np.float32(2.0), small, big)
+    nan = np.float32(np.nan)
+    return DF(jnp.where(bad, nan, out.hi), jnp.where(bad, nan, out.lo))
+
+
 def besselk(nu, z) -> DF:
+    frac = _static_frac_order(nu)
+    if frac is not None:
+        return _memo(("besselk", round(frac, 12)), (z,),
+                     lambda: _besselk_frac(frac, z))
     if not _is_static_int(nu):
         raise NotImplementedError(
-            "fractional-order besselk is not available in the df32 engine; "
-            "use the f64 XLA engine (engine='xla') for this model"
+            "besselk in the df32 engine needs a static order: integer, or "
+            f"non-integer with |ν| ≤ {_FRAC_NUMAX} and ≥ {_FRAC_MIN_DIST} "
+            "from the nearest integer; use the f64 XLA engine "
+            "(engine='xla') otherwise"
         )
     n = abs(int(nu))  # K_{-n} = K_n
     z = DF.of(z)

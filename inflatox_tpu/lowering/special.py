@@ -211,8 +211,18 @@ def _bessel_frac(nu, z, modified: bool):
 
     # gammaln is ln|Γ|: Γ(ν+1) < 0 for some negative ν (e.g. ν = −1.75) —
     # restore the sign (round-2 fix: the K_ν connection formula was wrong
-    # for ν with Γ(ν+1) < 0)
-    pref = jss.gammasgn(nu + 1.0) * _amath.exp(
+    # for ν with Γ(ν+1) < 0).  Computed from floor parity rather than
+    # jss.gammasgn: that one lowers through an s64 signbit bitcast that
+    # TPU's x64 rewriter rejects (round-3 hardware finding) — Γ(x) is
+    # positive for x > 0 and alternates sign per unit interval below zero
+    # (negative on (−1,0), positive on (−2,−1), ...).
+    x1 = nu + 1.0
+    sgn = jnp.where(
+        x1 > 0,
+        1.0,
+        jnp.where(jnp.floor(x1) % 2.0 == 0.0, 1.0, -1.0),
+    )
+    pref = sgn * _amath.exp(
         nu * jnp.log(z / 2.0) - jss.gammaln(nu + 1.0)
     )
     return pref * hyp0f1(nu + 1.0, arg)

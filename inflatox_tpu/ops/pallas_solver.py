@@ -1,0 +1,340 @@
+"""Batched background-EoM solver as a Pallas TPU kernel (round 3).
+
+Why: the ``lax.while_loop``-based batch solver (background.py) advances the
+state in TPU's emulated f64 — measured round 3 at ~143 trajectories/s for
+256×2000 rows on one chip, while a reference-style C solver does the same
+trivial-model work at ~35k traj/s on 32 cores: per-step loop overhead plus
+the ~30× emulated-f64 tax swamp the VPU.  This kernel keeps the state in
+double-f32 (DF) pairs inside compiled Mosaic — the only EFT-safe compiled
+context (lowering/df32.py) — and replaces the per-row ``while_loop`` with a
+fixed budget of masked adaptive attempts, so every lane of a (8, 128)
+trajectory block advances in lock-step vector code.
+
+Semantics follow :mod:`inflatox_tpu.background` (same RKF45 tableau, same
+accept/step-control constants, row 0 = initial state with H from the
+Friedmann constraint).  One deliberate divergence: a row is given at most
+``_MAX_ATTEMPTS`` embedded attempts (dt shrinks up to 10× per reject —
+eight decades of headroom); if none is accepted the state carries over
+unchanged and the next row retries from the shrunken dt.  The while-loop
+solver would keep iterating inside the row instead; on smooth backgrounds
+the paths are identical (tests assert row-for-row agreement).
+
+Trajectory-block layout: lanes×sublanes = (8, 128) = 1024 trajectories per
+grid step along the batch axis; output rows stream in chunks of
+``_ROW_CHUNK`` along a sequential ("arbitrary") grid axis with the solver
+state carried in VMEM scratch between chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..background import _DT_FLOOR, _DT_INIT, _RKF_A, _RKF_B4, _RKF_B5
+
+__all__ = ["solve_eom_batch_pallas"]
+
+_SUB, _LANES = 8, 128
+_TRAJ_BLOCK = _SUB * _LANES  # 1024 trajectories per grid step
+_ROW_CHUNK = 64              # output rows per sequential grid step
+_MAX_ATTEMPTS = 8
+
+
+def _deriv(fns, y, args):
+    """RHS over the DF state y = [φ0, φ1, χ0, χ1, H]."""
+    from ..lowering.df32 import DF  # noqa: PLC0415
+
+    x = (y[0], y[1])
+    chi = (y[2], y[3])
+    eoms = fns["eom"](x, chi, args)
+    acc = [-(eoms[a]) - y[4] * chi[a] * 3.0 for a in range(2)]
+    hdot = fns["eom_hdot"](x, chi, args)
+    del DF
+    return [chi[0], chi[1], acc[0], acc[1], hdot]
+
+
+def _rkf_attempt(fns, y, dt_f32, args):
+    """One embedded RKF45 step over DF state; returns (y5, err_f32)."""
+    from ..lowering.df32 import DF  # noqa: PLC0415
+
+    dt = DF(dt_f32)
+    ks = []
+    for n in range(6):
+        yn = y
+        for mm in range(n):
+            a = float(_RKF_A[n, mm])
+            if a != 0.0:
+                yn = [yn[c] + (dt * ks[mm][c]) * a for c in range(5)]
+        ks.append(_deriv(fns, yn, args))
+    hi = list(y)
+    lo = list(y)
+    for n in range(6):
+        b5, b4 = float(_RKF_B5[n]), float(_RKF_B4[n])
+        if b5 != 0.0:
+            hi = [hi[c] + (dt * ks[n][c]) * b5 for c in range(5)]
+        if b4 != 0.0:
+            lo = [lo[c] + (dt * ks[n][c]) * b4 for c in range(5)]
+    err2 = jnp.zeros_like(dt_f32)
+    for c in range(5):
+        d = (hi[c] - lo[c]).hi  # f32 head of the defect is ample for control
+        err2 = err2 + d * d
+    return hi, jnp.sqrt(err2)
+
+
+def _controller(dt, err, max_err):
+    """Step-size factor matching background.py's while-loop body: q =
+    clip((max_err/err)^(1/7), 0.1, 5), growth cap on zero error, shrink on
+    non-finite error."""
+    tiny = np.float32(1e-30)
+    ratio = jnp.log(np.float32(max_err) / jnp.maximum(err, tiny))
+    q = jnp.exp(ratio * np.float32(1.0 / 7.0))
+    q = jnp.clip(q, np.float32(0.1), np.float32(5.0))
+    q = jnp.where(err > 0, q, np.float32(5.0))
+    q = jnp.where(jnp.isfinite(err), q, np.float32(0.1))
+    return dt * q
+
+
+def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
+                   n_chunks=None, max_err=None):
+    """refs = 8 init planes, then 12 output planes (6 comps × hi/lo), then
+    13 scratch planes (5 comps × hi/lo + t hi/lo + dt)."""
+    from ..lowering.df32 import DF  # noqa: PLC0415
+
+    in_refs = refs[:8]
+    out_refs = refs[8:20]
+    scr = refs[20:]
+    # NB: literal python ints trace as i64 under x64, which Mosaic
+    # cannot legalize — keep index arithmetic in explicit i32
+    rc = pl.program_id(1)
+
+    def scal_df(t):
+        return DF(scal_ref[2 * t], scal_ref[2 * t + 1])
+
+    args = tuple(scal_df(t) for t in range(n_params))
+    fns = model.solver_df32_fns()
+
+    # ---- load state (or initialize on the first row chunk) --------------- #
+    x0 = DF(in_refs[0][...], in_refs[1][...])
+    x1 = DF(in_refs[2][...], in_refs[3][...])
+    c0 = DF(in_refs[4][...], in_refs[5][...])
+    c1 = DF(in_refs[6][...], in_refs[7][...])
+    h0 = fns["eom_h"]((x0, x1), (c0, c1), args)
+    first = rc == jnp.int32(0)
+
+    def pick(init_df, hi_ref, lo_ref):
+        return DF(
+            jnp.where(first, init_df.hi, hi_ref[...]),
+            jnp.where(first, init_df.lo, lo_ref[...]),
+        )
+
+    y = [
+        pick(x0, scr[0], scr[1]),
+        pick(x1, scr[2], scr[3]),
+        pick(c0, scr[4], scr[5]),
+        pick(c1, scr[6], scr[7]),
+        pick(h0, scr[8], scr[9]),
+    ]
+    t = DF(
+        jnp.where(first, np.float32(0.0), scr[10][...]),
+        jnp.where(first, np.float32(0.0), scr[11][...]),
+    )
+    dt = jnp.where(first, np.float32(_DT_INIT), scr[12][...])
+
+    # ---- row loop -------------------------------------------------------- #
+    def row_body(local, carry):
+        (y0h, y0l, y1h, y1l, y2h, y2l, y3h, y3l, y4h, y4l,
+         th_, tl_, dt_) = carry
+        y_ = [DF(y0h, y0l), DF(y1h, y1l), DF(y2h, y2l), DF(y3h, y3l),
+              DF(y4h, y4l)]
+        t_ = DF(th_, tl_)
+        grow = rc * jnp.int32(_ROW_CHUNK) + local  # global row index
+        stepping = grow > jnp.int32(0)  # row 0 records the initial state
+
+        accepted = jnp.zeros_like(dt_, dtype=bool)
+        for _ in range(_MAX_ATTEMPTS):
+            cand, err = _rkf_attempt(fns, y_, dt_, args)
+            ok = jnp.logical_or(
+                err / np.float32(max_err) <= np.float32(1.1),
+                dt_ <= np.float32(_DT_FLOOR),
+            )
+            take = ok & jnp.logical_not(accepted) & stepping
+
+            def sel(old, new):
+                return DF(jnp.where(take, new.hi, old.hi),
+                          jnp.where(take, new.lo, old.lo))
+
+            y_ = [sel(o, n_) for o, n_ in zip(y_, cand)]
+            t_ = sel(t_, t_ + DF(dt_))
+            dt_ = jnp.where(
+                jnp.logical_not(accepted) & stepping,
+                _controller(dt_, err, max_err),
+                dt_,
+            )
+            accepted = accepted | ok
+
+        # write this row (hi, lo planes per component + time)
+        vals = [*y_, t_]
+        for k, v in enumerate(vals):
+            out_refs[2 * k][pl.ds(local, 1), :, :] = v.hi[None]
+            out_refs[2 * k + 1][pl.ds(local, 1), :, :] = v.lo[None]
+        return (y_[0].hi, y_[0].lo, y_[1].hi, y_[1].lo, y_[2].hi, y_[2].lo,
+                y_[3].hi, y_[3].lo, y_[4].hi, y_[4].lo, t_.hi, t_.lo, dt_)
+
+    carry0 = (y[0].hi, y[0].lo, y[1].hi, y[1].lo, y[2].hi, y[2].lo,
+              y[3].hi, y[3].lo, y[4].hi, y[4].lo, t.hi, t.lo, dt)
+    # i32 bounds: python-int bounds make the loop counter i64 under
+    # x64, which Mosaic cannot legalize
+    out = lax.fori_loop(jnp.int32(0), jnp.int32(_ROW_CHUNK), row_body,
+                        carry0)
+
+    # ---- save state for the next chunk ----------------------------------- #
+    for i in range(12):
+        scr[i][...] = out[i]
+    scr[12][...] = out[12]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "steps", "n_traj_blocks", "interpret",
+                     "max_err"),
+)
+def _launch_solver(scalars, init_planes, model, steps, n_traj_blocks,
+                   interpret, max_err):
+    n_chunks = -(-steps // _ROW_CHUNK)
+    rows_pad = n_chunks * _ROW_CHUNK
+    grid = (n_traj_blocks, n_chunks)
+    kernel = functools.partial(
+        _solver_kernel, model=model, n_params=model.n_parameters,
+        steps=steps, n_chunks=n_chunks, max_err=float(max_err),
+    )
+    in_specs = [
+        pl.BlockSpec((_SUB, _LANES), lambda b, rc, *_: (b, b * 0))
+        for _ in range(8)
+    ]
+    out_specs = tuple(
+        pl.BlockSpec((_ROW_CHUNK, _SUB, _LANES), lambda b, rc, *_: (rc, b, b * 0))
+        for _ in range(12)
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((rows_pad, n_traj_blocks * _SUB, _LANES),
+                             jnp.float32)
+        for _ in range(12)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((_SUB, _LANES), jnp.float32)] * 13,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(scalars, *init_planes)
+
+
+def _split_planes(v, n_blocks):
+    """(Bp,) f64 → ((n_blocks·_SUB, _LANES) hi, lo) f32 planes."""
+    hi = v.astype(np.float32)
+    lo = (v - hi.astype(np.float64)).astype(np.float32)
+    shape = (n_blocks * _SUB, _LANES)
+    return hi.reshape(shape), lo.reshape(shape)
+
+
+def solve_eom_batch_pallas(
+    artifact,
+    pars,
+    steps: int,
+    fields_init,
+    derivatives_init,
+    max_err: float = 1e-6,
+    return_time: bool = False,
+    interpret: bool | None = None,
+):
+    """Batched RKF45 background solves on the Pallas DF engine (2-field
+    models, shared parameter set).  Same output contract as
+    :func:`inflatox_tpu.background.solve_eom_batch`: (B, steps, 5)
+    [+ (B, steps) times]."""
+    from ..utils.errors import ShapeError  # noqa: PLC0415
+
+    fields_init = np.asarray(fields_init, dtype=float)
+    derivs_init = np.asarray(derivatives_init, dtype=float)
+    pars = np.asarray(pars, dtype=float)
+    if artifact.n_fields != 2:
+        raise ShapeError((2,), (artifact.n_fields,),
+                         "the Pallas solver supports 2-field models")
+    if fields_init.ndim != 2 or fields_init.shape[1] != 2:
+        raise ShapeError((-1, 2), fields_init.shape,
+                         "batched initial conditions must be (B, 2)")
+    if pars.ndim != 1:
+        raise ShapeError(
+            (artifact.n_parameters,), pars.shape,
+            "the Pallas solver takes one shared parameter set; use the "
+            "XLA solver for per-trajectory parameters",
+        )
+    B = fields_init.shape[0]
+    n_blocks = -(-B // _TRAJ_BLOCK)
+    Bp = n_blocks * _TRAJ_BLOCK
+    pad = Bp - B
+
+    def padded(col):
+        col = np.asarray(col, dtype=np.float64)
+        if pad:
+            col = np.concatenate([col, np.repeat(col[-1:], pad)])
+        return col
+
+    cols = [fields_init[:, 0], fields_init[:, 1],
+            derivs_init[:, 0], derivs_init[:, 1]]
+    planes = []
+    for c in cols:
+        hi, lo = _split_planes(padded(c), n_blocks)
+        planes.extend([jnp.asarray(hi), jnp.asarray(lo)])
+
+    # parameter scalars as exact (hi, lo) pairs
+    pairs = []
+    for v in pars:
+        h = float(np.float32(v))
+        pairs.extend([h, float(v) - h])
+    scalars = jnp.asarray(pairs + [0.0], dtype=jnp.float32)  # pad ≥1
+
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None and not on_tpu:
+        # the Pallas interpreter destroys compensated arithmetic (see
+        # pallas_kernels._df64_eager) — run the while-loop solver instead;
+        # an EXPLICIT interpret=True still runs the interpreter (plumbing
+        # tests, reduced accuracy)
+        from .. import background  # noqa: PLC0415
+
+        return background.solve_eom_batch(
+            artifact, pars, steps, fields_init, derivs_init,
+            max_err=max_err, solver="rkf", return_time=return_time,
+        )
+    if interpret is None:
+        interpret = False
+
+    outs = _launch_solver(scalars, tuple(planes), artifact, int(steps),
+                          n_blocks, bool(interpret), float(max_err))
+    # host combine: (rows_pad, n_blocks·_SUB, _LANES) pairs → (B, steps, ·)
+    comps = []
+    for k in range(6):
+        hi = np.asarray(outs[2 * k], dtype=np.float64)
+        lo = np.asarray(outs[2 * k + 1], dtype=np.float64)
+        v = hi + lo
+        v = v.reshape(v.shape[0], -1)[: steps, : B]  # rows, traj
+        comps.append(v.T)  # (B, steps)
+    rows = np.stack(comps[:5], axis=2)
+    if return_time:
+        return rows, comps[5]
+    return rows

@@ -107,3 +107,62 @@ def test_shape_validation(trivial):
         background.solve_eom(trivial, np.array([1.0]), 10, X0, CHI0)
     with pytest.raises(ValueError):
         background.solve_eom(trivial, ARGS, 10, X0, CHI0, solver="euler")
+
+
+def test_pallas_solver_fallback_and_contract(doc_model_artifact):
+    """solver="rkf_pallas": off-TPU it falls back to the while-loop RKF45
+    (bit-identical there); contract checks are its own."""
+    import pytest
+
+    from inflatox_tpu import background
+    from inflatox_tpu.ops.pallas_solver import solve_eom_batch_pallas
+    from inflatox_tpu.utils.errors import ShapeError
+
+    f0 = np.array([[2.0, 2.0], [1.9, 2.1]])
+    d0 = np.zeros((2, 2))
+    got, tg = background.solve_eom_batch(
+        doc_model_artifact, np.array([1.0]), 50, f0, d0,
+        solver="rkf_pallas", return_time=True,
+    )
+    want, tw = background.solve_eom_batch(
+        doc_model_artifact, np.array([1.0]), 50, f0, d0,
+        solver="rkf", return_time=True,
+    )
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(tg, tw)
+    with pytest.raises(ShapeError, match="shared parameter set"):
+        solve_eom_batch_pallas(
+            doc_model_artifact, np.ones((2, 1)), 10, f0, d0
+        )
+    with pytest.raises(ShapeError, match="\\(B, 2\\)"):
+        solve_eom_batch_pallas(
+            doc_model_artifact, np.array([1.0]), 10, f0[:, :1], d0
+        )
+
+
+def test_pallas_solver_interpret_plumbing(doc_model_artifact):
+    """Explicit interpret=True drives the real kernel through the Pallas
+    interpreter: compensated arithmetic degrades there (documented), so
+    this asserts plumbing-level sanity — shapes, row 0, monotone time,
+    early-row agreement while dt is tiny."""
+    from inflatox_tpu import background
+    from inflatox_tpu.ops.pallas_solver import solve_eom_batch_pallas
+
+    f0 = np.array([[2.0, 2.0]])
+    d0 = np.zeros((1, 2))
+    got, tg = solve_eom_batch_pallas(
+        doc_model_artifact, np.array([1.0]), 30, f0, d0,
+        return_time=True, interpret=True,
+    )
+    want, tw = background.solve_eom_batch(
+        doc_model_artifact, np.array([1.0]), 30, f0, d0,
+        solver="rkf", return_time=True,
+    )
+    assert got.shape == (1, 30, 5) and tg.shape == (1, 30)
+    # fields/derivatives of row 0 are the exact inits; H comes through the
+    # interpreter-degraded DF constraint evaluation (~f32)
+    np.testing.assert_array_equal(got[:, 0, :4], want[:, 0, :4])
+    np.testing.assert_allclose(got[:, 0, 4], want[:, 0, 4], rtol=1e-5)
+    assert np.all(np.diff(tg[0]) > 0)
+    np.testing.assert_allclose(got[:, :10], want[:, :10], rtol=1e-4,
+                               atol=1e-12)

@@ -204,3 +204,57 @@ def test_df32_compatible_fractional():
     assert both.any()
     np.testing.assert_allclose(np.asarray(got[1])[both], ref[1][both],
                                rtol=1e-10)
+
+
+def test_special_call_memo_dedups_traces():
+    """The trace-scoped memo makes duplicate special calls free: two
+    identical besselj calls inside a scope trace once (the kernel-size
+    property that makes fractional-Bessel models compilable — round 3)."""
+    import jax
+
+    from inflatox_tpu.lowering import df32_special as mod
+
+    def once(x):
+        z = DF(x)
+        with mod.special_call_memo():
+            return dsp.besselj(0.3, z).to_f64()
+
+    def twice(x):
+        z = DF(x)
+        with mod.special_call_memo():
+            return (dsp.besselj(0.3, z) + dsp.besselj(0.3, z)).to_f64()
+
+    def twice_no_memo(x):
+        z = DF(x)
+        return (dsp.besselj(0.3, z) + dsp.besselj(0.3, z)).to_f64()
+
+    x = jnp.ones((4, 8), jnp.float32)
+    n1 = len(jax.make_jaxpr(once)(x).eqns)
+    n2 = len(jax.make_jaxpr(twice)(x).eqns)
+    n3 = len(jax.make_jaxpr(twice_no_memo)(x).eqns)
+    assert n2 - n1 < 20          # second call nearly free
+    assert n3 > 1.8 * n1         # without the memo it doubles
+
+
+def test_one_strip_clamp_targets_special_models(doc_model_artifact):
+    """The one-strip tile clamp keys on special-function expansion, not raw
+    source size: special-free models (angular/D5 class) keep their tuned
+    multi-strip tiles (clamping them measured 2× slower)."""
+    from inflatox_tpu.ops.pallas_kernels import (
+        _ONE_STRIP_WEIGHT,
+        _model_trace_weight,
+    )
+
+    assert _model_trace_weight(doc_model_artifact) < _ONE_STRIP_WEIGHT
+    import sympy
+
+    import inflatox_tpu as inflatox
+
+    x, y = sympy.symbols("x y")
+    V = sympy.besselj(sympy.Rational(3, 10), x) ** 2 + y**2 + 2
+    model = inflatox.InflationModelBuilder.new(
+        [x, y], [[1, 0], [0, 1]], V, silent=True, simplify=False,
+        assertions=False,
+    ).build()
+    art = inflatox.Compiler(model, silent=True, cse=True).compile()
+    assert _model_trace_weight(art) > _ONE_STRIP_WEIGHT

@@ -263,8 +263,10 @@ def solve_eom_batch(
     ``solver="rkf_pallas"`` (round 3) runs the double-f32 Pallas solver
     kernel (ops/pallas_solver.py) — RKF45 with the state advanced in DF
     pairs inside compiled Mosaic, ~230× the while-loop path's throughput on
-    hardware.  2-field models with one shared parameter set; off-TPU it
-    falls back to the while-loop RKF45.  Step sequences agree with
+    hardware.  2-field models; parameters shared or per-trajectory (the
+    (B, k) form rides DF planes alongside the state — parameter sweeps of
+    background evolutions are one kernel launch).  Off-TPU it falls back
+    to the while-loop RKF45.  Step sequences agree with
     ``solver="rkf"`` to controller precision (adaptive dt computed in f32;
     per-step error control is identical)."""
     if solver == "rkf_pallas":

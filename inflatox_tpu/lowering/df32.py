@@ -413,6 +413,32 @@ def _pow2_f32(k):
         return jnp.where(ki < 0, 1.0 / out, out)
     bits = (ki + np.int32(127)) << np.int32(23)
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+#: mantissa bits of √2 (1.41421356·2²³ fraction field) — the round(log2)
+#: threshold: mantissa ≥ √2 rounds the exponent up
+_SQRT2_MANT = np.int32(0x3504F3)
+
+
+def _exp_round_f32(safe):
+    """``round(log2(safe))`` for positive finite ``safe``, as f32.
+
+    Vector case reads the IEEE exponent field and rounds up when the
+    mantissa ≥ √2 — integer ops instead of Mosaic's polynomial log2
+    (within 1 ulp of the threshold, which only shifts the ~[0.71, 1.42]
+    reduction window negligibly).  Scalars (parameter-only subexpressions)
+    keep the log2 path: tpu.bitcast is vector-only.  Subnormal inputs
+    saturate the same way as the log2 path (the consumer's _pow2_f32 clips
+    to 2^±126 either way)."""
+    if jnp.ndim(safe) == 0:
+        return jnp.round(jnp.log2(safe))
+    bits = jax.lax.bitcast_convert_type(safe, jnp.int32)
+    e0 = ((bits >> np.int32(23)) & np.int32(0xFF)) - np.int32(127)
+    up = (bits & np.int32(0x007FFFFF)) >= _SQRT2_MANT
+    e = e0 + jnp.where(up, np.int32(1), np.int32(0))
+    return e.astype(jnp.float32)
+
+
 _LOG2E_F = np.float32(1.4426950408889634)
 _EXP_COEFFS = [1.0 / math.factorial(n) for n in range(13, 0, -1)]
 
@@ -451,7 +477,7 @@ def log(x) -> DF:
     """df log via exponent extraction + atanh series."""
     x = DF.of(x)
     safe_hi = jnp.where(x.hi > 0, x.hi, _c(1.0))
-    e = jnp.round(jnp.log2(safe_hi))
+    e = _exp_round_f32(safe_hi)
     scale = _pow2_f32(-e)  # exact power of two
     m = DF(x.hi * scale, x.lo * scale)  # m in ~[0.71, 1.42]
     t = (m - 1.0) / (m + 1.0)  # |t| ≤ 0.18

@@ -20,11 +20,11 @@ ops) — measured ~2-3× the df32 kernel, which is itself ~5× faster than
 XLA's emulated f64.  Precision is the df32 envelope (~1e-14 relative,
 conditioning permitting) — see docs/numerics.md.
 
-Mosaic notes: exponent extraction uses ``round(log2|hi|)`` (±1 slack is
-fine — the window is only bookkeeping) instead of bitcast tricks, because
-``tpu.bitcast`` is vector-only and parameter-only subexpressions are
-scalars.  All branch literals are np.float32/np.int32 (weak Python scalars
-poison Mosaic — see df32.py).
+Mosaic notes: vector exponent extraction reads the IEEE exponent field via
+bitcast (±1 window slack is fine — the window is only bookkeeping); scalar
+(parameter-only) subexpressions use ``round(log2|hi|)`` instead because
+``tpu.bitcast`` is vector-only.  All branch literals are
+np.float32/np.int32 (weak Python scalars poison Mosaic — see df32.py).
 
 ``compile_edf32`` re-executes a LoweredFunction's source against an EDF
 namespace, exactly like ``compile_df32``.
@@ -37,6 +37,7 @@ import types
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from . import df32 as _dfm
@@ -62,9 +63,21 @@ def _renorm(hi, lo, e):
     finite = (jnp.abs(hi) < _F32_MAX) & (hi == hi)
     ok = (hi != 0.0) & finite
     safe = jnp.where(ok, hi, _c(1.0))
-    eh = jnp.where(ok, jnp.round(jnp.log2(jnp.abs(safe))), _c(0.0))
+    if jnp.ndim(safe) == 0:
+        # scalar (parameter-only subexpression): tpu.bitcast is
+        # vector-only, so read the exponent via log2 + round
+        eh = jnp.round(jnp.log2(jnp.abs(safe)))
+        s = _pow2_f32(-eh)
+        return EDF(hi * s, lo * s, _i32(e) + eh.astype(jnp.int32),
+                   _raw=True)
+    # vector: exponent straight from the IEEE bit pattern —
+    # floor(log2|hi|) for normals (subnormals under-shift, which only
+    # lowers the mantissa; consumers tolerate that) — integer ops instead
+    # of Mosaic's polynomial log2 on every mul-class op
+    bits = jax.lax.bitcast_convert_type(safe, jnp.int32)
+    eh = ((bits >> np.int32(23)) & np.int32(0xFF)) - np.int32(127)
     s = _pow2_f32(-eh)
-    return EDF(hi * s, lo * s, _i32(e) + eh.astype(jnp.int32), _raw=True)
+    return EDF(hi * s, lo * s, _i32(e) + eh, _raw=True)
 
 
 class EDF:

@@ -184,6 +184,18 @@ class _ModelJaxPrinter(JaxPrinter):
         )
 
 
+#: special-function heads hoisted by the always-on special-call CSE
+_SPECIAL_HEADS = (
+    sympy.besselj,
+    sympy.bessely,
+    sympy.besseli,
+    sympy.besselk,
+    sympy.functions.special.bessel.jn,
+    sympy.functions.special.bessel.yn,
+    sympy.hyper,
+)
+
+
 def _bounded_cse_symbols(max_cses: int):
     """Generator of cse0, cse1, ... capped at ``max_cses``
     (reference compiler.py:384-396)."""
@@ -246,6 +258,34 @@ def lower(
     old_limit = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old_limit, 100_000))
     try:
+        # always-on special-call CSE: every distinct special-function call
+        # (function, order, argument expression) is hoisted into ONE local
+        # assignment, innermost-first, regardless of the cse flag.  On the
+        # compensated Pallas engines a single fractional-order Bessel call
+        # unrolls a Miller/CF2 chain of thousands of ops — duplicate prints
+        # of the same call multiply Mosaic compile time catastrophically
+        # (the trace-scoped memo in df32_special dedups only calls that
+        # share argument *tracers*, which re-emitted source never does).
+        sf_map: dict = {}
+
+        def _hoist(e):
+            insts = e.atoms(*_SPECIAL_HEADS)
+            if not insts and not sf_map:
+                return e
+            for inst in sorted(
+                insts,
+                key=lambda i: (sympy.count_ops(i),
+                               sympy.default_sort_key(i)),
+            ):
+                if inst not in sf_map:
+                    rewritten = inst.xreplace(sf_map) if sf_map else inst
+                    sym = sympy.Symbol(f"cse_sf{len(sf_map)}")
+                    lines.append(
+                        f"    {sym} = {printer.doprint(rewritten)}"
+                    )
+                    sf_map[inst] = sym
+            return e.xreplace(sf_map) if sf_map else e
+
         if cse:
             pairs, reduced = sympy.cse(
                 expr_list,
@@ -254,9 +294,9 @@ def lower(
                 list=True,
             )
             for sym, definition in pairs:
-                lines.append(f"    {sym} = {printer.doprint(definition)}")
+                lines.append(f"    {sym} = {printer.doprint(_hoist(definition))}")
             expr_list = list(reduced)
-        printed = [printer.doprint(e) for e in expr_list]
+        printed = [printer.doprint(_hoist(e)) for e in expr_list]
     finally:
         sys.setrecursionlimit(old_limit)
 

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from .df32 import (
     DF,
     _c,
+    _exp_round_f32,
     _pow2_f32,
     _quick_two_sum,
     _two_prod,
@@ -313,7 +314,7 @@ def log(x) -> TF:
     """TF log: exact pow2 exponent extraction + atanh series."""
     x = TF.of(x)
     safe = jnp.where(x.x0 > 0, x.x0, _c(1.0))
-    e = jnp.round(jnp.log2(safe))
+    e = _exp_round_f32(safe)
     scale = _pow2_f32(-e)
     m = TF(x.x0 * scale, x.x1 * scale, x.x2 * scale)  # m in ~[0.71, 1.42]
     t = (m - 1.0) / (m + 1.0)

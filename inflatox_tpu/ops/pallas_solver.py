@@ -102,22 +102,33 @@ def _controller(dt, err, max_err):
 
 
 def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
-                   n_chunks=None, max_err=None):
-    """refs = 8 init planes, then 12 output planes (6 comps × hi/lo), then
+                   n_chunks=None, max_err=None, per_traj=False):
+    """refs = 8 init planes [+ 2·n_params per-trajectory parameter planes
+    when ``per_traj``], then 12 output planes (6 comps × hi/lo), then
     13 scratch planes (5 comps × hi/lo + t hi/lo + dt)."""
     from ..lowering.df32 import DF  # noqa: PLC0415
 
+    n_par_planes = 2 * n_params if per_traj else 0
     in_refs = refs[:8]
-    out_refs = refs[8:20]
-    scr = refs[20:]
+    par_refs = refs[8:8 + n_par_planes]
+    out_refs = refs[8 + n_par_planes:20 + n_par_planes]
+    scr = refs[20 + n_par_planes:]
     # NB: literal python ints trace as i64 under x64, which Mosaic
     # cannot legalize — keep index arithmetic in explicit i32
     rc = pl.program_id(1)
 
-    def scal_df(t):
-        return DF(scal_ref[2 * t], scal_ref[2 * t + 1])
-
-    args = tuple(scal_df(t) for t in range(n_params))
+    if per_traj:
+        # per-lane (hi, lo) parameter planes — DF arithmetic is
+        # elementwise, so plane-valued args broadcast against the state
+        args = tuple(
+            DF(par_refs[2 * t][...], par_refs[2 * t + 1][...])
+            for t in range(n_params)
+        )
+    else:
+        args = tuple(
+            DF(scal_ref[2 * t], scal_ref[2 * t + 1])
+            for t in range(n_params)
+        )
     fns = model.solver_df32_fns()
 
     # ---- load state (or initialize on the first row chunk) --------------- #
@@ -203,20 +214,22 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "n_traj_blocks", "interpret",
-                     "max_err"),
+                     "max_err", "per_traj"),
 )
 def _launch_solver(scalars, init_planes, model, steps, n_traj_blocks,
-                   interpret, max_err):
+                   interpret, max_err, per_traj=False):
     n_chunks = -(-steps // _ROW_CHUNK)
     rows_pad = n_chunks * _ROW_CHUNK
     grid = (n_traj_blocks, n_chunks)
     kernel = functools.partial(
         _solver_kernel, model=model, n_params=model.n_parameters,
         steps=steps, n_chunks=n_chunks, max_err=float(max_err),
+        per_traj=per_traj,
     )
+    n_in = 8 + (2 * model.n_parameters if per_traj else 0)
     in_specs = [
         pl.BlockSpec((_SUB, _LANES), lambda b, rc, *_: (b, b * 0))
-        for _ in range(8)
+        for _ in range(n_in)
     ]
     out_specs = tuple(
         pl.BlockSpec((_ROW_CHUNK, _SUB, _LANES), lambda b, rc, *_: (rc, b, b * 0))
@@ -264,9 +277,11 @@ def solve_eom_batch_pallas(
     interpret: bool | None = None,
 ):
     """Batched RKF45 background solves on the Pallas DF engine (2-field
-    models, shared parameter set).  Same output contract as
-    :func:`inflatox_tpu.background.solve_eom_batch`: (B, steps, 5)
-    [+ (B, steps) times]."""
+    models).  ``pars`` is (k,) (shared) or (B, k) (per-trajectory — the
+    parameters ride (8, 128) DF planes alongside the state, so a parameter
+    sweep of background evolutions is one kernel launch).  Same output
+    contract as :func:`inflatox_tpu.background.solve_eom_batch`:
+    (B, steps, 5) [+ (B, steps) times]."""
     from ..utils.errors import ShapeError  # noqa: PLC0415
 
     fields_init = np.asarray(fields_init, dtype=float)
@@ -278,11 +293,17 @@ def solve_eom_batch_pallas(
     if fields_init.ndim != 2 or fields_init.shape[1] != 2:
         raise ShapeError((-1, 2), fields_init.shape,
                          "batched initial conditions must be (B, 2)")
-    if pars.ndim != 1:
+    per_traj = pars.ndim == 2
+    if per_traj and pars.shape != (fields_init.shape[0],
+                                   artifact.n_parameters):
+        raise ShapeError(
+            (fields_init.shape[0], artifact.n_parameters), pars.shape,
+            "per-trajectory parameters must be (B, n_parameters)",
+        )
+    if not per_traj and pars.shape != (artifact.n_parameters,):
         raise ShapeError(
             (artifact.n_parameters,), pars.shape,
-            "the Pallas solver takes one shared parameter set; use the "
-            "XLA solver for per-trajectory parameters",
+            "shared parameters must be (n_parameters,)",
         )
     B = fields_init.shape[0]
     n_blocks = -(-B // _TRAJ_BLOCK)
@@ -297,16 +318,20 @@ def solve_eom_batch_pallas(
 
     cols = [fields_init[:, 0], fields_init[:, 1],
             derivs_init[:, 0], derivs_init[:, 1]]
+    if per_traj:
+        cols += [pars[:, t] for t in range(pars.shape[1])]
     planes = []
     for c in cols:
         hi, lo = _split_planes(padded(c), n_blocks)
         planes.extend([jnp.asarray(hi), jnp.asarray(lo)])
 
-    # parameter scalars as exact (hi, lo) pairs
+    # parameter scalars as exact (hi, lo) pairs (unused when per_traj —
+    # the kernel reads the parameter planes instead)
     pairs = []
-    for v in pars:
-        h = float(np.float32(v))
-        pairs.extend([h, float(v) - h])
+    if not per_traj:
+        for v in pars:
+            h = float(np.float32(v))
+            pairs.extend([h, float(v) - h])
     scalars = jnp.asarray(pairs + [0.0], dtype=jnp.float32)  # pad ≥1
 
     on_tpu = jax.default_backend() == "tpu"
@@ -325,7 +350,8 @@ def solve_eom_batch_pallas(
         interpret = False
 
     outs = _launch_solver(scalars, tuple(planes), artifact, int(steps),
-                          n_blocks, bool(interpret), float(max_err))
+                          n_blocks, bool(interpret), float(max_err),
+                          per_traj=per_traj)
     # host combine: (rows_pad, n_blocks·_SUB, _LANES) pairs → (B, steps, ·)
     comps = []
     for k in range(6):

@@ -130,9 +130,23 @@ def test_pallas_solver_fallback_and_contract(doc_model_artifact):
     )
     np.testing.assert_array_equal(got, want)
     np.testing.assert_array_equal(tg, tw)
-    with pytest.raises(ShapeError, match="shared parameter set"):
+    # per-trajectory (B, k) parameters take the same fallback off-TPU
+    got_pt = background.solve_eom_batch(
+        doc_model_artifact, np.array([[1.0], [1.3]]), 50, f0, d0,
+        solver="rkf_pallas",
+    )
+    want_pt = background.solve_eom_batch(
+        doc_model_artifact, np.array([[1.0], [1.3]]), 50, f0, d0,
+        solver="rkf",
+    )
+    np.testing.assert_array_equal(got_pt, want_pt)
+    with pytest.raises(ShapeError, match="per-trajectory"):
         solve_eom_batch_pallas(
-            doc_model_artifact, np.ones((2, 1)), 10, f0, d0
+            doc_model_artifact, np.ones((3, 1)), 10, f0, d0
+        )
+    with pytest.raises(ShapeError, match="shared parameters"):
+        solve_eom_batch_pallas(
+            doc_model_artifact, np.ones(2), 10, f0, d0
         )
     with pytest.raises(ShapeError, match="\\(B, 2\\)"):
         solve_eom_batch_pallas(
@@ -166,3 +180,9 @@ def test_pallas_solver_interpret_plumbing(doc_model_artifact):
     assert np.all(np.diff(tg[0]) > 0)
     np.testing.assert_allclose(got[:, :10], want[:, :10], rtol=1e-4,
                                atol=1e-12)
+    # per-trajectory parameter planes: identical values must reproduce the
+    # shared-scalar run bit-for-bit (same arithmetic, different plumbing)
+    got_pt = solve_eom_batch_pallas(
+        doc_model_artifact, np.array([[1.0]]), 30, f0, d0, interpret=True,
+    )
+    np.testing.assert_array_equal(got_pt, got)

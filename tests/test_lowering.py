@@ -173,3 +173,28 @@ def test_unknown_symbol_raises(registry):
     q = sympy.symbols("unregistered_q")
     with pytest.raises(MissingSymbolError):
         lower(q + 1, registry)  # never registered
+
+
+def test_special_call_cse_always_on(registry):
+    """Every distinct special-function call is hoisted into ONE local even
+    with cse=False (duplicate prints of a fractional Bessel call would
+    multiply Mosaic compile time by the number of repeats — the df32
+    engine's trace-scoped memo only dedups calls sharing argument
+    tracers)."""
+    import scipy.special as sc
+
+    x, y, a = sympy.symbols("x y a")
+    registry.register_exprs([a * x])
+    call = sympy.besselj(sympy.Rational(5, 2), x * y)
+    e1 = call + call**2
+    e2 = sympy.bessely(2, call + y) + a  # nested: inner call reused
+    for cse in (False, True):
+        lf = lower([e1, e2], registry, cse=cse)
+        assert lf.source.count("besselj") == 1, lf.source
+        assert lf.source.count("bessely") == 1, lf.source
+        got = lf.fn([np.array(1.2), np.array(0.7)], [np.array(3.0)])
+        t = sc.jv(2.5, 1.2 * 0.7)
+        np.testing.assert_allclose(float(got[0]), t + t**2, rtol=1e-13)
+        np.testing.assert_allclose(
+            float(got[1]), sc.yv(2, t + 0.7) + 3.0, rtol=1e-13
+        )

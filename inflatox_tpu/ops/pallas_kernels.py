@@ -107,6 +107,12 @@ def _core_f32(kind):
             return tuple(model.hesse_tuple(xs, args))
 
         return 4, run
+    if kind == "gradient":
+
+        def run(model, xs, args):
+            return tuple(model._grad(xs, args))
+
+        return 2, run
     raise ValueError(f"unknown scan kind {kind!r}")
 
 
@@ -183,6 +189,12 @@ def _core_df(kind):
             return tuple(fns["hesse"](xs, args))
 
         return 4, _with_special_memo(run)
+    if kind == "gradient":
+
+        def run(fns, xs, args):
+            return tuple(fns["grad"](xs, args))
+
+        return 2, _with_special_memo(run)
     raise ValueError(f"unknown scan kind {kind!r}")
 
 
@@ -754,6 +766,12 @@ def _core_edf(kind):
             return tuple(fns["hesse"](xs, args))
 
         return 4, _with_special_memo(run)
+    if kind == "gradient":
+
+        def run(fns, xs, args):
+            return tuple(fns["grad"](xs, args))
+
+        return 2, _with_special_memo(run)
     raise ValueError(f"unknown scan kind {kind!r}")
 
 

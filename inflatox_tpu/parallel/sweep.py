@@ -48,16 +48,14 @@ _PALLAS_ENGINES = ("pallas", "pallas_df64", "pallas_edf64", "pallas_tf64")
 #: sharded complete_analysis — VERDICT r2 item 4)
 _SWEEP_KINDS = (
     "complete_analysis", "consistency", "consistency_rapidturn",
-    "epsilon_v", "potential", "hesse",
+    "epsilon_v", "potential", "hesse", "gradient", "flag_quantum_dif",
 )
 
 
 def _check_kind(kind):
     if kind not in _SWEEP_KINDS:
         raise ValueError(
-            f"unknown scan kind {kind!r}; expected one of {_SWEEP_KINDS} "
-            "(flag_quantum_dif is a single-device XLA scan — "
-            "GeneralisedAL.flag_quantum_dif)"
+            f"unknown scan kind {kind!r}; expected one of {_SWEEP_KINDS}"
         )
 
 
@@ -112,6 +110,7 @@ def sharded_scan(
     dtype=jnp.float64,
     engine: str = "xla",
     kind: str = "complete_analysis",
+    accuracy: float = 1e-3,
 ):
     """Any grid scan kind for one parameter set, grid tiled across ``mesh``.
 
@@ -123,14 +122,24 @@ def sharded_scan(
     path, BASELINE.md) or "pallas_edf64" (range-extended, D5-class models).
 
     ``kind``: any of ``_SWEEP_KINDS`` — the reference exposes each scan as a
-    first-class fast path (lib.rs:77-89); "potential"/"hesse" shard the raw
-    V/H grid surfaces (hesse_bindings.rs:68-190).
+    first-class fast path (lib.rs:77-89); "potential"/"hesse"/"gradient"
+    shard the raw V/H/∂V grid surfaces (hesse_bindings.rs:68-190);
+    "flag_quantum_dif" thresholds the sharded gradient maps elementwise
+    with ``accuracy`` (|∂_a V| ≤ accuracy for every field — same semantics
+    as :meth:`GeneralisedAL.flag_quantum_dif`).
 
     Returns the assembled (n_out, N0, N1) array (sharded on device;
     converting to numpy gathers it).  n_out: 6 for complete_analysis, 4 for
-    hesse, 1 otherwise.
+    hesse, 2 for gradient, 1 otherwise.
     """
     _check_kind(kind)
+    if kind == "flag_quantum_dif":
+        grads = sharded_scan(
+            condition, args, extent, shape, mesh, grid_axis=grid_axis,
+            dtype=dtype, engine=engine, kind="gradient",
+        )
+        # elementwise threshold keeps the sharding; no collective needed
+        return jnp.all(jnp.abs(grads) <= accuracy, axis=0, keepdims=True)
     model = condition.artifact
     n_dev = mesh.shape[grid_axis]
     n0, n1 = shape
@@ -384,6 +393,7 @@ def parameter_sweep(
     reduce_fn=None,
     engine: str | None = None,
     kind: str = "complete_analysis",
+    accuracy: float = 1e-3,
 ):
     """Any grid scan kind over a batch of parameter sets.
 
@@ -412,11 +422,23 @@ def parameter_sweep(
         parameter set is a grid dimension).
 
     kind: any of ``_SWEEP_KINDS`` (default complete_analysis).
+        "flag_quantum_dif" computes the "gradient" kind and thresholds the
+        maps on device (|∂_a V| ≤ ``accuracy`` for every field) before any
+        ``reduce_fn`` — the reduction sees the (1, N0, N1) boolean mask.
 
     Returns the stacked results: (S, n_out, N0, N1) array, or the stacked
     ``reduce_fn`` outputs.
     """
     _check_kind(kind)
+    if kind == "flag_quantum_dif":
+        user_reduce = reduce_fn
+        acc = float(accuracy)
+
+        def reduce_fn(stacked):  # noqa: F811 — deliberate rebind
+            flag = jnp.all(jnp.abs(stacked) <= acc, axis=0, keepdims=True)
+            return user_reduce(flag) if user_reduce is not None else flag
+
+        kind = "gradient"
     model = condition.artifact
     args_batch = np.asarray(args_batch, dtype=float)
     if args_batch.ndim != 2:
@@ -598,6 +620,7 @@ def sharded_scan_ot(
     dtype=jnp.float64,
     engine: str = "xla",
     kind: str = "complete_analysis",
+    accuracy: float = 1e-3,
 ):
     """On-trajectory scan sharded across chips (VERDICT r2 item 4: the
     reference exposes the ``*_on_trajectory`` variants as first-class fast
@@ -608,9 +631,16 @@ def sharded_scan_ot(
     axis, each device running the 1-D tiled OT kernel (compensated engines)
     or the fused XLA point function on its slice.  Returns a device array
     of shape (n_out, n) sharded along the trajectory axis (converting to
-    numpy gathers it).
+    numpy gathers it).  ``kind="flag_quantum_dif"`` thresholds the sharded
+    gradient components elementwise with ``accuracy``.
     """
     _check_kind(kind)
+    if kind == "flag_quantum_dif":
+        grads = sharded_scan_ot(
+            condition, args, x, mesh, grid_axis=grid_axis, dtype=dtype,
+            engine=engine, kind="gradient",
+        )
+        return jnp.all(jnp.abs(grads) <= accuracy, axis=0, keepdims=True)
     model = condition.artifact
     x = np.asarray(x, dtype=float)
     if x.ndim != 2 or x.shape[1] != 2:

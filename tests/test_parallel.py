@@ -270,7 +270,8 @@ def test_sharded_scan_all_kinds_xla(al, kind):
         np.testing.assert_allclose(out[0], single, rtol=1e-12)
 
 
-@pytest.mark.parametrize("kind", ["consistency", "epsilon_v", "hesse"])
+@pytest.mark.parametrize("kind", ["consistency", "epsilon_v", "hesse",
+                                  "gradient"])
 def test_sharded_scan_all_kinds_df64(al, kind):
     """Compensated engine, per-kind: sharded == single-device eager."""
     from inflatox_tpu.ops.pallas_kernels import scan_pallas_df64
@@ -315,8 +316,80 @@ def test_sweep_unknown_kind_raises(al):
         sharded_scan(
             al, PARAMS, EXTENT, (8, 8),
             make_mesh(axis_names=("grid",), devices=jax.devices()),
-            kind="flag_quantum_dif",
+            kind="not_a_kind",
         )
+
+
+def test_sharded_scan_gradient_and_flag(al):
+    """Raw-gradient maps shard like V/H; the sharded flag_quantum_dif mask
+    equals the single-device scan bit-for-bit (round 3: the last scan kind
+    without a multi-chip surface)."""
+    from inflatox_tpu.ops.grid import grid_coords
+
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    n = (32, 16)
+    out = np.asarray(
+        sharded_scan(al, PARAMS, EXTENT, n, mesh, kind="gradient")
+    )
+    assert out.shape == (2, *n)
+    xs = grid_coords(
+        [(EXTENT[0], EXTENT[1]), (EXTENT[2], EXTENT[3])], n, jnp.float64
+    )
+    want = al.artifact._grad(xs, jnp.asarray(PARAMS, jnp.float64))
+    for k in range(2):
+        np.testing.assert_allclose(out[k], np.asarray(want[k]), rtol=1e-12)
+
+    acc = float(np.median(np.abs(out)))  # threshold that splits the grid
+    flag = np.asarray(
+        sharded_scan(al, PARAMS, EXTENT, n, mesh, kind="flag_quantum_dif",
+                     accuracy=acc)
+    )
+    assert flag.shape == (1, *n) and flag.dtype == bool
+    single = al.flag_quantum_dif(PARAMS, *EXTENT, *n, progress=False,
+                                 accuracy=acc)
+    np.testing.assert_array_equal(flag[0], np.asarray(single))
+    assert 0 < flag.mean() < 1  # the threshold actually splits
+
+
+def test_parameter_sweep_flag_kind(al):
+    """Sweeps thread flag_quantum_dif through the gradient kind + threshold;
+    a reduce_fn sees the boolean mask."""
+    mesh = make_mesh(axis_names=("sweep",), devices=jax.devices())
+    batch = np.linspace(0.5, 2.0, 8)[:, None]
+    out = parameter_sweep(
+        al, batch, EXTENT, (8, 8), mesh=mesh, progress=False,
+        kind="flag_quantum_dif", accuracy=0.05,
+    )
+    assert out.shape == (8, 1, 8, 8) and out.dtype == bool
+    single = al.flag_quantum_dif(batch[3], *EXTENT, 8, 8, progress=False,
+                                 accuracy=0.05)
+    np.testing.assert_array_equal(out[3, 0], np.asarray(single))
+    # reduced form: count of flagged points per parameter set
+    counts = parameter_sweep(
+        al, batch, EXTENT, (8, 8), mesh=mesh, progress=False,
+        kind="flag_quantum_dif", accuracy=0.05,
+        reduce_fn=lambda m: jnp.sum(m),
+    )
+    np.testing.assert_array_equal(counts, out.sum(axis=(1, 2, 3)))
+
+
+def test_sharded_scan_ot_flag(al):
+    """Trajectory flag scan sharded across the mesh."""
+    from inflatox_tpu.parallel import sharded_scan_ot
+
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    rng = np.random.default_rng(7)
+    x = np.stack([rng.uniform(0.5, 2.5, 33), rng.uniform(0.25, 3.0, 33)], 1)
+    g = np.asarray(sharded_scan_ot(al, PARAMS, x, mesh, kind="gradient"))
+    assert g.shape == (2, 33)
+    acc = float(np.median(np.abs(g)))
+    out = np.asarray(
+        sharded_scan_ot(al, PARAMS, x, mesh, kind="flag_quantum_dif",
+                        accuracy=acc)
+    )
+    assert out.shape == (1, 33) and out.dtype == bool
+    want = np.all(np.abs(g) <= acc, axis=0)
+    np.testing.assert_array_equal(out[0], want)
 
 
 def test_sharded_scan_ot_xla(al):

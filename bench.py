@@ -715,7 +715,8 @@ def main():
     # cfg5d: the Pallas DF background solver (round 3) — device-only time
     # (the full-trajectory fetch is host-transfer-bound through the tunnel
     # and measured nowhere near production PCIe rates).  The while-loop
-    # path above (cfg5b) remains the arbitrary-n-field fallback.
+    # path above (cfg5b) remains the off-TPU / interpreter fallback (the
+    # Pallas solver covers any field count).
     try:
         from inflatox_tpu.ops import pallas_solver as psolve
 

@@ -49,20 +49,18 @@ _ROW_CHUNK = 64              # output rows per sequential grid step
 _MAX_ATTEMPTS = 8
 
 
-def _deriv(fns, y, args):
-    """RHS over the DF state y = [φ0, φ1, χ0, χ1, H]."""
-    from ..lowering.df32 import DF  # noqa: PLC0415
-
-    x = (y[0], y[1])
-    chi = (y[2], y[3])
+def _deriv(fns, y, args, nf):
+    """RHS over the DF state y = [φ_0..φ_{n-1}, χ_0..χ_{n-1}, H]."""
+    x = tuple(y[:nf])
+    chi = tuple(y[nf:2 * nf])
+    h = y[2 * nf]
     eoms = fns["eom"](x, chi, args)
-    acc = [-(eoms[a]) - y[4] * chi[a] * 3.0 for a in range(2)]
+    acc = [-(eoms[a]) - h * chi[a] * 3.0 for a in range(nf)]
     hdot = fns["eom_hdot"](x, chi, args)
-    del DF
-    return [chi[0], chi[1], acc[0], acc[1], hdot]
+    return [*chi, *acc, hdot]
 
 
-def _rkf_attempt(fns, y, dt_f32, args):
+def _rkf_attempt(fns, y, dt_f32, args, nf):
     """One embedded RKF45 step over DF state; returns (y5, err_f32).
 
     ``dt·k_n`` is formed once per stage and reused by every later stage row
@@ -73,6 +71,7 @@ def _rkf_attempt(fns, y, dt_f32, args):
     step control) — this replaces the full 4th-order DF state chain."""
     from ..lowering.df32 import DF  # noqa: PLC0415
 
+    ns = 2 * nf + 1
     dt = DF(dt_f32)
     dks = []
     for n in range(6):
@@ -80,16 +79,16 @@ def _rkf_attempt(fns, y, dt_f32, args):
         for mm in range(n):
             a = float(_RKF_A[n, mm])
             if a != 0.0:
-                yn = [yn[c] + dks[mm][c] * a for c in range(5)]
-        k = _deriv(fns, yn, args)
-        dks.append([dt * k[c] for c in range(5)])
+                yn = [yn[c] + dks[mm][c] * a for c in range(ns)]
+        k = _deriv(fns, yn, args, nf)
+        dks.append([dt * k[c] for c in range(ns)])
     hi = list(y)
     for n in range(6):
         b5 = float(_RKF_B5[n])
         if b5 != 0.0:
-            hi = [hi[c] + dks[n][c] * b5 for c in range(5)]
+            hi = [hi[c] + dks[n][c] * b5 for c in range(ns)]
     err2 = jnp.zeros_like(dt_f32)
-    for c in range(5):
+    for c in range(ns):
         d = None
         for n in range(6):
             db = float(_RKF_B5[n] - _RKF_B4[n])
@@ -113,18 +112,30 @@ def _controller(dt, err, max_err):
     return dt * q
 
 
+def _pack(dfs, tail):
+    """Flatten [DF, ...] + tail into a while/fori carry tuple."""
+    flat = []
+    for v in dfs:
+        flat += [v.hi, v.lo]
+    return (*flat, *tail)
+
+
 def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
-                   n_chunks=None, max_err=None, per_traj=False):
-    """refs = 8 init planes [+ 2·n_params per-trajectory parameter planes
-    when ``per_traj``], then 12 output planes (6 comps × hi/lo), then
-    13 scratch planes (5 comps × hi/lo + t hi/lo + dt)."""
+                   n_chunks=None, max_err=None, per_traj=False, nf=2):
+    """refs = 4·nf init planes [+ 2·n_params per-trajectory parameter planes
+    when ``per_traj``], then 2·(2nf+2) output planes ((state comps + t) ×
+    hi/lo), then 2·(2nf+1)+3 scratch planes (state × hi/lo + t hi/lo + dt).
+    ``nf`` = number of fields; the state is [φ_a..., χ_a..., H]."""
     from ..lowering.df32 import DF  # noqa: PLC0415
 
+    ns = 2 * nf + 1
+    n_init = 4 * nf
     n_par_planes = 2 * n_params if per_traj else 0
-    in_refs = refs[:8]
-    par_refs = refs[8:8 + n_par_planes]
-    out_refs = refs[8 + n_par_planes:20 + n_par_planes]
-    scr = refs[20 + n_par_planes:]
+    in_refs = refs[:n_init]
+    par_refs = refs[n_init:n_init + n_par_planes]
+    out_refs = refs[n_init + n_par_planes:
+                    n_init + n_par_planes + 2 * (ns + 1)]
+    scr = refs[n_init + n_par_planes + 2 * (ns + 1):]
     # NB: literal python ints trace as i64 under x64, which Mosaic
     # cannot legalize — keep index arithmetic in explicit i32
     rc = pl.program_id(1)
@@ -144,11 +155,11 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
     fns = model.solver_df32_fns()
 
     # ---- load state (or initialize on the first row chunk) --------------- #
-    x0 = DF(in_refs[0][...], in_refs[1][...])
-    x1 = DF(in_refs[2][...], in_refs[3][...])
-    c0 = DF(in_refs[4][...], in_refs[5][...])
-    c1 = DF(in_refs[6][...], in_refs[7][...])
-    h0 = fns["eom_h"]((x0, x1), (c0, c1), args)
+    xs = [DF(in_refs[2 * a][...], in_refs[2 * a + 1][...])
+          for a in range(nf)]
+    chis = [DF(in_refs[2 * (nf + a)][...], in_refs[2 * (nf + a) + 1][...])
+            for a in range(nf)]
+    h0 = fns["eom_h"](tuple(xs), tuple(chis), args)
     first = rc == jnp.int32(0)
 
     def pick(init_df, hi_ref, lo_ref):
@@ -158,25 +169,23 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
         )
 
     y = [
-        pick(x0, scr[0], scr[1]),
-        pick(x1, scr[2], scr[3]),
-        pick(c0, scr[4], scr[5]),
-        pick(c1, scr[6], scr[7]),
-        pick(h0, scr[8], scr[9]),
+        pick(v, scr[2 * k], scr[2 * k + 1])
+        for k, v in enumerate([*xs, *chis, h0])
     ]
     t = DF(
-        jnp.where(first, np.float32(0.0), scr[10][...]),
-        jnp.where(first, np.float32(0.0), scr[11][...]),
+        jnp.where(first, np.float32(0.0), scr[2 * ns][...]),
+        jnp.where(first, np.float32(0.0), scr[2 * ns + 1][...]),
     )
-    dt = jnp.where(first, np.float32(_DT_INIT), scr[12][...])
+    dt = jnp.where(first, np.float32(_DT_INIT), scr[2 * ns + 2][...])
+
+    def unpack_state(flat):
+        """carry tail = (..., th, tl, dt) after 2·ns state words."""
+        ys = [DF(flat[2 * k], flat[2 * k + 1]) for k in range(ns)]
+        return ys, DF(flat[2 * ns], flat[2 * ns + 1]), flat[2 * ns + 2]
 
     # ---- row loop -------------------------------------------------------- #
     def row_body(local, carry):
-        (y0h, y0l, y1h, y1l, y2h, y2l, y3h, y3l, y4h, y4l,
-         th_, tl_, dt_) = carry
-        y_ = [DF(y0h, y0l), DF(y1h, y1l), DF(y2h, y2l), DF(y3h, y3l),
-              DF(y4h, y4l)]
-        t_ = DF(th_, tl_)
+        y_, t_, dt_ = unpack_state(carry)
         grow = rc * jnp.int32(_ROW_CHUNK) + local  # global row index
         stepping = grow > jnp.int32(0)  # row 0 records the initial state
 
@@ -196,13 +205,10 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
                     & (jnp.min(acc_f) < np.float32(0.5)))
 
         def att_body(carry):
-            (it, acc_f, y0h, y0l, y1h, y1l, y2h, y2l, y3h, y3l,
-             y4h, y4l, ath, atl, adt) = carry
+            it, acc_f = carry[0], carry[1]
+            ya, ta, adt = unpack_state(carry[2:])
             accepted = acc_f > np.float32(0.5)
-            ya = [DF(y0h, y0l), DF(y1h, y1l), DF(y2h, y2l), DF(y3h, y3l),
-                  DF(y4h, y4l)]
-            ta = DF(ath, atl)
-            cand, err = _rkf_attempt(fns, ya, adt, args)
+            cand, err = _rkf_attempt(fns, ya, adt, args, nf)
             ok = jnp.logical_or(
                 err / np.float32(max_err) <= np.float32(1.1),
                 adt <= np.float32(_DT_FLOOR),
@@ -222,39 +228,29 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
             )
             acc_f = jnp.where(ok, np.float32(1.0), acc_f)
             return (it + jnp.int32(1), acc_f,
-                    ya[0].hi, ya[0].lo, ya[1].hi, ya[1].lo, ya[2].hi,
-                    ya[2].lo, ya[3].hi, ya[3].lo, ya[4].hi, ya[4].lo,
-                    ta.hi, ta.lo, adt)
+                    *_pack([*ya, ta], (adt,)))
 
         att0 = (jnp.int32(0), jnp.zeros_like(dt_),
-                y_[0].hi, y_[0].lo, y_[1].hi, y_[1].lo, y_[2].hi, y_[2].lo,
-                y_[3].hi, y_[3].lo, y_[4].hi, y_[4].lo, t_.hi, t_.lo, dt_)
+                *_pack([*y_, t_], (dt_,)))
         out_att = lax.while_loop(att_cond, att_body, att0)
-        (_, _, y0h, y0l, y1h, y1l, y2h, y2l, y3h, y3l, y4h, y4l,
-         th2, tl2, dt_) = out_att
-        y_ = [DF(y0h, y0l), DF(y1h, y1l), DF(y2h, y2l), DF(y3h, y3l),
-              DF(y4h, y4l)]
-        t_ = DF(th2, tl2)
+        y_, t_, dt_ = unpack_state(out_att[2:])
 
         # write this row (hi, lo planes per component + time)
         vals = [*y_, t_]
         for k, v in enumerate(vals):
             out_refs[2 * k][pl.ds(local, 1), :, :] = v.hi[None]
             out_refs[2 * k + 1][pl.ds(local, 1), :, :] = v.lo[None]
-        return (y_[0].hi, y_[0].lo, y_[1].hi, y_[1].lo, y_[2].hi, y_[2].lo,
-                y_[3].hi, y_[3].lo, y_[4].hi, y_[4].lo, t_.hi, t_.lo, dt_)
+        return _pack([*y_, t_], (dt_,))
 
-    carry0 = (y[0].hi, y[0].lo, y[1].hi, y[1].lo, y[2].hi, y[2].lo,
-              y[3].hi, y[3].lo, y[4].hi, y[4].lo, t.hi, t.lo, dt)
+    carry0 = _pack([*y, t], (dt,))
     # i32 bounds: python-int bounds make the loop counter i64 under
     # x64, which Mosaic cannot legalize
     out = lax.fori_loop(jnp.int32(0), jnp.int32(_ROW_CHUNK), row_body,
                         carry0)
 
     # ---- save state for the next chunk ----------------------------------- #
-    for i in range(12):
+    for i in range(2 * ns + 3):
         scr[i][...] = out[i]
-    scr[12][...] = out[12]
 
 
 @functools.partial(
@@ -264,34 +260,38 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
 )
 def _launch_solver(scalars, init_planes, model, steps, n_traj_blocks,
                    interpret, max_err, per_traj=False):
+    nf = model.n_fields
+    ns = 2 * nf + 1
     n_chunks = -(-steps // _ROW_CHUNK)
     rows_pad = n_chunks * _ROW_CHUNK
     grid = (n_traj_blocks, n_chunks)
     kernel = functools.partial(
         _solver_kernel, model=model, n_params=model.n_parameters,
         steps=steps, n_chunks=n_chunks, max_err=float(max_err),
-        per_traj=per_traj,
+        per_traj=per_traj, nf=nf,
     )
-    n_in = 8 + (2 * model.n_parameters if per_traj else 0)
+    n_in = 4 * nf + (2 * model.n_parameters if per_traj else 0)
     in_specs = [
         pl.BlockSpec((_SUB, _LANES), lambda b, rc, *_: (b, b * 0))
         for _ in range(n_in)
     ]
     out_specs = tuple(
         pl.BlockSpec((_ROW_CHUNK, _SUB, _LANES), lambda b, rc, *_: (rc, b, b * 0))
-        for _ in range(12)
+        for _ in range(2 * (ns + 1))
     )
     out_shape = tuple(
         jax.ShapeDtypeStruct((rows_pad, n_traj_blocks * _SUB, _LANES),
                              jnp.float32)
-        for _ in range(12)
+        for _ in range(2 * (ns + 1))
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((_SUB, _LANES), jnp.float32)] * 13,
+        scratch_shapes=(
+            [pltpu.VMEM((_SUB, _LANES), jnp.float32)] * (2 * ns + 3)
+        ),
     )
     return pl.pallas_call(
         kernel,
@@ -322,23 +322,22 @@ def solve_eom_batch_pallas(
     return_time: bool = False,
     interpret: bool | None = None,
 ):
-    """Batched RKF45 background solves on the Pallas DF engine (2-field
-    models).  ``pars`` is (k,) (shared) or (B, k) (per-trajectory — the
+    """Batched RKF45 background solves on the Pallas DF engine (any field
+    count — the state [φ_a..., χ_a..., H] rides 2n+1 DF plane pairs).
+    ``pars`` is (k,) (shared) or (B, k) (per-trajectory — the
     parameters ride (8, 128) DF planes alongside the state, so a parameter
     sweep of background evolutions is one kernel launch).  Same output
     contract as :func:`inflatox_tpu.background.solve_eom_batch`:
-    (B, steps, 5) [+ (B, steps) times]."""
+    (B, steps, 2n+1) [+ (B, steps) times]."""
     from ..utils.errors import ShapeError  # noqa: PLC0415
 
     fields_init = np.asarray(fields_init, dtype=float)
     derivs_init = np.asarray(derivatives_init, dtype=float)
     pars = np.asarray(pars, dtype=float)
-    if artifact.n_fields != 2:
-        raise ShapeError((2,), (artifact.n_fields,),
-                         "the Pallas solver supports 2-field models")
-    if fields_init.ndim != 2 or fields_init.shape[1] != 2:
-        raise ShapeError((-1, 2), fields_init.shape,
-                         "batched initial conditions must be (B, 2)")
+    nf = artifact.n_fields
+    if fields_init.ndim != 2 or fields_init.shape[1] != nf:
+        raise ShapeError((-1, nf), fields_init.shape,
+                         "batched initial conditions must be (B, n_fields)")
     per_traj = pars.ndim == 2
     if per_traj and pars.shape != (fields_init.shape[0],
                                    artifact.n_parameters):
@@ -362,8 +361,8 @@ def solve_eom_batch_pallas(
             col = np.concatenate([col, np.repeat(col[-1:], pad)])
         return col
 
-    cols = [fields_init[:, 0], fields_init[:, 1],
-            derivs_init[:, 0], derivs_init[:, 1]]
+    cols = [fields_init[:, a] for a in range(nf)]
+    cols += [derivs_init[:, a] for a in range(nf)]
     if per_traj:
         cols += [pars[:, t] for t in range(pars.shape[1])]
     planes = []
@@ -399,14 +398,15 @@ def solve_eom_batch_pallas(
                           n_blocks, bool(interpret), float(max_err),
                           per_traj=per_traj)
     # host combine: (rows_pad, n_blocks·_SUB, _LANES) pairs → (B, steps, ·)
+    ns = 2 * nf + 1
     comps = []
-    for k in range(6):
+    for k in range(ns + 1):
         hi = np.asarray(outs[2 * k], dtype=np.float64)
         lo = np.asarray(outs[2 * k + 1], dtype=np.float64)
         v = hi + lo
         v = v.reshape(v.shape[0], -1)[: steps, : B]  # rows, traj
         comps.append(v.T)  # (B, steps)
-    rows = np.stack(comps[:5], axis=2)
+    rows = np.stack(comps[:ns], axis=2)
     if return_time:
-        return rows, comps[5]
+        return rows, comps[ns]
     return rows

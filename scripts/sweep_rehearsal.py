@@ -106,8 +106,16 @@ def _rehearse(ns):
 
     chunks_final = _count_chunks(ns.dir)
     resumed = chunks_final - chunks_after_kill
+    # sustained rate from the worker's own sweep timing (skipped chunks are
+    # loaded, resumed chunks computed) — the subprocess wall clock is
+    # dominated by interpreter/jax/sympy startup, which a real pod-scale
+    # sweep pays once per days of work, not per 10 chunks
+    t_sweep = worker.get("seconds")
     done_rate = (
-        resumed * ns.chunk / t_phase2 * 3600.0 if t_phase2 > 0 else None
+        resumed * ns.chunk / t_sweep * 3600.0
+        if t_sweep
+        else (resumed * ns.chunk / t_phase2 * 3600.0 if t_phase2 > 0
+              else None)
     )
     print(json.dumps({
         "config": "sweep_rehearsal",

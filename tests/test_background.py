@@ -148,41 +148,147 @@ def test_pallas_solver_fallback_and_contract(doc_model_artifact):
         solve_eom_batch_pallas(
             doc_model_artifact, np.ones(2), 10, f0, d0
         )
-    with pytest.raises(ShapeError, match="\\(B, 2\\)"):
+    with pytest.raises(ShapeError, match="\\(B, n_fields\\)"):
         solve_eom_batch_pallas(
             doc_model_artifact, np.array([1.0]), 10, f0[:, :1], d0
         )
 
 
-def test_pallas_solver_interpret_plumbing(doc_model_artifact):
+def test_pallas_solver_interpret_plumbing(doc_model_artifact, monkeypatch):
     """Explicit interpret=True drives the real kernel through the Pallas
     interpreter: compensated arithmetic degrades there (documented), so
     this asserts plumbing-level sanity — shapes, row 0, monotone time,
-    early-row agreement while dt is tiny."""
+    early-row agreement while dt is tiny.  The interpreter executes the
+    emulated row loop op-by-op, so the sequential chunk is shrunk to 10
+    rows here (layout and indexing are chunk-length-invariant)."""
     from inflatox_tpu import background
+    from inflatox_tpu.ops import pallas_solver
     from inflatox_tpu.ops.pallas_solver import solve_eom_batch_pallas
 
+    monkeypatch.setattr(pallas_solver, "_ROW_CHUNK", 10)
     f0 = np.array([[2.0, 2.0]])
     d0 = np.zeros((1, 2))
     got, tg = solve_eom_batch_pallas(
-        doc_model_artifact, np.array([1.0]), 30, f0, d0,
+        doc_model_artifact, np.array([1.0]), 10, f0, d0,
         return_time=True, interpret=True,
     )
     want, tw = background.solve_eom_batch(
-        doc_model_artifact, np.array([1.0]), 30, f0, d0,
+        doc_model_artifact, np.array([1.0]), 10, f0, d0,
         solver="rkf", return_time=True,
     )
-    assert got.shape == (1, 30, 5) and tg.shape == (1, 30)
+    assert got.shape == (1, 10, 5) and tg.shape == (1, 10)
     # fields/derivatives of row 0 are the exact inits; H comes through the
     # interpreter-degraded DF constraint evaluation (~f32)
     np.testing.assert_array_equal(got[:, 0, :4], want[:, 0, :4])
     np.testing.assert_allclose(got[:, 0, 4], want[:, 0, 4], rtol=1e-5)
     assert np.all(np.diff(tg[0]) > 0)
-    np.testing.assert_allclose(got[:, :10], want[:, :10], rtol=1e-4,
-                               atol=1e-12)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-12)
     # per-trajectory parameter planes: identical values must reproduce the
     # shared-scalar run bit-for-bit (same arithmetic, different plumbing)
     got_pt = solve_eom_batch_pallas(
-        doc_model_artifact, np.array([[1.0]]), 30, f0, d0, interpret=True,
+        doc_model_artifact, np.array([[1.0]]), 10, f0, d0, interpret=True,
     )
     np.testing.assert_array_equal(got_pt, got)
+
+
+@pytest.fixture(scope="module")
+def three_field_artifact():
+    import sympy
+
+    import inflatox_tpu as inflatox
+
+    a, b, c, m = sympy.symbols("a3 b3 c3 m3")
+    V = sympy.Rational(1, 2) * m**2 * (a**2 + 2 * b**2 + 3 * c**2)
+    g = [[1, 0, 0], [0, 1, 0], [0, 0, 1]]
+    model = inflatox.InflationModelBuilder.new(
+        [a, b, c], g, V, silent=True
+    ).build(guesses=[[0, 1, 0], [0, 0, 1]])
+    return inflatox.Compiler(model, silent=True).compile()
+
+
+def test_pallas_solver_three_field_stage_math(three_field_artifact):
+    """The Pallas solver generalizes over the field count: at nf=3 the
+    state [φ_a, χ_a, H] is 7 components riding 2n+1 DF pairs.  This
+    validates the generalized internals — the DF RHS (`_deriv`) and the
+    unrolled embedded-RKF45 stage chain (`_rkf_attempt`) — against an f64
+    reference evaluation of the same tableau, in eager DF execution
+    (EFT-safe off-TPU).  The full nf=3 kernel is driven on real TPU by the
+    verify recipe; its interpret-mode XLA:CPU compile is pathological
+    (>30 min on this host), so the CPU suite checks the generalized stage
+    math here and the end-to-end kernel plumbing at nf=2 above."""
+    import jax.numpy as jnp
+
+    from inflatox_tpu.lowering.df32 import DF
+    from inflatox_tpu.ops.pallas_solver import (
+        _RKF_A, _RKF_B4, _RKF_B5, _deriv, _rkf_attempt,
+    )
+
+    art = three_field_artifact
+    nf = art.n_fields
+    assert nf == 3
+    fns = art.solver_df32_fns()
+    pars = np.array([1.3])
+    x0 = np.array([1.5, 1.2, 0.8])
+    chi0 = np.array([0.05, -0.02, 0.01])
+    h0 = float(art.eom_h(x0, chi0, pars))
+    y64 = np.concatenate([x0, chi0, [h0]])
+
+    def rhs64(y):
+        x, chi, hub = y[:nf], y[nf:2 * nf], y[2 * nf]
+        eom = np.array([float(v) for v in art.eom(x, chi, pars)])
+        return np.concatenate(
+            [chi, -eom - 3.0 * hub * chi,
+             [float(art.eom_hdot(x, chi, pars))]]
+        )
+
+    y_df = [DF.of(jnp.float64(v)) for v in y64]
+    args_df = (DF.const(float(pars[0])),)
+
+    # RHS: every generalized index (χ block, acceleration block, Ḣ row)
+    got_rhs = np.array([d.to_f64() for d in _deriv(fns, y_df, args_df, nf)])
+    np.testing.assert_allclose(got_rhs, rhs64(y64), rtol=1e-12, atol=1e-14)
+
+    # one embedded RKF45 attempt vs the textbook tableau in f64; the
+    # kernel carries dt as f32, so the reference must use the same
+    # (rounded) value — comparing against an exact-1e-3 f64 dt would
+    # just measure the f32 rounding of dt (~3e-8), not the stage math
+    dt = float(np.float32(1e-3))
+    y5_df, err = _rkf_attempt(fns, y_df, jnp.float32(dt), args_df, nf)
+    ks = []
+    for n in range(6):
+        yn = y64.copy()
+        for mm in range(n):
+            yn = yn + dt * float(_RKF_A[n, mm]) * ks[mm]
+        ks.append(rhs64(yn))
+    y5_ref = y64 + dt * sum(float(_RKF_B5[n]) * ks[n] for n in range(6))
+    got_y5 = np.array([d.to_f64() for d in y5_df])
+    np.testing.assert_allclose(got_y5, y5_ref, rtol=1e-11, atol=1e-13)
+    # error estimate ~ the embedded-order defect, must be finite and tiny
+    defect = abs(dt) * np.linalg.norm(
+        sum(float(_RKF_B5[n] - _RKF_B4[n]) * ks[n] for n in range(6)),
+        np.inf,
+    )
+    assert float(err) <= 10.0 * defect + 1e-12
+
+
+def test_three_field_while_loop_solver_vs_scipy(three_field_artifact):
+    """nf=3 end-to-end on the while-loop f64 path (the Pallas fallback):
+    the batched solver must track scipy on a 3-field quadratic model, and
+    `solver="rkf_pallas"` must take the while-loop fallback off-TPU."""
+    art = three_field_artifact
+    pars = np.array([1.0])
+    x0 = np.array([1.5, 1.2, 0.8])
+    chi0 = np.zeros(3)
+    out, times = background.solve_eom_batch(
+        art, pars, 60, x0[None], chi0[None], solver="rkf",
+        max_err=1e-8, return_time=True,
+    )
+    assert out.shape == (1, 60, 7)
+    sol = _scipy_reference(art, pars, float(times[0, -1]), x0, chi0)
+    ref = sol.sol(times[0]).T
+    np.testing.assert_allclose(out[0], ref, rtol=1e-4, atol=5e-7)
+    # off-TPU default (interpret=None) falls back to the while-loop path;
+    # same max_err → identical step sequence → bit-identical rows
+    fb = background.solve_eom_batch(art, pars, 60, x0[None], chi0[None],
+                                    solver="rkf_pallas", max_err=1e-8)
+    np.testing.assert_array_equal(fb, out)

@@ -251,6 +251,7 @@ def solve_eom_batch(
     max_err: float = 1e-6,
     solver: str = "rk4",
     return_time: bool = False,
+    mesh=None,
 ):
     """Integrate a batch of trajectories in one device launch.
 
@@ -260,15 +261,28 @@ def solve_eom_batch(
     [+ (B, steps) times].  No reference equivalent (the reference is
     strictly sequential, one trajectory per call).
 
+    ``mesh=`` shards the batch across a device mesh with zero collectives
+    (trajectories are independent) — see
+    :func:`inflatox_tpu.parallel.sharded_solve_eom_batch`, which this
+    forwards to (any ``solver``, incl. ``"rkf_pallas"``).
+
     ``solver="rkf_pallas"`` (round 3) runs the double-f32 Pallas solver
     kernel (ops/pallas_solver.py) — RKF45 with the state advanced in DF
     pairs inside compiled Mosaic, ~230× the while-loop path's throughput on
-    hardware.  2-field models; parameters shared or per-trajectory (the
+    hardware.  Any field count; parameters shared or per-trajectory (the
     (B, k) form rides DF planes alongside the state — parameter sweeps of
     background evolutions are one kernel launch).  Off-TPU it falls back
     to the while-loop RKF45.  Step sequences agree with
     ``solver="rkf"`` to controller precision (adaptive dt computed in f32;
     per-step error control is identical)."""
+    if mesh is not None:
+        from .parallel.solve import sharded_solve_eom_batch  # noqa: PLC0415
+
+        return sharded_solve_eom_batch(
+            artifact, pars, steps, fields_init, derivatives_init, mesh,
+            solve_axis=mesh.axis_names[0], max_err=max_err, solver=solver,
+            return_time=return_time,
+        )
     if solver == "rkf_pallas":
         from .ops.pallas_solver import solve_eom_batch_pallas  # noqa: PLC0415
 

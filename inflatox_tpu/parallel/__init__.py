@@ -1,5 +1,6 @@
 from . import distributed
 from .mesh import make_mesh, default_mesh
+from .solve import sharded_solve_eom_batch
 from .sweep import sharded_scan, sharded_scan_ot, parameter_sweep
 
 __all__ = [
@@ -8,5 +9,6 @@ __all__ = [
     "default_mesh",
     "sharded_scan",
     "sharded_scan_ot",
+    "sharded_solve_eom_batch",
     "parameter_sweep",
 ]

@@ -1,0 +1,190 @@
+"""Mesh-sharded batched background solves.
+
+Trajectories are independent (the reference integrates them strictly
+sequentially, background_solver.rs:263-336), so a batch shards across the
+mesh with **zero collectives**: each device integrates its own slice of the
+initial-condition batch.  This is the multi-chip surface behind the Pallas
+DF solver's ×N-chip scaling claim (BASELINE.md cfg5d) — same recipe as
+:func:`inflatox_tpu.parallel.sharded_scan` (contiguous ownership, no halo,
+results concatenated on fetch).
+
+Two engines, mirroring :func:`inflatox_tpu.background.solve_eom_batch`:
+
+* ``solver="rkf"/"rk4"`` — the while-loop f64 integrator vmapped per shard.
+* ``solver="rkf_pallas"`` — the Pallas DF kernel per shard; trajectory
+  *blocks* (``_TRAJ_BLOCK`` lanes each) are divided across devices, so the
+  padded block count must split evenly.  Off-TPU this falls back to the
+  sharded while-loop path (the Pallas interpreter destroys compensated
+  arithmetic) unless ``interpret=True`` is explicit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+__all__ = ["sharded_solve_eom_batch"]
+
+
+def _pad_batch(arr, bp):
+    """Pad a batch-leading array to ``bp`` rows by repeating the last row."""
+    pad = bp - arr.shape[0]
+    if pad == 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+
+
+def sharded_solve_eom_batch(
+    artifact,
+    pars,
+    steps: int,
+    fields_init,
+    derivatives_init,
+    mesh,
+    solve_axis: str = "solve",
+    max_err: float = 1e-6,
+    solver: str = "rkf",
+    return_time: bool = False,
+    interpret: bool | None = None,
+):
+    """Integrate a trajectory batch sharded over ``mesh``.
+
+    Same contract as :func:`inflatox_tpu.background.solve_eom_batch`
+    ((B, steps, 2n+1) rows [+ (B, steps) times]; ``pars`` shared (k,) or
+    per-trajectory (B, k)); the batch is padded up to the mesh divisibility
+    requirement internally and trimmed on return.
+    """
+    from .. import background  # noqa: PLC0415 — avoid import cycle
+    from ..utils.errors import ShapeError  # noqa: PLC0415
+
+    nf = artifact.n_fields
+    fields_init = np.asarray(fields_init, dtype=float)
+    derivs_init = np.asarray(derivatives_init, dtype=float)
+    pars = np.asarray(pars, dtype=float)
+    if fields_init.ndim != 2 or fields_init.shape[1] != nf:
+        raise ShapeError((-1, nf), fields_init.shape,
+                         "batched initial conditions must be (B, n_fields)")
+    if derivs_init.shape != fields_init.shape:
+        raise ShapeError(fields_init.shape, derivs_init.shape,
+                         "field derivatives must match the field batch")
+    B = fields_init.shape[0]
+    per_traj = pars.ndim == 2
+    if per_traj and pars.shape != (B, artifact.n_parameters):
+        raise ShapeError((B, artifact.n_parameters), pars.shape,
+                         "per-trajectory parameters must be (B, n_parameters)")
+    n_dev = mesh.shape[solve_axis]
+
+    if solver == "rkf_pallas":
+        on_tpu = jax.default_backend() == "tpu"
+        if interpret is None and not on_tpu:
+            solver = "rkf"  # EFT-safe fallback, same as the unsharded path
+        else:
+            return _sharded_solve_pallas(
+                artifact, pars, steps, fields_init, derivs_init, mesh,
+                solve_axis, max_err, return_time,
+                bool(interpret) if interpret is not None else False,
+            )
+
+    # ---- while-loop engine: vmap per shard ------------------------------- #
+    bp = -(-B // n_dev) * n_dev
+    f0 = _pad_batch(fields_init, bp)
+    d0 = _pad_batch(derivs_init, bp)
+    p_in = _pad_batch(pars, bp) if per_traj else pars
+    run, _ = background._get_solver(artifact, solver, int(steps),
+                                    jnp.float64, max_err)
+
+    def shard_fn(f, d, p):
+        batched = jax.vmap(run, in_axes=(0, 0, 0 if per_traj else None))
+        return batched(f, d, p)
+
+    spec_b = P(solve_axis, None)
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(spec_b, spec_b, spec_b if per_traj else P()),
+            out_specs=P(solve_axis, None, None),
+            # the solver's while_loop carries start from unvarying
+            # constants (dt=1e-10, t=0) that the body makes axis-varying —
+            # a false positive for the varying-manual-axes check
+            check_vma=False,
+        )
+    )
+    rows = np.asarray(fn(jnp.asarray(f0), jnp.asarray(d0),
+                         jnp.asarray(p_in)))[:B]
+    out, times = rows[:, :, :-1], rows[:, :, -1]
+    if return_time:
+        return out, times
+    return out
+
+
+def _sharded_solve_pallas(
+    artifact, pars, steps, fields_init, derivs_init, mesh, solve_axis,
+    max_err, return_time, interpret,
+):
+    """Pallas DF solver under shard_map: trajectory blocks divided across
+    the mesh axis.  Each device launches the kernel on its local blocks —
+    the (hi, lo) plane layout shards contiguously along the block axis."""
+    from ..ops import pallas_solver as ps  # noqa: PLC0415
+
+    nf = artifact.n_fields
+    B = fields_init.shape[0]
+    per_traj = pars.ndim == 2
+    n_dev = mesh.shape[solve_axis]
+    # pad the block count to the mesh size, then to whole blocks
+    n_blocks = -(-B // ps._TRAJ_BLOCK)
+    n_blocks = -(-n_blocks // n_dev) * n_dev
+    bp = n_blocks * ps._TRAJ_BLOCK
+
+    cols = [fields_init[:, a] for a in range(nf)]
+    cols += [derivs_init[:, a] for a in range(nf)]
+    if per_traj:
+        cols += [pars[:, t] for t in range(pars.shape[1])]
+    planes = []
+    for c in cols:
+        hi, lo = ps._split_planes(_pad_batch(np.asarray(c, np.float64), bp),
+                                  n_blocks)
+        planes.extend([jnp.asarray(hi), jnp.asarray(lo)])
+
+    pairs = []
+    if not per_traj:
+        for v in pars:
+            h = float(np.float32(v))
+            pairs.extend([h, float(v) - h])
+    scalars = jnp.asarray(pairs + [0.0], dtype=jnp.float32)
+
+    blocks_local = n_blocks // n_dev
+
+    def shard_fn(scal, *local_planes):
+        return ps._launch_solver(scal, local_planes, artifact, int(steps),
+                                 blocks_local, interpret, float(max_err),
+                                 per_traj=per_traj)
+
+    spec_plane = P(solve_axis, None)  # (n_blocks·_SUB, _LANES) block rows
+    fn = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), *([spec_plane] * len(planes))),
+            out_specs=P(None, solve_axis, None),
+            # pallas_call's out_shape carries no varying-mesh-axes info
+            check_vma=False,
+        )
+    )
+    outs = fn(scalars, *planes)
+
+    ns = 2 * nf + 1
+    comps = []
+    for k in range(ns + 1):
+        hi = np.asarray(outs[2 * k], dtype=np.float64)
+        lo = np.asarray(outs[2 * k + 1], dtype=np.float64)
+        v = hi + lo
+        v = v.reshape(v.shape[0], -1)[: steps, : B]  # rows, traj
+        comps.append(v.T)  # (B, steps)
+    rows = np.stack(comps[:ns], axis=2)
+    if return_time:
+        return rows, comps[ns]
+    return rows

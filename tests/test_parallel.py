@@ -460,3 +460,105 @@ def test_manifest_legacy_bool_resume(al, tmp_path):
     out = parameter_sweep(al, batch, EXTENT, (8, 8), progress=False,
                           checkpoint_dir=d)
     assert out.shape == (4, 6, 8, 8)
+
+
+# --------------------------------------------------------------------- #
+# sharded batched background solves (parallel/solve.py)                 #
+# --------------------------------------------------------------------- #
+
+def test_sharded_solve_matches_single_device(doc_model_artifact):
+    """Trajectories are independent — sharding the batch over the mesh must
+    reproduce the single-launch batch to solver precision (zero
+    collectives; XLA may contract ops differently per launch shape, which
+    the adaptive controller amplifies from ULP level to ~1e-11 over tens
+    of steps).  B=11 exercises the pad-to-mesh-and-trim path."""
+    from inflatox_tpu import background
+
+    mesh = make_mesh(axis_names=("solve",), devices=jax.devices())
+    B = 11
+    rng = np.random.default_rng(7)
+    f0 = np.column_stack([rng.uniform(1.8, 2.4, B), rng.uniform(1.7, 2.3, B)])
+    d0 = np.zeros((B, 2))
+    out_s, t_s = background.solve_eom_batch(
+        doc_model_artifact, PARAMS, 16, f0, d0, solver="rkf",
+        return_time=True, mesh=mesh,
+    )
+    out_u, t_u = background.solve_eom_batch(
+        doc_model_artifact, PARAMS, 16, f0, d0, solver="rkf",
+        return_time=True,
+    )
+    assert out_s.shape == (B, 16, 5)
+    np.testing.assert_allclose(out_s, out_u, rtol=1e-9, atol=1e-13)
+    np.testing.assert_allclose(t_s, t_u, rtol=1e-9, atol=0)
+
+
+def test_sharded_solve_per_trajectory_params(doc_model_artifact):
+    """(B, k) parameter batches shard alongside the initial conditions."""
+    from inflatox_tpu.parallel import sharded_solve_eom_batch
+
+    mesh = make_mesh(axis_names=("solve",), devices=jax.devices())
+    B = 8
+    f0 = np.tile([[2.0, 2.0]], (B, 1))
+    d0 = np.zeros((B, 2))
+    pars = np.linspace(0.8, 1.2, B)[:, None]
+    out = sharded_solve_eom_batch(
+        doc_model_artifact, pars, 12, f0, d0, mesh, solver="rkf",
+    )
+    from inflatox_tpu import background
+
+    ref = background.solve_eom_batch(
+        doc_model_artifact, pars, 12, f0, d0, solver="rkf",
+    )
+    # XLA fuses the batched-parameter broadcast slightly differently per
+    # launch shape — single-ULP agreement is the contract here
+    np.testing.assert_allclose(out, ref, rtol=1e-15, atol=0)
+
+
+def test_sharded_solve_pallas_fallback_off_tpu(doc_model_artifact):
+    """solver="rkf_pallas" with a mesh takes the EFT-safe while-loop
+    sharded path off-TPU (same dispatch rule as the unsharded entry)."""
+    from inflatox_tpu import background
+
+    mesh = make_mesh(axis_names=("solve",), devices=jax.devices())
+    f0 = np.tile([[2.0, 2.0]], (8, 1))
+    d0 = np.zeros((8, 2))
+    got = background.solve_eom_batch(
+        doc_model_artifact, PARAMS, 12, f0, d0, solver="rkf_pallas",
+        mesh=mesh,
+    )
+    ref = background.solve_eom_batch(
+        doc_model_artifact, PARAMS, 12, f0, d0, solver="rkf", mesh=mesh,
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_solve_pallas_interpret_two_devices(doc_model_artifact,
+                                                    monkeypatch):
+    """The Pallas solver kernel under shard_map (interpret mode, shrunken
+    (1, 8) trajectory blocks): each device integrates its own block and the
+    assembled rows must be bit-identical to the unsharded interpret launch
+    — the multi-chip composition the TPU path compiles is exercised
+    end-to-end here."""
+    from inflatox_tpu.ops import pallas_solver as ps
+    from inflatox_tpu.parallel import sharded_solve_eom_batch
+
+    monkeypatch.setattr(ps, "_SUB", 1)
+    monkeypatch.setattr(ps, "_LANES", 8)
+    monkeypatch.setattr(ps, "_TRAJ_BLOCK", 8)
+    monkeypatch.setattr(ps, "_ROW_CHUNK", 5)
+    mesh = make_mesh(axis_names=("solve",), devices=jax.devices()[:2])
+    B = 16  # 2 blocks of 8 → one per device
+    rng = np.random.default_rng(3)
+    f0 = np.column_stack([rng.uniform(1.8, 2.4, B), rng.uniform(1.7, 2.3, B)])
+    d0 = np.zeros((B, 2))
+    got, tg = sharded_solve_eom_batch(
+        doc_model_artifact, PARAMS, 5, f0, d0, mesh, solver="rkf_pallas",
+        interpret=True, return_time=True,
+    )
+    want, tw = ps.solve_eom_batch_pallas(
+        doc_model_artifact, PARAMS, 5, f0, d0, return_time=True,
+        interpret=True,
+    )
+    assert got.shape == (B, 5, 5)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(tg, tw)

@@ -268,7 +268,7 @@ def solve_eom_batch(
 
     ``solver="rkf_pallas"`` (round 3) runs the double-f32 Pallas solver
     kernel (ops/pallas_solver.py) — RKF45 with the state advanced in DF
-    pairs inside compiled Mosaic, ~230× the while-loop path's throughput on
+    pairs inside compiled Mosaic, ~350× the while-loop path's throughput on
     hardware.  Any field count; parameters shared or per-trajectory (the
     (B, k) form rides DF planes alongside the state — parameter sweeps of
     background evolutions are one kernel launch).  Off-TPU it falls back
@@ -297,6 +297,16 @@ def solve_eom_batch(
     if fields_init.ndim != 2 or fields_init.shape[1] != n:
         raise ShapeError(
             (-1, n), fields_init.shape, "batched initial conditions must be (B, n_fields)"
+        )
+    if pars.ndim == 2 and pars.shape != (fields_init.shape[0], artifact.n_parameters):
+        raise ShapeError(
+            (fields_init.shape[0], artifact.n_parameters), pars.shape,
+            "per-trajectory parameters must be (B, n_parameters)",
+        )
+    if pars.ndim == 1 and pars.shape != (artifact.n_parameters,):
+        raise ShapeError(
+            (artifact.n_parameters,), pars.shape,
+            "shared parameters must be (n_parameters,)",
         )
     run, _ = _get_solver(artifact, solver, int(steps), jnp.float64, max_err)
     if pars.ndim == 1:

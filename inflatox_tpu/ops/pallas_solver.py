@@ -312,6 +312,58 @@ def _split_planes(v, n_blocks):
     return hi.reshape(shape), lo.reshape(shape)
 
 
+def _build_planes(fields_init, derivs_init, pars, per_traj, nf, n_blocks):
+    """Initial-condition (and per-trajectory parameter) columns → (hi, lo)
+    DF plane pairs, batch padded to ``n_blocks`` whole trajectory blocks by
+    repeating the last row.  Shared with the mesh-sharded launcher
+    (parallel/solve.py) so the plane layout has one owner."""
+    bp = n_blocks * _TRAJ_BLOCK
+    pad = bp - fields_init.shape[0]
+
+    def padded(col):
+        col = np.asarray(col, dtype=np.float64)
+        if pad:
+            col = np.concatenate([col, np.repeat(col[-1:], pad)])
+        return col
+
+    cols = [fields_init[:, a] for a in range(nf)]
+    cols += [derivs_init[:, a] for a in range(nf)]
+    if per_traj:
+        cols += [pars[:, t] for t in range(pars.shape[1])]
+    planes = []
+    for c in cols:
+        hi, lo = _split_planes(padded(c), n_blocks)
+        planes.extend([jnp.asarray(hi), jnp.asarray(lo)])
+
+    # parameter scalars as exact (hi, lo) pairs (unused when per_traj —
+    # the kernel reads the parameter planes instead)
+    pairs = []
+    if not per_traj:
+        for v in pars:
+            h = float(np.float32(v))
+            pairs.extend([h, float(v) - h])
+    scalars = jnp.asarray(pairs + [0.0], dtype=jnp.float32)  # pad ≥1
+    return scalars, planes
+
+
+def _combine_outputs(outs, nf, steps, B, return_time):
+    """Kernel output pair planes → (B, steps, 2n+1) rows [+ (B, steps) t]:
+    the (hi, lo) pairs ARE TPU-f64 information content — combining during
+    the host fetch is exact IEEE f64 (docs/numerics.md §3)."""
+    ns = 2 * nf + 1
+    comps = []
+    for k in range(ns + 1):
+        hi = np.asarray(outs[2 * k], dtype=np.float64)
+        lo = np.asarray(outs[2 * k + 1], dtype=np.float64)
+        v = hi + lo
+        v = v.reshape(v.shape[0], -1)[: steps, : B]  # rows, traj
+        comps.append(v.T)  # (B, steps)
+    rows = np.stack(comps[:ns], axis=2)
+    if return_time:
+        return rows, comps[ns]
+    return rows
+
+
 def solve_eom_batch_pallas(
     artifact,
     pars,
@@ -352,32 +404,8 @@ def solve_eom_batch_pallas(
         )
     B = fields_init.shape[0]
     n_blocks = -(-B // _TRAJ_BLOCK)
-    Bp = n_blocks * _TRAJ_BLOCK
-    pad = Bp - B
-
-    def padded(col):
-        col = np.asarray(col, dtype=np.float64)
-        if pad:
-            col = np.concatenate([col, np.repeat(col[-1:], pad)])
-        return col
-
-    cols = [fields_init[:, a] for a in range(nf)]
-    cols += [derivs_init[:, a] for a in range(nf)]
-    if per_traj:
-        cols += [pars[:, t] for t in range(pars.shape[1])]
-    planes = []
-    for c in cols:
-        hi, lo = _split_planes(padded(c), n_blocks)
-        planes.extend([jnp.asarray(hi), jnp.asarray(lo)])
-
-    # parameter scalars as exact (hi, lo) pairs (unused when per_traj —
-    # the kernel reads the parameter planes instead)
-    pairs = []
-    if not per_traj:
-        for v in pars:
-            h = float(np.float32(v))
-            pairs.extend([h, float(v) - h])
-    scalars = jnp.asarray(pairs + [0.0], dtype=jnp.float32)  # pad ≥1
+    scalars, planes = _build_planes(fields_init, derivs_init, pars,
+                                    per_traj, nf, n_blocks)
 
     on_tpu = jax.default_backend() == "tpu"
     if interpret is None and not on_tpu:
@@ -397,16 +425,4 @@ def solve_eom_batch_pallas(
     outs = _launch_solver(scalars, tuple(planes), artifact, int(steps),
                           n_blocks, bool(interpret), float(max_err),
                           per_traj=per_traj)
-    # host combine: (rows_pad, n_blocks·_SUB, _LANES) pairs → (B, steps, ·)
-    ns = 2 * nf + 1
-    comps = []
-    for k in range(ns + 1):
-        hi = np.asarray(outs[2 * k], dtype=np.float64)
-        lo = np.asarray(outs[2 * k + 1], dtype=np.float64)
-        v = hi + lo
-        v = v.reshape(v.shape[0], -1)[: steps, : B]  # rows, traj
-        comps.append(v.T)  # (B, steps)
-    rows = np.stack(comps[:ns], axis=2)
-    if return_time:
-        return rows, comps[ns]
-    return rows
+    return _combine_outputs(outs, nf, steps, B, return_time)

@@ -75,6 +75,9 @@ def sharded_solve_eom_batch(
     if per_traj and pars.shape != (B, artifact.n_parameters):
         raise ShapeError((B, artifact.n_parameters), pars.shape,
                          "per-trajectory parameters must be (B, n_parameters)")
+    if not per_traj and pars.shape != (artifact.n_parameters,):
+        raise ShapeError((artifact.n_parameters,), pars.shape,
+                         "shared parameters must be (n_parameters,)")
     n_dev = mesh.shape[solve_axis]
 
     if solver == "rkf_pallas":
@@ -137,24 +140,8 @@ def _sharded_solve_pallas(
     # pad the block count to the mesh size, then to whole blocks
     n_blocks = -(-B // ps._TRAJ_BLOCK)
     n_blocks = -(-n_blocks // n_dev) * n_dev
-    bp = n_blocks * ps._TRAJ_BLOCK
-
-    cols = [fields_init[:, a] for a in range(nf)]
-    cols += [derivs_init[:, a] for a in range(nf)]
-    if per_traj:
-        cols += [pars[:, t] for t in range(pars.shape[1])]
-    planes = []
-    for c in cols:
-        hi, lo = ps._split_planes(_pad_batch(np.asarray(c, np.float64), bp),
-                                  n_blocks)
-        planes.extend([jnp.asarray(hi), jnp.asarray(lo)])
-
-    pairs = []
-    if not per_traj:
-        for v in pars:
-            h = float(np.float32(v))
-            pairs.extend([h, float(v) - h])
-    scalars = jnp.asarray(pairs + [0.0], dtype=jnp.float32)
+    scalars, planes = ps._build_planes(fields_init, derivs_init, pars,
+                                       per_traj, nf, n_blocks)
 
     blocks_local = n_blocks // n_dev
 
@@ -175,16 +162,4 @@ def _sharded_solve_pallas(
         )
     )
     outs = fn(scalars, *planes)
-
-    ns = 2 * nf + 1
-    comps = []
-    for k in range(ns + 1):
-        hi = np.asarray(outs[2 * k], dtype=np.float64)
-        lo = np.asarray(outs[2 * k + 1], dtype=np.float64)
-        v = hi + lo
-        v = v.reshape(v.shape[0], -1)[: steps, : B]  # rows, traj
-        comps.append(v.T)  # (B, steps)
-    rows = np.stack(comps[:ns], axis=2)
-    if return_time:
-        return rows, comps[ns]
-    return rows
+    return ps._combine_outputs(outs, nf, steps, B, return_time)

@@ -292,3 +292,27 @@ def test_three_field_while_loop_solver_vs_scipy(three_field_artifact):
     fb = background.solve_eom_batch(art, pars, 60, x0[None], chi0[None],
                                     solver="rkf_pallas", max_err=1e-8)
     np.testing.assert_array_equal(fb, out)
+
+
+def test_pallas_solver_on_loaded_bundle(doc_model_artifact, tmp_path,
+                                        monkeypatch):
+    """Compile-once / solve-many: a bundle restored with CompiledModel.load
+    must drive the Pallas solver path (solver_df32_fns rebuilt from the
+    serialized expressions) identically to the original artifact."""
+    from inflatox_tpu.compiler import CompiledModel
+    from inflatox_tpu.ops import pallas_solver
+
+    p = tmp_path / "bundle.json"
+    doc_model_artifact.save(str(p))
+    restored = CompiledModel.load(str(p))
+
+    monkeypatch.setattr(pallas_solver, "_ROW_CHUNK", 6)
+    f0 = np.array([[2.0, 2.0]])
+    d0 = np.zeros((1, 2))
+    got = pallas_solver.solve_eom_batch_pallas(
+        restored, np.array([1.0]), 6, f0, d0, interpret=True,
+    )
+    want = pallas_solver.solve_eom_batch_pallas(
+        doc_model_artifact, np.array([1.0]), 6, f0, d0, interpret=True,
+    )
+    np.testing.assert_array_equal(got, want)

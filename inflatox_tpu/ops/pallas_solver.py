@@ -353,9 +353,10 @@ def _combine_outputs(outs, nf, steps, B, return_time):
     ns = 2 * nf + 1
     comps = []
     for k in range(ns + 1):
-        hi = np.asarray(outs[2 * k], dtype=np.float64)
-        lo = np.asarray(outs[2 * k + 1], dtype=np.float64)
-        v = hi + lo
+        # single buffered pass: f32 planes promote to f64 inside the ufunc
+        # (exact; avoids two materialized f64 temporaries per component)
+        v = np.add(np.asarray(outs[2 * k]), np.asarray(outs[2 * k + 1]),
+                   dtype=np.float64)
         v = v.reshape(v.shape[0], -1)[: steps, : B]  # rows, traj
         comps.append(v.T)  # (B, steps)
     rows = np.stack(comps[:ns], axis=2)

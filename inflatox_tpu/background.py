@@ -55,7 +55,7 @@ from jax import lax
 from .compiler import CompiledModel
 from .utils.errors import ShapeError
 
-__all__ = ["solve_eom", "solve_eom_batch"]
+__all__ = ["solve_eom", "solve_eom_batch", "efolds"]
 
 
 # ----------------------------------------------------------------------- #
@@ -317,4 +317,30 @@ def solve_eom_batch(
     out, times = rows[:, :, :-1], rows[:, :, -1]
     if return_time:
         return out, times
+    return out
+
+
+def efolds(rows, times):
+    """Cumulative e-fold count N(t) = ∫₀ᵗ H dt' along solved trajectories.
+
+    ``rows``/``times`` are the outputs of :func:`solve_eom` ((steps, 2n+1),
+    (steps,)) or :func:`solve_eom_batch` ((B, steps, 2n+1), (B, steps)) with
+    ``return_time=True``; H is the last state column.  Returns an array
+    shaped like ``times`` with N per output row (trapezoid rule over the
+    adaptive step sequence; row 0 is 0).
+
+    No reference equivalent: the reference discards the per-row step sizes
+    entirely (background_solver.rs:283-295 returns state rows of unknown
+    spacing), leaving e-fold counts uncomputable from its output.
+    """
+    rows = np.asarray(rows, dtype=float)
+    times = np.asarray(times, dtype=float)
+    if rows.shape[:-1] != times.shape:
+        raise ShapeError(rows.shape[:-1], times.shape,
+                         "times must match the solver rows per trajectory")
+    hubble = rows[..., -1]
+    dt = np.diff(times, axis=-1)
+    seg = 0.5 * (hubble[..., 1:] + hubble[..., :-1]) * dt
+    out = np.zeros_like(times)
+    np.cumsum(seg, axis=-1, out=out[..., 1:])
     return out

@@ -316,3 +316,32 @@ def test_pallas_solver_on_loaded_bundle(doc_model_artifact, tmp_path,
         doc_model_artifact, np.array([1.0]), 6, f0, d0, interpret=True,
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_efolds_cumulative_integral(doc_model_artifact):
+    """N(t) = ∫H dt: exact on synthetic constant-H rows (de Sitter: N = Ht),
+    and consistent with a dense-sampled numeric integral on a real solve."""
+    from inflatox_tpu.background import efolds
+
+    # constant H = 2.0 over arbitrary (monotone) times: N = 2 t exactly
+    t = np.array([[0.0, 0.1, 0.4, 1.0], [0.0, 0.2, 0.3, 0.9]])
+    rows = np.zeros((2, 4, 5))
+    rows[..., 4] = 2.0
+    np.testing.assert_allclose(efolds(rows, t), 2.0 * t, rtol=1e-15)
+
+    # real background: trapezoid over the adaptive rows is a 2nd-order
+    # approximation of the dense integral
+    out, times = background.solve_eom_batch(
+        doc_model_artifact, np.array([1.0]), 40, np.array([[2.0, 2.0]]),
+        np.zeros((1, 2)), solver="rkf", max_err=1e-9, return_time=True,
+    )
+    n = efolds(out, times)
+    assert n.shape == times.shape and n[0, 0] == 0.0
+    assert np.all(np.diff(n[0][out[0, :, 4] > 0]) > 0)  # monotone while H>0
+    dense = np.trapezoid(out[0, :, 4], times[0])
+    np.testing.assert_allclose(n[0, -1], dense, rtol=1e-12)
+
+    from inflatox_tpu.utils.errors import ShapeError
+
+    with pytest.raises(ShapeError):
+        efolds(out, times[:, :-1])

@@ -301,7 +301,9 @@ def main():
             lo = (hi * 1e-8).astype(np.float32)
             t0 = time.perf_counter()
             for _ in range(6):
-                _ = hi.astype(np.float64) + lo.astype(np.float64)
+                # the production combine (pallas_kernels._host_combine_pairs):
+                # one buffered ufunc pass, f32 inputs promoted inside
+                _ = np.add(hi, lo, dtype=np.float64)
             t_combine = time.perf_counter() - t0
             emit(
                 "cfg1_hyper_df64_delivery_4096",

@@ -345,3 +345,31 @@ def test_efolds_cumulative_integral(doc_model_artifact):
 
     with pytest.raises(ShapeError):
         efolds(out, times[:, :-1])
+
+
+def test_solver_parameterless_model(monkeypatch):
+    """Models with zero parameters run on both solver paths (the scalar
+    prefetch buffer pads to one element; args tuple is empty)."""
+    import sympy
+
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.ops import pallas_solver
+
+    a, b = sympy.symbols("pa pb")
+    V = sympy.Rational(1, 2) * (a**2 + b**2) + sympy.Rational(1, 10)
+    model = inflatox.InflationModelBuilder.new(
+        [a, b], [[1, 0], [0, 1]], V, silent=True
+    ).build()
+    art = inflatox.Compiler(model, silent=True).compile()
+    assert art.n_parameters == 0
+
+    monkeypatch.setattr(pallas_solver, "_ROW_CHUNK", 5)
+    f0 = np.array([[1.0, 1.0]])
+    d0 = np.zeros((1, 2))
+    out = pallas_solver.solve_eom_batch_pallas(
+        art, np.array([]), 5, f0, d0, interpret=True
+    )
+    ref = background.solve_eom_batch(art, np.array([]), 5, f0, d0,
+                                     solver="rkf")
+    assert out.shape == ref.shape == (1, 5, 5)
+    np.testing.assert_array_equal(out[:, 0, :4], ref[:, 0, :4])

@@ -44,6 +44,7 @@ from .version import __version__
 from . import background
 from . import consistency_conditions
 from . import models
+from . import observables
 from . import parallel
 
 __all__ = [
@@ -55,6 +56,7 @@ __all__ = [
     "consistency_conditions",
     "background",
     "models",
+    "observables",
     "parallel",
     "log_info",
     "log_warn",

@@ -1,0 +1,389 @@
+"""Differentiable slow-roll observables and gradient-based parameter fitting.
+
+No reference equivalent — and none is possible there: the reference
+evaluates models through an opaque dlopen'd C dylib (dylib.rs:67-161), so
+its outputs are terminal numbers and parameter studies are grid searches
+(README.md:12-13).  Here every model callable is pure JAX, so the whole
+pipeline — potential → projected Hesse → slow-roll parameters → CMB
+observables → background trajectories — is reverse-mode differentiable and
+parameter inference becomes gradient descent on device instead of a sweep.
+
+Three pieces:
+
+* **Observable factories** (:func:`epsilon_v`, :func:`eta_v`,
+  :func:`spectral_index`, :func:`tensor_to_scalar`, :func:`slow_roll`):
+  jittable, differentiable point functions ``fn(x, args)`` built from a
+  :class:`~inflatox_tpu.compiler.CompiledModel`.  Conventions are the
+  textbook ones (ε_V includes the ½ like ``epsilon_v_only``,
+  anguelova.rs:138-140; η_V is the gradient-aligned projected Hesse
+  component V_σσ/V, i.e. ``v00/V`` in the reference's naming) with the
+  leading-order slow-roll predictions n_s = 1 − 6ε_V + 2η_V and r = 16 ε_V.
+* **A fixed-step, reverse-differentiable background integrator**
+  (:func:`solve_eom_fixed`): classical RK4 on a user-supplied time grid via
+  ``lax.scan``.  The production adaptive solvers (background.py,
+  ops/pallas_solver.py) reject/retry steps inside ``lax.while_loop``, which
+  JAX cannot reverse-differentiate; this fixed-grid variant trades adaptive
+  step control for end-to-end gradients w.r.t. parameters and initial
+  conditions.
+* **A generic fitting loop** (:func:`fit_parameters`): optax gradient
+  descent compiled into one ``lax.scan`` launch.
+
+Everything composes with the rest of the framework: losses may call the
+scan point-math (ops/anguelova.py), the observables here, or
+:func:`solve_eom_fixed`, and ``jax.vmap`` turns a single fit into a
+multi-start fit.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .background import _RK4_A, _RK4_B, _rk_step, _state_derivative
+from .compiler import CompiledModel
+from .utils.errors import ShapeError
+
+__all__ = [
+    "epsilon_v",
+    "eta_v",
+    "spectral_index",
+    "tensor_to_scalar",
+    "slow_roll",
+    "along_trajectory",
+    "horizon_exit",
+    "solve_eom_fixed",
+    "FitResult",
+    "fit_parameters",
+]
+
+
+# ----------------------------------------------------------------------- #
+# observable factories                                                     #
+# ----------------------------------------------------------------------- #
+
+
+def epsilon_v(artifact: CompiledModel) -> Callable:
+    """First potential slow-roll parameter ε_V = |∇V|² / (2 V²).
+
+    Returns a pure ``fn(x, args)`` (x: (d,) field point or broadcastable
+    grids; args: (k,) parameters).  Textbook ½ included — matching the
+    reference's standalone ``epsilon_v_only`` (anguelova.rs:138-140), not
+    the ½-less value inside ``complete_analysis`` (anguelova.rs:119).
+    """
+
+    def fn(x, args):
+        v = artifact.potential(x, args)
+        return 0.5 * artifact.grad_square(x, args) / (v * v)
+
+    return fn
+
+
+def eta_v(artifact: CompiledModel) -> Callable:
+    """Second slow-roll parameter η_V = V_σσ / V.
+
+    V_σσ is the covariant Hesse projected twice onto the normalized
+    gradient direction — the reference's ``v00`` component
+    (hesse_bindings.rs:195-232 naming) — so this is exact for curved field
+    spaces, not just flat ones.
+    """
+
+    def fn(x, args):
+        return artifact.hesse_tuple(x, args)[0] / artifact.potential(x, args)
+
+    return fn
+
+
+def spectral_index(artifact: CompiledModel) -> Callable:
+    """Leading-order scalar spectral index n_s = 1 − 6 ε_V + 2 η_V."""
+    eps = epsilon_v(artifact)
+    eta = eta_v(artifact)
+
+    def fn(x, args):
+        return 1.0 - 6.0 * eps(x, args) + 2.0 * eta(x, args)
+
+    return fn
+
+
+def tensor_to_scalar(artifact: CompiledModel) -> Callable:
+    """Leading-order tensor-to-scalar ratio r = 16 ε_V."""
+    eps = epsilon_v(artifact)
+
+    def fn(x, args):
+        return 16.0 * eps(x, args)
+
+    return fn
+
+
+def slow_roll(artifact: CompiledModel) -> Callable:
+    """All four observables in one evaluation (shared V/∇V/Hesse work).
+
+    Returns ``fn(x, args) -> dict`` with keys ``epsilon_v``, ``eta_v``,
+    ``n_s``, ``r``.  The dict values are scalars (or grids, following the
+    broadcast shape of ``x``); the function is jit- and grad-compatible
+    (differentiate a selected entry, e.g.
+    ``jax.grad(lambda a: fn(x, a)["n_s"])``).
+    """
+
+    def fn(x, args):
+        v = artifact.potential(x, args)
+        eps = 0.5 * artifact.grad_square(x, args) / (v * v)
+        eta = artifact.hesse_tuple(x, args)[0] / v
+        return {
+            "epsilon_v": eps,
+            "eta_v": eta,
+            "n_s": 1.0 - 6.0 * eps + 2.0 * eta,
+            "r": 16.0 * eps,
+        }
+
+    return fn
+
+
+# ----------------------------------------------------------------------- #
+# trajectory-level observables                                              #
+# ----------------------------------------------------------------------- #
+
+
+def along_trajectory(artifact: CompiledModel, rows, args) -> dict:
+    """Slow-roll observables at every row of a solved background trajectory.
+
+    ``rows`` is the (steps, 2n+1) output of
+    :func:`~inflatox_tpu.background.solve_eom` /
+    :func:`solve_eom_fixed` (fields, derivatives, H per row).  Returns a
+    dict of (steps,) arrays: the four :func:`slow_roll` quantities
+    evaluated at each row's field point, plus ``epsilon_h`` — the *exact*
+    Hubble slow-roll parameter ε_H = −Ḣ/H² = ½ G_ab χ^a χ^b / H² computed
+    from the solved state itself (no slow-roll approximation), which is
+    the quantity that defines the end of inflation (ε_H = 1 ⇔ ä = 0).
+    """
+    rows = jnp.asarray(rows)
+    d = artifact.n_fields
+    if rows.ndim != 2 or rows.shape[1] != 2 * d + 1:
+        raise ShapeError(
+            (-1, 2 * d + 1), tuple(np.shape(rows)),
+            "rows must be a single solved trajectory (steps, 2n+1)",
+        )
+    x = [rows[:, a] for a in range(d)]
+    chi = [rows[:, d + a] for a in range(d)]
+    hubble = rows[:, 2 * d]
+    out = {k: np.asarray(v) for k, v in slow_roll(artifact)(x, args).items()}
+    chi_sq = artifact.inner_prod(x, args, chi, chi)
+    out["epsilon_h"] = np.asarray(0.5 * chi_sq / (hubble * hubble))
+    return out
+
+
+def horizon_exit(
+    artifact: CompiledModel,
+    rows,
+    times,
+    args,
+    N_before_end: float = 55.0,
+) -> dict:
+    """Locate the horizon-exit point N_before_end e-folds before the end of
+    inflation along a solved trajectory, and evaluate the observables there.
+
+    The end of inflation is the first crossing ε_H = 1 (exact Hubble
+    parameter from the solved state, see :func:`along_trajectory`); e-fold
+    counts come from :func:`~inflatox_tpu.background.efolds`.  Both the
+    crossing and the exit point are linearly interpolated between output
+    rows.  Returns a dict with the exit field point ``x`` ((n,) array),
+    ``N_exit``/``N_end``/``N_total``, and the :func:`slow_roll` observables
+    at ``x``.
+
+    Raises ``ValueError`` when the trajectory never reaches ε_H ≥ 1 (end of
+    inflation not in the integrated span) or is shorter than
+    ``N_before_end`` e-folds — integrate longer in either case.
+
+    This is the standard CMB-prediction workflow (solve the background,
+    count ~50–60 e-folds back from the end, read off n_s and r); the
+    reference cannot express it at all — its solver output has no time
+    axis, making e-fold counts uncomputable (background_solver.rs:283-295).
+    """
+    from .background import efolds  # noqa: PLC0415  (avoid cycle at import)
+
+    rows = np.asarray(rows, dtype=float)
+    times = np.asarray(times, dtype=float)
+    if rows.ndim != 2 or times.shape != (rows.shape[0],):
+        raise ShapeError(
+            (rows.shape[0],), times.shape,
+            "pass one trajectory's rows with its times (return_time=True)",
+        )
+    d = artifact.n_fields
+    eps_h = along_trajectory(artifact, rows, args)["epsilon_h"]
+    efold = efolds(rows, times)
+
+    above = np.nonzero(eps_h >= 1.0)[0]
+    if above.size == 0:
+        raise ValueError(
+            f"inflation does not end within the integrated span (max ε_H = "
+            f"{np.nanmax(eps_h):.3g} < 1 over {efold[-1]:.1f} e-folds) — "
+            "integrate further"
+        )
+    i = int(above[0])
+    if i == 0:
+        raise ValueError("trajectory starts with ε_H ≥ 1 (not inflating)")
+    # linear interpolation of the ε_H = 1 crossing in e-fold time
+    frac = (1.0 - eps_h[i - 1]) / (eps_h[i] - eps_h[i - 1])
+    n_end = efold[i - 1] + frac * (efold[i] - efold[i - 1])
+    n_exit = n_end - float(N_before_end)
+    if n_exit < efold[0]:
+        raise ValueError(
+            f"trajectory spans only {n_end - efold[0]:.1f} e-folds before the "
+            f"end of inflation; cannot rewind {N_before_end} — start deeper in "
+            "the inflating region"
+        )
+    x_exit = np.array(
+        [np.interp(n_exit, efold[: i + 1], rows[: i + 1, a]) for a in range(d)]
+    )
+    result = {
+        "x": x_exit,
+        "N_exit": float(n_exit),
+        "N_end": float(n_end),
+        "N_total": float(efold[-1]),
+    }
+    sr = slow_roll(artifact)(x_exit, np.asarray(args, dtype=float))
+    result.update({k: float(v) for k, v in sr.items()})
+    return result
+
+
+# ----------------------------------------------------------------------- #
+# fixed-step differentiable background integration                         #
+# ----------------------------------------------------------------------- #
+
+_fixed_cache: dict = {}
+
+
+def _build_fixed(artifact: CompiledModel, dtype):
+    f = _state_derivative(artifact, dtype)
+
+    def run(fields_init, derivs_init, args, times):
+        x0 = jnp.asarray(fields_init, dtype)
+        chi0 = jnp.asarray(derivs_init, dtype)
+        args = jnp.asarray(args, dtype)
+        times = jnp.asarray(times, dtype)
+        h0 = artifact.eom_h(x0, chi0, args)
+        y0 = jnp.concatenate([x0, chi0, jnp.reshape(h0, (1,))]).astype(dtype)
+
+        def step(y, dt):
+            y_next, _ = _rk_step(f, y, dt, args, _RK4_A, _RK4_B, _RK4_B)
+            return y_next, y_next
+
+        _, rows = lax.scan(step, y0, jnp.diff(times))
+        return jnp.concatenate([y0[None, :], rows], axis=0)
+
+    return jax.jit(run)
+
+
+def solve_eom_fixed(
+    artifact: CompiledModel,
+    pars,
+    times,
+    fields_init,
+    derivatives_init,
+):
+    """Integrate the background EoM on a fixed time grid (differentiable).
+
+    Same ODE system as :func:`inflatox_tpu.background.solve_eom`
+    (φ'=χ, χ'^a = −eom_a − 3Hχ^a, H'=eomhdot; H(0) from the Friedmann
+    constraint) but advanced with classical RK4 over the user-supplied
+    ``times`` grid (shape (steps,), strictly increasing; row i of the
+    output is the state at ``times[i]``, row 0 the initial state).
+
+    Because every step is a fixed ``lax.scan`` iteration (no
+    ``while_loop`` accept/reject), the map (pars, fields_init,
+    derivatives_init) → rows is **reverse-mode differentiable**: wrap any
+    scalar of the output in ``jax.grad``/``jax.value_and_grad`` to fit
+    parameters or initial conditions to trajectory-level targets (see
+    :func:`fit_parameters`).  Accuracy is the user's responsibility via the
+    grid spacing (global error ~O(Δt⁴)); for production-quality adaptive
+    integration without gradients use :func:`~inflatox_tpu.background.
+    solve_eom` / ``solver="rkf_pallas"``.
+
+    Returns a (steps, 2n+1) array like :func:`solve_eom` (fields,
+    derivatives, H per row).  All array arguments may be tracers.
+    """
+    n = artifact.n_fields
+    if np.shape(fields_init) != (n,) or np.shape(derivatives_init) != (n,):
+        raise ShapeError(
+            (n,), np.shape(fields_init),
+            "initial conditions must have one entry per field",
+        )
+    if np.shape(pars) != (artifact.n_parameters,):
+        raise ShapeError(
+            (artifact.n_parameters,), np.shape(pars),
+            f'model "{artifact.model_name}" has {artifact.n_parameters} parameters',
+        )
+    if len(np.shape(times)) != 1 or np.shape(times)[0] < 2:
+        raise ShapeError(
+            (-1,), np.shape(times), "times must be a 1-D grid of ≥2 points"
+        )
+    key = (id(artifact), jnp.dtype(jnp.float64).name)
+    run = _fixed_cache.get(key)
+    if run is None:
+        run = _build_fixed(artifact, jnp.float64)
+        _fixed_cache[key] = run
+    return run(fields_init, derivatives_init, pars, times)
+
+
+# ----------------------------------------------------------------------- #
+# fitting loop                                                             #
+# ----------------------------------------------------------------------- #
+
+
+class FitResult(NamedTuple):
+    """Result of :func:`fit_parameters`.
+
+    ``params``: fitted parameter vector (numpy); ``loss_history``: (steps,)
+    loss value *before* each update — ``loss_history[-1]`` is the loss one
+    step before ``params``; evaluate the loss at ``params`` for the final
+    value.
+    """
+
+    params: np.ndarray
+    loss_history: np.ndarray
+
+
+def fit_parameters(
+    loss_fn: Callable,
+    args0,
+    *,
+    steps: int = 200,
+    learning_rate: float = 0.05,
+    optimizer=None,
+) -> FitResult:
+    """Minimize ``loss_fn(args) -> scalar`` by compiled gradient descent.
+
+    The whole optimization (``steps`` iterations of
+    ``optax.adam(learning_rate)`` by default, or any optax ``optimizer``
+    passed in) runs as ONE jitted ``lax.scan`` launch — on TPU the loop
+    never returns to the host.  ``loss_fn`` must be jax-traceable; build it
+    from the observable factories above, the scan point-math
+    (ops/anguelova.py), or :func:`solve_eom_fixed`.  For multi-start fits,
+    ``jax.vmap`` the internals yourself or call this per start (compile is
+    cached by XLA across calls with equal shapes).
+    """
+    import optax  # noqa: PLC0415  (deferred: optional for non-fitting users)
+
+    opt = optimizer if optimizer is not None else optax.adam(learning_rate)
+    params0 = jnp.asarray(args0, jnp.float64)
+    value_and_grad = jax.value_and_grad(loss_fn)
+
+    def step(carry, _):
+        params, opt_state = carry
+        loss, grads = value_and_grad(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @jax.jit
+    def run(params0):
+        (params, _), history = lax.scan(
+            step, (params0, opt.init(params0)), None, length=int(steps)
+        )
+        return params, history
+
+    params, history = run(params0)
+    return FitResult(np.asarray(params), np.asarray(history))

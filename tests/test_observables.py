@@ -1,0 +1,228 @@
+"""Differentiable observables & fitting (inflatox_tpu.observables).
+
+Coverage the reference cannot have: its model functions live behind a C ABI
+(dylib.rs:44-48 raw function pointers), so nothing downstream of them is
+differentiable.  Here the slow-roll observables, the fixed-step background
+integrator, and the optax fitting loop are validated against analytic
+values, finite differences, and scipy."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from inflatox_tpu import background, observables
+
+ARGS = np.array([1.0, 0.7])  # m_1, m_2 of the trivial quadratic model
+X = np.array([1.2, -0.8])
+
+
+def _analytic_slow_roll(x, m):
+    """Textbook values for V = (m1 x1)² + (m2 x2)² on a flat metric."""
+    v = (m[0] * x[0]) ** 2 + (m[1] * x[1]) ** 2
+    grad = np.array([2 * m[0] ** 2 * x[0], 2 * m[1] ** 2 * x[1]])
+    eps = 0.5 * np.dot(grad, grad) / v**2
+    hesse = np.diag([2 * m[0] ** 2, 2 * m[1] ** 2])
+    sigma = grad / np.linalg.norm(grad)
+    eta = sigma @ hesse @ sigma / v
+    return eps, eta
+
+
+def test_observables_match_analytic(trivial_artifact):
+    sr = observables.slow_roll(trivial_artifact)(X, ARGS)
+    eps_ref, eta_ref = _analytic_slow_roll(X, ARGS)
+    np.testing.assert_allclose(float(sr["epsilon_v"]), eps_ref, rtol=1e-13)
+    np.testing.assert_allclose(float(sr["eta_v"]), eta_ref, rtol=1e-13)
+    np.testing.assert_allclose(
+        float(sr["n_s"]), 1 - 6 * eps_ref + 2 * eta_ref, rtol=1e-13
+    )
+    np.testing.assert_allclose(float(sr["r"]), 16 * eps_ref, rtol=1e-13)
+    # the standalone factories agree with the fused dict
+    np.testing.assert_allclose(
+        float(observables.epsilon_v(trivial_artifact)(X, ARGS)),
+        float(sr["epsilon_v"]),
+    )
+    np.testing.assert_allclose(
+        float(observables.spectral_index(trivial_artifact)(X, ARGS)),
+        float(sr["n_s"]),
+    )
+    np.testing.assert_allclose(
+        float(observables.tensor_to_scalar(trivial_artifact)(X, ARGS)),
+        float(sr["r"]),
+    )
+
+
+def test_observable_gradients_vs_finite_differences(trivial_artifact):
+    ns = observables.spectral_index(trivial_artifact)
+    g = jax.grad(lambda a: ns(X, a))(jnp.asarray(ARGS))
+    h = 1e-6
+    for i in range(2):
+        dp = ARGS.copy()
+        dm = ARGS.copy()
+        dp[i] += h
+        dm[i] -= h
+        fd = (float(ns(X, dp)) - float(ns(X, dm))) / (2 * h)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-6)
+
+
+def test_observables_broadcast_over_grids(trivial_artifact):
+    xs = [np.linspace(0.5, 2.0, 7), np.full(7, -0.8)]
+    eps = observables.epsilon_v(trivial_artifact)(xs, ARGS)
+    assert np.shape(eps) == (7,)
+    for j in range(7):
+        ref, _ = _analytic_slow_roll([xs[0][j], xs[1][j]], ARGS)
+        np.testing.assert_allclose(float(eps[j]), ref, rtol=1e-13)
+
+
+def test_along_trajectory_and_horizon_exit(trivial_artifact):
+    # single-field setup on the phi_1 axis: V = (m phi_1)^2 with m1=m2=1,
+    # phi_2 = chi = 0 stays exactly on the axis.  Textbook large-field
+    # analytics: eps_V = 2/phi^2, N(phi -> phi_end) = (phi^2 - phi_end^2)/4
+    # with slow-roll phi_end = sqrt(2); n_s = 1 - 8/phi^2, r = 32/phi^2.
+    m = np.array([1.0, 1.0])
+    phi0 = 16.0
+    rows, times = background.solve_eom(
+        trivial_artifact, m, 3000, [phi0, 0.0], [0.0, 0.0],
+        max_err=1e-8, solver="rkf", return_time=True,
+    )
+    along = observables.along_trajectory(trivial_artifact, rows, m)
+    assert set(along) == {"epsilon_v", "eta_v", "n_s", "r", "epsilon_h"}
+    # early rows: deep slow roll, eps_H tracks eps_V = 2/phi^2 closely
+    np.testing.assert_allclose(
+        along["epsilon_v"][0], 2.0 / phi0**2, rtol=1e-12
+    )
+    assert along["epsilon_h"].max() >= 1.0, "inflation must end in the span"
+    # chi starts at 0, so eps_H ramps from 0 onto the slow-roll attractor
+    # over ~a Hubble time; once there it must track eps_V = 2/phi^2
+    from inflatox_tpu.background import efolds
+
+    n_of_t = efolds(rows, times)
+    attractor = (n_of_t > 5.0) & (n_of_t < 50.0)
+    assert attractor.sum() > 10
+    np.testing.assert_allclose(
+        along["epsilon_h"][attractor], along["epsilon_v"][attractor], rtol=0.05
+    )
+
+    exit_info = observables.horizon_exit(
+        trivial_artifact, rows, times, m, N_before_end=55.0
+    )
+    phi_star = np.sqrt(4 * 55.0 + 2.0)  # slow-roll prediction
+    np.testing.assert_allclose(exit_info["x"][0], phi_star, rtol=0.02)
+    np.testing.assert_allclose(exit_info["x"][1], 0.0, atol=1e-10)
+    np.testing.assert_allclose(exit_info["N_end"], phi0**2 / 4 - 0.5, rtol=0.03)
+    np.testing.assert_allclose(exit_info["n_s"], 1 - 8 / phi_star**2, atol=2e-3)
+    np.testing.assert_allclose(exit_info["r"], 32 / phi_star**2, rtol=0.05)
+    assert exit_info["N_exit"] == pytest.approx(exit_info["N_end"] - 55.0)
+
+
+def test_horizon_exit_error_paths(trivial_artifact):
+    m = np.array([1.0, 1.0])
+    # short integration deep in slow roll: inflation never ends
+    rows, times = background.solve_eom(
+        trivial_artifact, m, 50, [16.0, 0.0], [0.0, 0.0],
+        max_err=1e-8, solver="rkf", return_time=True,
+    )
+    with pytest.raises(ValueError, match="does not end"):
+        observables.horizon_exit(trivial_artifact, rows, times, m)
+    # full trajectory but absurd rewind depth
+    rows, times = background.solve_eom(
+        trivial_artifact, m, 3000, [16.0, 0.0], [0.0, 0.0],
+        max_err=1e-8, solver="rkf", return_time=True,
+    )
+    with pytest.raises(ValueError, match="cannot rewind"):
+        observables.horizon_exit(
+            trivial_artifact, rows, times, m, N_before_end=1000.0
+        )
+
+
+def test_solve_eom_fixed_matches_adaptive(trivial_artifact):
+    # run the production adaptive solver, then re-integrate on a uniform
+    # grid covering the same span: final states must agree to RK4 accuracy
+    rows, times = background.solve_eom(
+        trivial_artifact, ARGS, 400, [1.0, 0.5], [0.0, 0.0],
+        max_err=1e-10, solver="rkf", return_time=True,
+    )
+    grid = np.linspace(0.0, float(times[-1]), 4001)
+    fixed = observables.solve_eom_fixed(
+        trivial_artifact, ARGS, grid, [1.0, 0.5], [0.0, 0.0]
+    )
+    np.testing.assert_allclose(np.asarray(fixed[-1]), rows[-1], rtol=2e-6, atol=1e-9)
+    # row 0 is the initial state with H from the constraint
+    np.testing.assert_allclose(np.asarray(fixed[0]), rows[0], rtol=1e-14)
+
+
+def test_solve_eom_fixed_gradient_vs_finite_differences(trivial_artifact):
+    grid = jnp.linspace(0.0, 1.5, 301)
+
+    def final_field(a):
+        rows = observables.solve_eom_fixed(
+            trivial_artifact, a, grid, jnp.array([1.0, 0.5]), jnp.array([0.0, 0.0])
+        )
+        return rows[-1, 0]
+
+    g = jax.grad(final_field)(jnp.asarray(ARGS))
+    h = 1e-5
+    for i in range(2):
+        dp = ARGS.copy()
+        dm = ARGS.copy()
+        dp[i] += h
+        dm[i] -= h
+        fd = (float(final_field(jnp.asarray(dp))) - float(final_field(jnp.asarray(dm)))) / (2 * h)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-4, atol=1e-8)
+
+
+def test_solve_eom_fixed_shape_validation(trivial_artifact):
+    from inflatox_tpu.utils.errors import ShapeError
+
+    grid = np.linspace(0.0, 1.0, 10)
+    with pytest.raises(ShapeError):
+        observables.solve_eom_fixed(trivial_artifact, ARGS, grid, [1.0], [0.0, 0.0])
+    with pytest.raises(ShapeError):
+        observables.solve_eom_fixed(
+            trivial_artifact, np.ones(3), grid, [1.0, 0.5], [0.0, 0.0]
+        )
+    with pytest.raises(ShapeError):
+        observables.solve_eom_fixed(
+            trivial_artifact, ARGS, np.zeros((2, 5)), [1.0, 0.5], [0.0, 0.0]
+        )
+
+
+def test_fit_parameters_recovers_target_observables(trivial_artifact):
+    # choose target observables produced by known masses, start elsewhere,
+    # and require the fit to reproduce them
+    m_true = np.array([0.9, 0.6])
+    sr = observables.slow_roll(trivial_artifact)
+    target = {k: float(v) for k, v in sr(X, m_true).items()}
+
+    def loss(a):
+        got = sr(X, a)
+        return (got["n_s"] - target["n_s"]) ** 2 + (got["r"] - target["r"]) ** 2
+
+    res = observables.fit_parameters(loss, np.array([1.3, 0.4]), steps=600,
+                                     learning_rate=0.03)
+    assert isinstance(res, observables.FitResult)
+    assert res.loss_history.shape == (600,)
+    assert float(loss(jnp.asarray(res.params))) < 1e-10
+    got = sr(X, res.params)
+    np.testing.assert_allclose(float(got["n_s"]), target["n_s"], atol=1e-5)
+    np.testing.assert_allclose(float(got["r"]), target["r"], atol=1e-5)
+
+
+def test_fit_parameters_custom_optimizer(trivial_artifact):
+    import optax
+
+    eps = observables.epsilon_v(trivial_artifact)
+    target = float(eps(X, np.array([0.8, 0.8])))
+
+    def loss(a):
+        return (eps(X, a) - target) ** 2
+
+    res = observables.fit_parameters(
+        loss, np.array([1.1, 1.1]), steps=300, optimizer=optax.sgd(0.1)
+    )
+    assert float(loss(jnp.asarray(res.params))) < 1e-9
+    # history is the pre-update loss: it must start at the initial loss
+    np.testing.assert_allclose(
+        res.loss_history[0], float(loss(jnp.asarray([1.1, 1.1]))), rtol=1e-12
+    )

@@ -9,6 +9,13 @@ fixtures for benchmarks, examples and parity work:
 * :func:`angular` — angular inflation, JCAP11(2019)002 (tests/test_angular.py)
 * :func:`egno` — EGNO supergravity, JCAP08(2014)044 (tests/test_egno.py)
 * :func:`d5` — D5-brane model, JCAP02(2015)127 (tests/test_d5.py)
+
+Beyond the reference set:
+
+* :func:`natural` — natural inflation (axion cosine) plus a quadratic
+  spectator; the concave potential region makes Planck-like (n_s, r)
+  reachable, which the observable-fitting example exploits
+  (examples/fit_observables.py).
 """
 
 from __future__ import annotations
@@ -18,7 +25,7 @@ import sympy
 
 from ..symbolic import InflationModel, InflationModelBuilder
 
-__all__ = ["hyperinflation", "angular", "egno", "d5"]
+__all__ = ["hyperinflation", "angular", "egno", "d5", "natural"]
 
 
 def hyperinflation(silent: bool = True):
@@ -164,6 +171,24 @@ def d5(silent: bool = True):
         "b1": 0.001,
     }
     return model, _args_by_symbol(model, by_name)
+
+
+def natural(silent: bool = True):
+    """Natural inflation (axion cosine) + quadratic spectator, flat metric.
+
+    V = 1 + cos(φ₁/f_a) + (m φ₂)²; Freese-Frieman-Olinto style potential
+    (Phys. Rev. Lett. 65, 3233).  Not in the reference's model set — added
+    because the hilltop region (η_V < 0) makes Planck-like (n_s, r)
+    targets reachable, which examples/fit_observables.py fits by gradient
+    descent.  Default args: f_a = 5.73 (the fitted decay constant), m = 0.05.
+    """
+    f1, f2 = sympy.symbols("phi_1 phi_2")
+    fa, m = sympy.symbols("f_a m")
+    V = 1 + sympy.cos(f1 / fa) + (m * f2) ** 2
+    model = InflationModelBuilder.new(
+        [f1, f2], [[1, 0], [0, 1]], V, model_name="natural", silent=silent
+    ).build()
+    return model, _args_by_symbol(model, {"f_a": 5.73, "m": 0.05})
 
 
 def _args_by_symbol(model: InflationModel, by_name: dict) -> np.ndarray:

@@ -56,6 +56,8 @@ __all__ = [
     "slow_roll",
     "along_trajectory",
     "horizon_exit",
+    "observable_jacobian",
+    "fisher_matrix",
     "solve_eom_fixed",
     "FitResult",
     "fit_parameters",
@@ -141,6 +143,68 @@ def slow_roll(artifact: CompiledModel) -> Callable:
         }
 
     return fn
+
+
+# ----------------------------------------------------------------------- #
+# forecasting: observable Jacobians and Fisher information                 #
+# ----------------------------------------------------------------------- #
+
+_OBSERVABLE_KEYS = ("epsilon_v", "eta_v", "n_s", "r")
+
+
+def observable_jacobian(artifact: CompiledModel, keys=("n_s", "r")) -> Callable:
+    """Jacobian ∂(observables)/∂(parameters) at a field point.
+
+    Returns ``jac(x, args) -> (len(keys), n_parameters)`` computed with
+    forward-mode autodiff (the parameter count is small, so jacfwd is the
+    right mode).  ``keys`` selects rows from the :func:`slow_roll` dict.
+    """
+    unknown = [k for k in keys if k not in _OBSERVABLE_KEYS]
+    if unknown:
+        raise ValueError(f"unknown observable keys {unknown}; pick from "
+                         f"{_OBSERVABLE_KEYS}")
+    sr = slow_roll(artifact)
+
+    def jac(x, args):
+        def vec(a):
+            got = sr(x, a)
+            return jnp.stack([got[k] for k in keys])
+
+        return jax.jacfwd(vec)(jnp.asarray(args, jnp.float64))
+
+    return jac
+
+
+def fisher_matrix(
+    artifact: CompiledModel, x, args, sigma, keys=("n_s", "r")
+) -> np.ndarray:
+    """Fisher information F = Jᵀ Σ⁻¹ J of the selected observables.
+
+    ``sigma`` is either a (len(keys),) vector of 1-σ measurement
+    uncertainties (diagonal covariance) or a full (len(keys), len(keys))
+    covariance matrix Σ.  The inverse of the returned matrix is the
+    Cramér–Rao bound on the parameter covariance — the standard forecast
+    of how well a measurement of (n_s, r, …) at the field point ``x``
+    constrains the model's parameters.  Unconstrained directions (e.g. the
+    overall potential normalization, to which all slow-roll observables
+    are blind) show up as zero eigenvalues.
+
+    Out of reach for the reference by construction: it has no derivatives
+    of anything (SURVEY.md §2.2 — opaque C function pointers).
+    """
+    jac = observable_jacobian(artifact, keys)(x, args)
+    sig = np.asarray(sigma, dtype=float)
+    if sig.shape == (len(keys),):
+        weight = np.diag(1.0 / sig**2)
+    elif sig.shape == (len(keys), len(keys)):
+        weight = np.linalg.inv(sig)
+    else:
+        raise ShapeError(
+            (len(keys),), sig.shape,
+            "sigma must be per-observable 1-σ values or a covariance matrix",
+        )
+    jac = np.asarray(jac)
+    return jac.T @ weight @ jac
 
 
 # ----------------------------------------------------------------------- #

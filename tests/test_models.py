@@ -284,3 +284,30 @@ def test_model_zoo_hyperinflation(doc_model_artifact):
     assert np.isclose(
         al.calc_V(np.array([2.0, -2.0]), args), 1.9166666666666667, rtol=1e-12
     )
+
+
+def test_model_zoo_natural():
+    """Natural-inflation zoo model: concave hilltop region with η_V < 0
+    (what makes Planck-like (n_s, r) reachable — examples/fit_observables.py)
+    and correct analytic slow-roll on the axion axis."""
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.models import natural
+    from inflatox_tpu import observables
+
+    model, args = natural()
+    art = inflatox.Compiler(model, silent=True).compile()
+    slot = art.lookup_symbol(sympy.Symbol("f_a"))
+    fa = float(args[int(slot[slot.index("[") + 1 : -1])])
+    assert fa == 5.73
+    # on the phi_2 = 0 axis: eps_V = (1-c)/(2 fa^2 (1+c)), eta_V = -c/(fa^2 (1+c))
+    # with c = cos(phi_1/fa) -- concave (eta < 0) for c > 0
+    phi1 = 0.8 * fa
+    c = np.cos(phi1 / fa)
+    sr = observables.slow_roll(art)(np.array([phi1, 0.0]), args)
+    np.testing.assert_allclose(
+        float(sr["epsilon_v"]), (1 - c) / (2 * fa**2 * (1 + c)), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        float(sr["eta_v"]), -c / (fa**2 * (1 + c)), rtol=1e-12
+    )
+    assert float(sr["eta_v"]) < 0

@@ -75,6 +75,49 @@ def test_observables_broadcast_over_grids(trivial_artifact):
         np.testing.assert_allclose(float(eps[j]), ref, rtol=1e-13)
 
 
+def test_observable_jacobian_vs_finite_differences(trivial_artifact):
+    jac = observables.observable_jacobian(trivial_artifact, keys=("n_s", "r"))
+    J = np.asarray(jac(X, ARGS))
+    assert J.shape == (2, 2)
+    ns = observables.spectral_index(trivial_artifact)
+    r_fn = observables.tensor_to_scalar(trivial_artifact)
+    h = 1e-6
+    for col in range(2):
+        dp, dm = ARGS.copy(), ARGS.copy()
+        dp[col] += h
+        dm[col] -= h
+        np.testing.assert_allclose(
+            J[0, col], (float(ns(X, dp)) - float(ns(X, dm))) / (2 * h),
+            rtol=1e-5, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            J[1, col], (float(r_fn(X, dp)) - float(r_fn(X, dm))) / (2 * h),
+            rtol=1e-5, atol=1e-10,
+        )
+    with pytest.raises(ValueError, match="unknown observable"):
+        observables.observable_jacobian(trivial_artifact, keys=("n_s", "bogus"))
+
+
+def test_fisher_matrix_properties(trivial_artifact):
+    sigma = np.array([0.004, 0.01])  # Planck-ish 1-sigma on (n_s, r)
+    F = observables.fisher_matrix(trivial_artifact, X, ARGS, sigma)
+    assert F.shape == (2, 2)
+    np.testing.assert_allclose(F, F.T)  # symmetric
+    evals = np.linalg.eigvalsh(F)
+    assert evals.min() >= -1e-6 * abs(evals.max())  # PSD
+    # slow-roll observables are invariant under V -> lambda*V, i.e. under
+    # scaling both masses together: that direction must be unconstrained
+    direction = ARGS / np.linalg.norm(ARGS)  # d/dlam of (lam^.5 scaling)...
+    # V scales as (m -> s*m) => lambda = s^2; tangent is ARGS itself
+    quad = direction @ F @ direction
+    assert abs(quad) < 1e-6 * abs(evals.max())
+    # diagonal-sigma and explicit-covariance forms agree
+    F2 = observables.fisher_matrix(trivial_artifact, X, ARGS, np.diag(sigma**2))
+    np.testing.assert_allclose(F, F2, rtol=1e-12)
+    with pytest.raises(Exception):
+        observables.fisher_matrix(trivial_artifact, X, ARGS, np.ones(3))
+
+
 def test_along_trajectory_and_horizon_exit(trivial_artifact):
     # single-field setup on the phi_1 axis: V = (m phi_1)^2 with m1=m2=1,
     # phi_2 = chi = 0 stays exactly on the axis.  Textbook large-field

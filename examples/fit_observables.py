@@ -31,14 +31,14 @@ import inflatox_tpu as inflatox
 from inflatox_tpu import observables
 
 # ---- 1. model: axion + spectator on a flat field space ------------------- #
-f1, f2 = sympy.symbols("phi_1 phi_2")
-fa, m = sympy.symbols("f_a m")
-V = 1 + sympy.cos(f1 / fa) + (m * f2) ** 2
+# V = 1 + cos(phi_1/f_a) + (m phi_2)^2 on a flat metric — the zoo's
+# natural-inflation model (inflatox_tpu/models).  Building your own works
+# identically: InflationModelBuilder.new(fields, metric, V).build().
+from inflatox_tpu.models import natural
 
-model = inflatox.InflationModelBuilder.new(
-    [f1, f2], [[1, 0], [0, 1]], V, "natural", silent=True
-).build()
+model, _default_args = natural()
 artifact = inflatox.Compiler(model, silent=True).compile()
+fa, m = sympy.symbols("f_a m")
 
 # parameter slots follow printer registration order (reference contract,
 # compiler.py:102-106); query them instead of guessing

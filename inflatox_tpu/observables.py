@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .background import _RK4_A, _RK4_B, _rk_step, _state_derivative
+from .background import _RK4_A, _RK4_B, _rk_step, _state_derivative, efolds
 from .compiler import CompiledModel
 from .utils.errors import ShapeError
 
@@ -224,6 +224,15 @@ def along_trajectory(artifact: CompiledModel, rows, args) -> dict:
     from the solved state itself (no slow-roll approximation), which is
     the quantity that defines the end of inflation (ε_H = 1 ⇔ ä = 0).
     """
+    x, chi, hubble = _split_rows(artifact, rows)
+    out = {k: np.asarray(v) for k, v in slow_roll(artifact)(x, args).items()}
+    chi_sq = artifact.inner_prod(x, args, chi, chi)
+    out["epsilon_h"] = np.asarray(0.5 * chi_sq / (hubble * hubble))
+    return out
+
+
+def _split_rows(artifact: CompiledModel, rows):
+    """Solver rows → (fields, derivatives, H) column lists (shape-checked)."""
     rows = jnp.asarray(rows)
     d = artifact.n_fields
     if rows.ndim != 2 or rows.shape[1] != 2 * d + 1:
@@ -233,11 +242,7 @@ def along_trajectory(artifact: CompiledModel, rows, args) -> dict:
         )
     x = [rows[:, a] for a in range(d)]
     chi = [rows[:, d + a] for a in range(d)]
-    hubble = rows[:, 2 * d]
-    out = {k: np.asarray(v) for k, v in slow_roll(artifact)(x, args).items()}
-    chi_sq = artifact.inner_prod(x, args, chi, chi)
-    out["epsilon_h"] = np.asarray(0.5 * chi_sq / (hubble * hubble))
-    return out
+    return x, chi, rows[:, 2 * d]
 
 
 def horizon_exit(
@@ -267,8 +272,6 @@ def horizon_exit(
     reference cannot express it at all — its solver output has no time
     axis, making e-fold counts uncomputable (background_solver.rs:283-295).
     """
-    from .background import efolds  # noqa: PLC0415  (avoid cycle at import)
-
     rows = np.asarray(rows, dtype=float)
     times = np.asarray(times, dtype=float)
     if rows.ndim != 2 or times.shape != (rows.shape[0],):
@@ -277,7 +280,12 @@ def horizon_exit(
             "pass one trajectory's rows with its times (return_time=True)",
         )
     d = artifact.n_fields
-    eps_h = along_trajectory(artifact, rows, args)["epsilon_h"]
+    # epsilon_h directly (inner_prod + H only) — along_trajectory would also
+    # evaluate the full projected Hesse at every row just to discard it
+    x, chi, hubble = _split_rows(artifact, rows)
+    eps_h = np.asarray(
+        0.5 * artifact.inner_prod(x, args, chi, chi) / (hubble * hubble)
+    )
     efold = efolds(rows, times)
 
     above = np.nonzero(eps_h >= 1.0)[0]
@@ -371,10 +379,15 @@ def solve_eom_fixed(
     derivatives, H per row).  All array arguments may be tracers.
     """
     n = artifact.n_fields
-    if np.shape(fields_init) != (n,) or np.shape(derivatives_init) != (n,):
+    if np.shape(fields_init) != (n,):
         raise ShapeError(
             (n,), np.shape(fields_init),
-            "initial conditions must have one entry per field",
+            "initial fields must have one entry per field",
+        )
+    if np.shape(derivatives_init) != (n,):
+        raise ShapeError(
+            (n,), np.shape(derivatives_init),
+            "initial derivatives must have one entry per field",
         )
     if np.shape(pars) != (artifact.n_parameters,):
         raise ShapeError(
@@ -401,14 +414,18 @@ def solve_eom_fixed(
 class FitResult(NamedTuple):
     """Result of :func:`fit_parameters`.
 
-    ``params``: fitted parameter vector (numpy); ``loss_history``: (steps,)
-    loss value *before* each update — ``loss_history[-1]`` is the loss one
-    step before ``params``; evaluate the loss at ``params`` for the final
-    value.
+    ``params``: fitted parameter vector (numpy; ``(n_starts, k)`` for
+    multi-start calls); ``loss_history``: (steps,) (or ``(n_starts,
+    steps)``) loss value *before* each update — ``loss_history[..., -1]``
+    is the loss one step before ``params``; evaluate the loss at ``params``
+    for the final value.
     """
 
     params: np.ndarray
     loss_history: np.ndarray
+
+
+_fit_cache: dict = {}
 
 
 def fit_parameters(
@@ -426,28 +443,47 @@ def fit_parameters(
     passed in) runs as ONE jitted ``lax.scan`` launch — on TPU the loop
     never returns to the host.  ``loss_fn`` must be jax-traceable; build it
     from the observable factories above, the scan point-math
-    (ops/anguelova.py), or :func:`solve_eom_fixed`.  For multi-start fits,
-    ``jax.vmap`` the internals yourself or call this per start (compile is
-    cached by XLA across calls with equal shapes).
+    (ops/anguelova.py), or :func:`solve_eom_fixed`.
+
+    Multi-start fits are first-class: pass ``args0`` with shape
+    ``(n_starts, k)`` and every start is optimized in the same launch
+    (``vmap`` over the whole loop) — ``params`` comes back ``(n_starts, k)``
+    and ``loss_history`` ``(n_starts, steps)``; pick the winner with
+    ``loss_history[:, -1].argmin()``.  The compiled runner is cached per
+    (``loss_fn``, ``optimizer``, ``steps``) identity, so repeated calls with
+    the same loss (e.g. refining from a new start) skip retracing; a new
+    ``loss_fn`` object compiles fresh.
     """
     import optax  # noqa: PLC0415  (deferred: optional for non-fitting users)
 
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
     params0 = jnp.asarray(args0, jnp.float64)
-    value_and_grad = jax.value_and_grad(loss_fn)
-
-    def step(carry, _):
-        params, opt_state = carry
-        loss, grads = value_and_grad(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), opt_state), loss
-
-    @jax.jit
-    def run(params0):
-        (params, _), history = lax.scan(
-            step, (params0, opt.init(params0)), None, length=int(steps)
+    if params0.ndim not in (1, 2):
+        raise ShapeError(
+            (-1,), tuple(params0.shape),
+            "args0 must be a parameter vector or an (n_starts, k) batch",
         )
-        return params, history
+
+    key = (loss_fn, optimizer if optimizer is not None else float(learning_rate),
+           int(steps))
+    run = _fit_cache.get(key)
+    if run is None:
+        value_and_grad = jax.value_and_grad(loss_fn)
+
+        def step(carry, _):
+            params, opt_state = carry
+            loss, grads = value_and_grad(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        def run_one(p0):
+            (params, _), history = lax.scan(
+                step, (p0, opt.init(p0)), None, length=int(steps)
+            )
+            return params, history
+
+        run = jax.jit(lambda p0: (run_one if p0.ndim == 1 else jax.vmap(run_one))(p0))
+        _fit_cache[key] = run
 
     params, history = run(params0)
     return FitResult(np.asarray(params), np.asarray(history))

@@ -252,6 +252,37 @@ def test_fit_parameters_recovers_target_observables(trivial_artifact):
     np.testing.assert_allclose(float(got["r"]), target["r"], atol=1e-5)
 
 
+def test_fit_parameters_multistart_and_cache(trivial_artifact):
+    sr = observables.slow_roll(trivial_artifact)
+    target = float(sr(X, np.array([0.9, 0.6]))["n_s"])
+
+    def loss(a):
+        return (sr(X, a)["n_s"] - target) ** 2
+
+    starts = np.array([[1.3, 0.4], [0.6, 1.2], [1.0, 1.0]])
+    n_cached = len(observables._fit_cache)
+    res = observables.fit_parameters(loss, starts, steps=300, learning_rate=0.05)
+    assert res.params.shape == (3, 2)
+    assert res.loss_history.shape == (3, 300)
+    # every start's history begins at its own initial loss
+    for s in range(3):
+        np.testing.assert_allclose(
+            res.loss_history[s, 0], float(loss(jnp.asarray(starts[s]))),
+            rtol=1e-12,
+        )
+    best = res.loss_history[:, -1].argmin()
+    assert float(loss(jnp.asarray(res.params[best]))) < 1e-9
+    # the compiled runner is cached per (loss_fn, optimizer, steps): a
+    # second call with the same loss reuses the entry
+    assert len(observables._fit_cache) == n_cached + 1
+    observables.fit_parameters(loss, starts[0], steps=300, learning_rate=0.05)
+    assert len(observables._fit_cache) == n_cached + 1
+    from inflatox_tpu.utils.errors import ShapeError
+
+    with pytest.raises(ShapeError):
+        observables.fit_parameters(loss, np.zeros((2, 2, 2)), steps=10)
+
+
 def test_fit_parameters_custom_optimizer(trivial_artifact):
     import optax
 

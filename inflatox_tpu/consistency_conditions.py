@@ -384,8 +384,10 @@ class InflationCondition:
         isfinite reduction per output is ~free next to the scan's writes."""
         if engine not in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
             return
-        arrs = out if isinstance(out, tuple) else (out,)
-        arrs = [a for a in arrs if hasattr(a, "dtype")]
+        # tree_leaves flattens output="pair" (hi, lo) tuples as well
+        arrs = [
+            a for a in jax.tree_util.tree_leaves(out) if hasattr(a, "dtype")
+        ]
         if not arrs:
             return
         fracs = [
@@ -647,6 +649,17 @@ class InflationCondition:
         return out
 
 
+def _require_f64_output(output: str, engine: str) -> None:
+    """The non-Pallas paths produce plain f64 maps only."""
+    if output != "f64":
+        raise ValueError(
+            f'output={output!r} is only available on the compensated Pallas '
+            'engines (engine="pallas_df64", "pallas_edf64" or "pallas_tf64"; '
+            f"off-TPU pass one explicitly for the eager fallback); "
+            f"engine={engine!r} returns plain f64 maps"
+        )
+
+
 _SCAN_MESSAGES = {
     "complete_analysis": "Calculating full analysis",
     "consistency": "Calculating consistency condition ONLY",
@@ -724,7 +737,8 @@ class GeneralisedAL(InflationCondition):
             return "pallas_df64"
         return "xla"
 
-    def _pallas_scan(self, kind, args, extent, shape, progress, dtype, engine):
+    def _pallas_scan(self, kind, args, extent, shape, progress, dtype, engine,
+                     output="f64"):
         from .ops.pallas_kernels import (  # noqa: PLC0415
             scan_pallas,
             scan_pallas_df64,
@@ -733,6 +747,12 @@ class GeneralisedAL(InflationCondition):
 
         self._validate_2field()
         args = self._validate_args(args)
+        if output != "f64" and engine == "pallas":
+            raise ValueError(
+                f'output={output!r} requires a compensated engine '
+                '("pallas_df64", "pallas_edf64" or "pallas_tf64"); the fp32 '
+                "kernel has no (hi, lo) representation to expose"
+            )
         with Progress(_SCAN_MESSAGES[kind], enabled=progress):
             if engine == "pallas":
                 out = scan_pallas(
@@ -740,13 +760,16 @@ class GeneralisedAL(InflationCondition):
                     dtype=dtype or jnp.float32,
                 )
             elif engine == "pallas_edf64":
-                out = scan_pallas_edf64(self.artifact, kind, args, extent, shape)
+                out = scan_pallas_edf64(self.artifact, kind, args, extent,
+                                        shape, output=output)
             elif engine == "pallas_tf64":
                 from .ops.pallas_kernels import scan_pallas_tf64  # noqa: PLC0415
 
-                out = scan_pallas_tf64(self.artifact, kind, args, extent, shape)
+                out = scan_pallas_tf64(self.artifact, kind, args, extent,
+                                       shape, output=output)
             else:
-                out = scan_pallas_df64(self.artifact, kind, args, extent, shape)
+                out = scan_pallas_df64(self.artifact, kind, args, extent,
+                                       shape, output=output)
             out = jax.tree_util.tree_map(
                 lambda a: a.block_until_ready()
                 if hasattr(a, "block_until_ready") else a,
@@ -768,11 +791,22 @@ class GeneralisedAL(InflationCondition):
         threads: int | None = None,
         dtype=None,
         engine: str | None = None,
+        output: str = "f64",
     ):
         """Complete AL analysis over a field-space grid: returns six
         (N_x0, N_x1) arrays — consistency, ε_V, ε_H, η_∥, δ, ω — exactly the
         quantities of anguelova.rs:103-135 (see ops.anguelova for the parity
         notes).  ``threads`` is accepted for compatibility and ignored.
+
+        ``output`` (compensated Pallas engines only; every other engine
+        accepts only the default ``"f64"``):
+          * ``"f64"`` — numpy float64 arrays (the reference's format;
+            (hi, lo) planes are combined exactly during the mandatory
+            device→host fetch, so device cost = the kernel);
+          * ``"pair"`` — the kernel's native ((hi, lo), …) f32 plane pairs,
+            left on device — for device-resident pipelines;
+          * ``"f64_device"`` — device f64 arrays (on-device materialization
+            pass; ~2× the kernel cost, see BASELINE.md).
 
         ``engine``:
           * None (default) — auto-select: "pallas_df64" on TPU (2-field
@@ -806,13 +840,17 @@ class GeneralisedAL(InflationCondition):
                 progress,
                 dtype,
                 engine,
+                output=output,
             )
+            if output != "f64":
+                return out  # device-resident formats pass through untouched
             return tuple(np.asarray(o) for o in out)
         if engine != "xla":
             raise ValueError(
                 f'unknown engine {engine!r}; expected None (auto), "xla", '
                 '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
             )
+        _require_f64_output(output, engine)
         out = self._run_grid_scan(
             "complete_analysis",
             args,
@@ -836,6 +874,7 @@ class GeneralisedAL(InflationCondition):
         threads: int | None = None,
         dtype=None,
         engine: str | None = None,
+        output: str = "f64",
     ) -> np.ndarray:
         """Generalised consistency condition ||lhs|−|rhs||/(|lhs|+|rhs|) with
         lhs = V_ww/V − 3 (consistency_conditions.py:310-365)."""
@@ -853,13 +892,17 @@ class GeneralisedAL(InflationCondition):
                 progress,
                 dtype,
                 engine,
+                output=output,
             )
+            if output != "f64":
+                return out[0]
             return np.asarray(out[0])
         if engine != "xla":
             raise ValueError(
                 f'unknown engine {engine!r}; expected None (auto), "xla", '
                 '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
             )
+        _require_f64_output(output, engine)
         return np.asarray(
             self._run_grid_scan(
                 "consistency",
@@ -884,6 +927,7 @@ class GeneralisedAL(InflationCondition):
         threads: int | None = None,
         dtype=None,
         engine: str | None = None,
+        output: str = "f64",
     ) -> np.ndarray:
         """ε_V = ½(∇V/V)² (consistency_conditions.py:367-418)."""
         del threads
@@ -900,13 +944,17 @@ class GeneralisedAL(InflationCondition):
                 progress,
                 dtype,
                 engine,
+                output=output,
             )
+            if output != "f64":
+                return out[0]
             return np.asarray(out[0])
         if engine != "xla":
             raise ValueError(
                 f'unknown engine {engine!r}; expected None (auto), "xla", '
                 '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
             )
+        _require_f64_output(output, engine)
         return np.asarray(
             self._run_grid_scan(
                 "epsilon_v",
@@ -931,6 +979,7 @@ class GeneralisedAL(InflationCondition):
         threads: int | None = None,
         dtype=None,
         engine: str | None = None,
+        output: str = "f64",
     ) -> np.ndarray:
         """Original AL rapid-turn condition
         (consistency_conditions.py:420-475)."""
@@ -948,13 +997,17 @@ class GeneralisedAL(InflationCondition):
                 progress,
                 dtype,
                 engine,
+                output=output,
             )
+            if output != "f64":
+                return out[0]
             return np.asarray(out[0])
         if engine != "xla":
             raise ValueError(
                 f'unknown engine {engine!r}; expected None (auto), "xla", '
                 '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
             )
+        _require_f64_output(output, engine)
         return np.asarray(
             self._run_grid_scan(
                 "consistency_rapidturn",

@@ -278,3 +278,45 @@ def test_basis_triage_warn_respects_scan_order(al, monkeypatch, capsys):
     # the reference's scan raises at point 5 and never reaches point 10:
     # no NaN warning may be emitted for it
     assert "Norm of basisvector" not in err
+
+
+def test_scan_output_formats(al):
+    """output= on the user-facing scans: "pair" and "f64_device" are the
+    compensated engines' device-resident formats; every other engine only
+    produces plain f64 (off-TPU the df64 engine runs its eager fallback,
+    same contract)."""
+    n = (16, 16)
+    ref = al.complete_analysis(PARAMS, *EXTENT, *n, progress=False,
+                               engine="pallas_df64")
+    pair = al.complete_analysis(PARAMS, *EXTENT, *n, progress=False,
+                                engine="pallas_df64", output="pair")
+    dev = al.complete_analysis(PARAMS, *EXTENT, *n, progress=False,
+                               engine="pallas_df64", output="f64_device")
+    assert len(ref) == len(pair) == len(dev) == 6
+    for k in range(6):
+        hi, lo = pair[k]
+        assert hi.dtype == np.float32 and lo.dtype == np.float32
+        rec = np.add(np.asarray(hi), np.asarray(lo), dtype=np.float64)
+        np.testing.assert_allclose(rec, ref[k], rtol=1e-13, atol=1e-300)
+        np.testing.assert_allclose(np.asarray(dev[k]), ref[k],
+                                   rtol=1e-13, atol=1e-300)
+
+    # single-output scans return the bare format
+    eps_ref = al.epsilon_v(PARAMS, *EXTENT, *n, progress=False,
+                           engine="pallas_df64")
+    hi, lo = al.epsilon_v(PARAMS, *EXTENT, *n, progress=False,
+                          engine="pallas_df64", output="pair")
+    np.testing.assert_allclose(
+        np.add(np.asarray(hi), np.asarray(lo), dtype=np.float64),
+        eps_ref, rtol=1e-13,
+    )
+
+    # non-compensated engines reject device-resident formats
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compensated"):
+        al.complete_analysis(PARAMS, *EXTENT, *n, progress=False,
+                             engine="xla", output="pair")
+    with _pytest.raises(ValueError, match="compensated"):
+        al.consistency(PARAMS, *EXTENT, *n, progress=False,
+                       engine="pallas", output="f64_device")

@@ -232,6 +232,7 @@ def test_solve_eom_fixed_shape_validation(trivial_artifact):
 
 
 def test_fit_parameters_recovers_target_observables(trivial_artifact):
+    pytest.importorskip("optax")
     # choose target observables produced by known masses, start elsewhere,
     # and require the fit to reproduce them
     m_true = np.array([0.9, 0.6])
@@ -253,6 +254,7 @@ def test_fit_parameters_recovers_target_observables(trivial_artifact):
 
 
 def test_fit_parameters_multistart_and_cache(trivial_artifact):
+    pytest.importorskip("optax")
     sr = observables.slow_roll(trivial_artifact)
     target = float(sr(X, np.array([0.9, 0.6]))["n_s"])
 
@@ -284,7 +286,7 @@ def test_fit_parameters_multistart_and_cache(trivial_artifact):
 
 
 def test_fit_parameters_custom_optimizer(trivial_artifact):
-    import optax
+    optax = pytest.importorskip("optax")
 
     eps = observables.epsilon_v(trivial_artifact)
     target = float(eps(X, np.array([0.8, 0.8])))

@@ -102,7 +102,7 @@ def make_pallas_chain(artifact, kind, args, extent, shape, df64=True,
         probe_dtype = jnp.float64
     elif df64:
         scalars = pk._df_scalars(args, extent, shape)
-        tile = tile or (8, 1024)
+        tile = tile or pk._auto_tile(shape, artifact)
         # combine=False: probe the kernel's native (hi, lo) production —
         # the pair→f64 materialization pass is measured separately
         # (cfg1_hyper_df64_delivery_4096)

@@ -406,6 +406,36 @@ def _kernel_df(scal_ref, *out_refs, model=None, tile=None, strip=None,
         core(fns, (x0, x1), args, emit)
 
 
+def _auto_tile(shape, model=None) -> tuple:
+    """Default DMA-block shape for the df64 2-D scan launchers.
+
+    Measured round 3 (scripts/probe_r3_tilesweep*.py, amortized K-loop on
+    hardware): 16-row blocks beat the round-2 8-row default at equal width
+    — hyperinflation 4096² 4.94 → 4.79 ms ((16, 2048): 4.66 ms), angular
+    1024² 0.76 → 0.51 ms, EGNO 2048² 3.47 → 3.05 ms — and the widest of
+    (2048 … 128) that minimizes column padding wins on wide grids.  The
+    compute strip (see :func:`_pick_strip`) is unchanged; a wider/taller
+    block only changes DMA granularity and how many strips one kernel
+    invocation traces.  Big models (the narrow-strip class,
+    :data:`_DF_STRIP_NARROW_SRC`) cap the width at 1024: the kernel body
+    traces the whole point pass once per strip, so a 2048-wide block
+    doubles their already-minutes-scale Mosaic build for no measured
+    runtime win.  Grids shorter than 16 rows keep 8-row blocks."""
+    n0, n1 = shape
+    tm = 16 if n0 >= 16 else 8
+    widths = (2048, 1024, 512, 256, 128)
+    if model is not None and _model_src_chars(model) > _DF_STRIP_NARROW_SRC:
+        widths = (1024, 512, 256, 128)
+    best = None
+    tile_n = 128
+    for tn in widths:
+        padded = -(-n1 // tn) * tn
+        cand = (padded, -tn)
+        if best is None or cand < best:
+            best, tile_n = cand, tn
+    return (tm, tile_n)
+
+
 def _pick_strip(tn: int, strip, model=None) -> int:
     if strip is not None:
         strip = int(strip)
@@ -1266,9 +1296,9 @@ def complete_analysis_pallas_df64(
     args,
     extent,
     shape,
-    tile=(8, 1024),  # DMA-block shape; compute is strip-mined to (8, 256)
-    # inside the kernel (see _DF_STRIP) — round-2 measured optimum at 4096²:
-    # monolithic (32,256) 6.3 ms vs (8,1024)/strips 4.4 ms
+    tile=None,  # None → _auto_tile(shape); compute is strip-mined inside
+    # the kernel (see _DF_STRIP / _pick_strip) — round-2/3 measurements in
+    # scripts/probe_r2_*.py and probe_r3_tilesweep*.py
     interpret: bool | None = None,
 ):
     """High-precision fused scan: double-f32 arithmetic internally
@@ -1292,7 +1322,7 @@ def scan_pallas_df64(
     args,
     extent,
     shape,
-    tile=(8, 1024),
+    tile=None,  # None → _auto_tile(shape) (16-row blocks, padding-min width)
     interpret: bool | None = None,
     output: str = "f64",
 ):
@@ -1340,8 +1370,9 @@ def scan_pallas_df64(
 
             return tuple(_np.asarray(o) for o in outs)
         return outs
+    tile = _auto_tile(shape, artifact) if tile is None else tuple(tile)
     outs = _launch_df(
-        scalars, artifact, tuple(shape), tuple(tile), bool(interpret or False),
+        scalars, artifact, tuple(shape), tile, bool(interpret or False),
         kind, combine=(output == "f64_device"),
     )
     if output == "pair":

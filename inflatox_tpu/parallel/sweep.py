@@ -237,7 +237,12 @@ def _sharded_scan_pallas(
     ]
     scal = jnp.asarray(np.stack(rows_of))
 
-    tile = (min(8, local_rows), min(1024, n1))
+    if engine == "pallas_df64":
+        from ..ops.pallas_kernels import _auto_tile
+
+        tile = _auto_tile((local_rows, n1), model)  # measured round 3
+    else:
+        tile = (min(8, local_rows), min(1024, n1))
     interpret = not on_tpu  # fp32 kernel only — compensated paths returned above
 
     def shard_fn(scal_block):
@@ -547,7 +552,12 @@ def _pallas_chunk_runner(model, extent, shape, mesh, sweep_axis, dtype,
         _launch_tf_batch,
     )
 
-    tile = (min(8, shape[0]), min(1024, shape[1]))
+    if engine == "pallas_df64":
+        from ..ops.pallas_kernels import _auto_tile
+
+        tile = _auto_tile(shape, model)  # measured round 3 (16-row blocks)
+    else:
+        tile = (min(8, shape[0]), min(1024, shape[1]))
 
     if not on_tpu and engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
         # EFT-safe eager fallback, one parameter set at a time (host path —

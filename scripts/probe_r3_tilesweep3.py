@@ -82,8 +82,20 @@ if __name__ == "__main__":
         report(f"fp32-hyper-4096 tile={tile}", SHAPE, t)
 
     # ---- edf64, D5 1024² --------------------------------------------------- #
-    d5_model, d5_args = d5()
-    d5art = inflatox.Compiler(d5_model, silent=True).compile()
+    import os
+    _BUNDLE = os.path.join(os.path.dirname(__file__), "..", "tests",
+                           "fixtures", "d5_bundle.json")
+    if os.path.exists(_BUNDLE):  # committed bundle: skips the slow sympy build
+        d5art = inflatox.CompiledModel.load(_BUNDLE)
+        from inflatox_tpu.models import _args_by_symbol
+        d5_args = _args_by_symbol(d5art.model, {
+            "V0": -1.17e-8, "N": 1000.0, "g_s": 0.01, "l_s": 501.961,
+            "u": 50 * 501.961, "q": 1.0, "p": 5.0,
+            "a0": 0.001, "a1": 0.0005, "b1": 0.001,
+        })
+    else:
+        d5_model, d5_args = d5()
+        d5art = inflatox.Compiler(d5_model, silent=True).compile()
     DSHAPE = (1024, 1024)
     DEXT = (0.1, 36.0, 0.0, 4 * np.pi)
     dscal = pk._edf_scalars(d5_args, DEXT, DSHAPE)

@@ -217,3 +217,35 @@ def test_f64_output_is_host_numpy(doc_model_artifact):
     for a, b in zip(outs, dev):
         np.testing.assert_allclose(a, np.asarray(b), rtol=1e-13,
                                    equal_nan=True)
+
+
+def test_auto_tile_choices():
+    """_auto_tile: 16-row blocks, widest column width minimizing padding
+    (measured round 3, scripts/probe_r3_tilesweep*.py)."""
+    from inflatox_tpu.ops.pallas_kernels import _auto_tile
+
+    assert _auto_tile((4096, 4096)) == (16, 2048)
+    assert _auto_tile((1024, 1024)) == (16, 1024)
+    assert _auto_tile((1000, 1000)) == (16, 1024)   # 1024 pads less than 2048
+    assert _auto_tile((2048, 2048)) == (16, 2048)
+    assert _auto_tile((100, 100)) == (16, 128)
+    assert _auto_tile((8, 4096)) == (8, 2048)       # short grids keep 8 rows
+    assert _auto_tile((16, 512)) == (16, 512)
+    # a 1536-wide grid: 512 divides exactly; 1024/2048 would pad
+    assert _auto_tile((512, 1536)) == (16, 512)
+
+
+def test_auto_tile_big_model_caps_width():
+    """Big (narrow-strip) models cap the block width at 1024: the kernel
+    traces the point pass once per strip, and a 2048-wide block doubles
+    their minutes-scale Mosaic build for no measured win."""
+    import os
+
+    from inflatox_tpu.compiler import CompiledModel
+    from inflatox_tpu.ops.pallas_kernels import _auto_tile
+
+    bundle = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "egno_bundle.json")
+    egno_artifact = CompiledModel.load(bundle)
+    assert _auto_tile((4096, 4096), egno_artifact) == (16, 1024)
+    assert _auto_tile((2048, 2048), egno_artifact) == (16, 1024)

@@ -95,7 +95,7 @@ def make_pallas_chain(artifact, kind, args, extent, shape, df64=True,
 
     if edf:
         scalars = pk._edf_scalars(args, extent, shape)
-        tile = tile or (8, 1024)
+        tile = tile or pk._auto_tile(shape, artifact)
         launch = lambda s: pk._launch_edf(  # noqa: E731
             s, artifact, tuple(shape), tuple(tile), False, kind
         )
@@ -536,7 +536,8 @@ def main():
 
             def body(_, carry):
                 ss, acc = carry
-                outs = pk._launch_tf(ss, eart, (en, en), (8, 512), False,
+                outs = pk._launch_tf(ss, eart, (en, en),
+                                     pk._auto_tile((en, en), eart), False,
                                      "consistency_rapidturn", combine=False)
                 probe = outs[0][0, 0]
                 return (ss + (probe * 0.0).astype(ss.dtype), acc + probe)

@@ -237,7 +237,7 @@ def _sharded_scan_pallas(
     ]
     scal = jnp.asarray(np.stack(rows_of))
 
-    if engine == "pallas_df64":
+    if engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
         from ..ops.pallas_kernels import _auto_tile
 
         tile = _auto_tile((local_rows, n1), model)  # measured round 3
@@ -552,7 +552,7 @@ def _pallas_chunk_runner(model, extent, shape, mesh, sweep_axis, dtype,
         _launch_tf_batch,
     )
 
-    if engine == "pallas_df64":
+    if engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
         from ..ops.pallas_kernels import _auto_tile
 
         tile = _auto_tile(shape, model)  # measured round 3 (16-row blocks)

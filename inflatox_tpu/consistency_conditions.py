@@ -380,21 +380,29 @@ class InflationCondition:
     def _nan_guard(self, out, engine, kind) -> None:
         """Post-scan finite-fraction check for the compensated engines
         (VERDICT r2 item 2): an overflowing model returns all-NaN maps with
-        no error, unlike the reference's full-range f64.  One on-device
-        isfinite reduction per output is ~free next to the scan's writes."""
+        no error, unlike the reference's full-range f64.  One fraction per
+        OUTPUT quantity — for ``output="pair"`` the hi plane decides (lo is
+        finite iff hi is) — and the device-resident formats fetch all
+        fractions in a single transfer: per-plane blocking fetches would
+        cost ~30 ms of tunnel dispatch each, dwarfing a ~5 ms scan."""
         if engine not in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
             return
-        # tree_leaves flattens output="pair" (hi, lo) tuples as well
-        arrs = [
-            a for a in jax.tree_util.tree_leaves(out) if hasattr(a, "dtype")
-        ]
-        if not arrs:
+        outputs = out if isinstance(out, (tuple, list)) else (out,)
+        reps = []
+        for o in outputs:
+            if isinstance(o, (tuple, list)) and o:
+                o = o[0]  # (hi, lo[, …]) plane group: hi carries the NaNs
+            if hasattr(o, "dtype"):
+                reps.append(o)
+        if not reps:
             return
-        fracs = [
-            float(np.mean(np.isfinite(a))) if isinstance(a, np.ndarray)
-            else float(jnp.mean(jnp.isfinite(a).astype(jnp.float32)))
-            for a in arrs
-        ]
+        if isinstance(reps[0], np.ndarray):
+            fracs = [float(np.mean(np.isfinite(r))) for r in reps]
+        else:
+            means = jnp.stack(
+                [jnp.mean(jnp.isfinite(r).astype(jnp.float32)) for r in reps]
+            )
+            fracs = [float(f) for f in np.asarray(means)]
         self.last_finite_fractions = fracs
         if min(fracs) < self._NAN_GUARD_FLOOR:
             worst = min(fracs)
@@ -778,6 +786,32 @@ class GeneralisedAL(InflationCondition):
         self._nan_guard(out, engine, kind)
         return out
 
+    def _dispatch_grid_scan(self, kind, args, extent, shape, progress,
+                            dtype, engine, output):
+        """Shared engine/output gating for the four grid-scan methods: the
+        Pallas engines honor every ``output`` format, "xla" delivers plain
+        f64 only, anything else is rejected.  Single-output kinds return
+        their one map; complete_analysis returns all six."""
+        single = kind != "complete_analysis"
+        if engine in self._PALLAS_ENGINES:
+            out = self._pallas_scan(kind, args, extent, shape, progress,
+                                    dtype, engine, output=output)
+            if single:
+                return out[0] if output != "f64" else np.asarray(out[0])
+            if output != "f64":
+                return out  # device-resident formats pass through untouched
+            return tuple(np.asarray(o) for o in out)
+        if engine != "xla":
+            raise ValueError(
+                f'unknown engine {engine!r}; expected None (auto), "xla", '
+                '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
+            )
+        _require_f64_output(output, engine)
+        out = self._run_grid_scan(kind, args, extent, shape, progress, dtype)
+        if single:
+            return np.asarray(out)
+        return tuple(np.asarray(o) for o in out)
+
     def complete_analysis(
         self,
         args,
@@ -831,35 +865,11 @@ class GeneralisedAL(InflationCondition):
             engine, dtype, kind="complete_analysis", args=args,
             extent=(x0_start, x0_stop, x1_start, x1_stop),
         )
-        if engine in self._PALLAS_ENGINES:
-            out = self._pallas_scan(
-                "complete_analysis",
-                args,
-                (x0_start, x0_stop, x1_start, x1_stop),
-                (N_x0, N_x1),
-                progress,
-                dtype,
-                engine,
-                output=output,
-            )
-            if output != "f64":
-                return out  # device-resident formats pass through untouched
-            return tuple(np.asarray(o) for o in out)
-        if engine != "xla":
-            raise ValueError(
-                f'unknown engine {engine!r}; expected None (auto), "xla", '
-                '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
-            )
-        _require_f64_output(output, engine)
-        out = self._run_grid_scan(
-            "complete_analysis",
-            args,
-            (x0_start, x0_stop, x1_start, x1_stop),
-            (N_x0, N_x1),
-            progress,
-            dtype,
+        return self._dispatch_grid_scan(
+            "complete_analysis", args,
+            (x0_start, x0_stop, x1_start, x1_stop), (N_x0, N_x1),
+            progress, dtype, engine, output,
         )
-        return tuple(np.asarray(o) for o in out)
 
     def consistency(
         self,
@@ -883,35 +893,10 @@ class GeneralisedAL(InflationCondition):
             engine, dtype, kind="consistency", args=args,
             extent=(x0_start, x0_stop, x1_start, x1_stop),
         )
-        if engine in self._PALLAS_ENGINES:
-            out = self._pallas_scan(
-                "consistency",
-                args,
-                (x0_start, x0_stop, x1_start, x1_stop),
-                (N_x0, N_x1),
-                progress,
-                dtype,
-                engine,
-                output=output,
-            )
-            if output != "f64":
-                return out[0]
-            return np.asarray(out[0])
-        if engine != "xla":
-            raise ValueError(
-                f'unknown engine {engine!r}; expected None (auto), "xla", '
-                '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
-            )
-        _require_f64_output(output, engine)
-        return np.asarray(
-            self._run_grid_scan(
-                "consistency",
-                args,
-                (x0_start, x0_stop, x1_start, x1_stop),
-                (N_x0, N_x1),
-                progress,
-                dtype,
-            )
+        return self._dispatch_grid_scan(
+            "consistency", args,
+            (x0_start, x0_stop, x1_start, x1_stop), (N_x0, N_x1),
+            progress, dtype, engine, output,
         )
 
     def epsilon_v(
@@ -935,35 +920,10 @@ class GeneralisedAL(InflationCondition):
             engine, dtype, kind="epsilon_v", args=args,
             extent=(x0_start, x0_stop, x1_start, x1_stop),
         )
-        if engine in self._PALLAS_ENGINES:
-            out = self._pallas_scan(
-                "epsilon_v",
-                args,
-                (x0_start, x0_stop, x1_start, x1_stop),
-                (N_x0, N_x1),
-                progress,
-                dtype,
-                engine,
-                output=output,
-            )
-            if output != "f64":
-                return out[0]
-            return np.asarray(out[0])
-        if engine != "xla":
-            raise ValueError(
-                f'unknown engine {engine!r}; expected None (auto), "xla", '
-                '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
-            )
-        _require_f64_output(output, engine)
-        return np.asarray(
-            self._run_grid_scan(
-                "epsilon_v",
-                args,
-                (x0_start, x0_stop, x1_start, x1_stop),
-                (N_x0, N_x1),
-                progress,
-                dtype,
-            )
+        return self._dispatch_grid_scan(
+            "epsilon_v", args,
+            (x0_start, x0_stop, x1_start, x1_stop), (N_x0, N_x1),
+            progress, dtype, engine, output,
         )
 
     def consistency_rapidturn(
@@ -988,35 +948,10 @@ class GeneralisedAL(InflationCondition):
             engine, dtype, kind="consistency_rapidturn", args=args,
             extent=(x0_start, x0_stop, x1_start, x1_stop),
         )
-        if engine in self._PALLAS_ENGINES:
-            out = self._pallas_scan(
-                "consistency_rapidturn",
-                args,
-                (x0_start, x0_stop, x1_start, x1_stop),
-                (N_x0, N_x1),
-                progress,
-                dtype,
-                engine,
-                output=output,
-            )
-            if output != "f64":
-                return out[0]
-            return np.asarray(out[0])
-        if engine != "xla":
-            raise ValueError(
-                f'unknown engine {engine!r}; expected None (auto), "xla", '
-                '"pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64"'
-            )
-        _require_f64_output(output, engine)
-        return np.asarray(
-            self._run_grid_scan(
-                "consistency_rapidturn",
-                args,
-                (x0_start, x0_stop, x1_start, x1_stop),
-                (N_x0, N_x1),
-                progress,
-                dtype,
-            )
+        return self._dispatch_grid_scan(
+            "consistency_rapidturn", args,
+            (x0_start, x0_stop, x1_start, x1_stop), (N_x0, N_x1),
+            progress, dtype, engine, output,
         )
 
     def flag_quantum_dif(

@@ -420,9 +420,17 @@ def _auto_tile(shape, model=None) -> tuple:
     :data:`_DF_STRIP_NARROW_SRC`) cap the width at 1024: the kernel body
     traces the whole point pass once per strip, so a 2048-wide block
     doubles their already-minutes-scale Mosaic build for no measured
-    runtime win.  Grids shorter than 16 rows keep 8-row blocks."""
+    runtime win.
+
+    Rows pad to the block height, so 16-row blocks are only taken when
+    their extra row padding over 8-row blocks stays under ~6% of the
+    grid (the measured 16-row win is 3-33% depending on the model);
+    short or odd row counts — 24-row grids, 4-row sharded blocks —
+    fall back to 8-row blocks rather than paying up to 2× padded rows."""
     n0, n1 = shape
-    tm = 16 if n0 >= 16 else 8
+    pad16 = _ceil_to(n0, 16) - n0
+    pad8 = _ceil_to(n0, 8) - n0
+    tm = 16 if pad16 - pad8 <= n0 // 16 else 8
     widths = (2048, 1024, 512, 256, 128)
     if model is not None and _model_src_chars(model) > _DF_STRIP_NARROW_SRC:
         widths = (1024, 512, 256, 128)

@@ -552,13 +552,6 @@ def _pallas_chunk_runner(model, extent, shape, mesh, sweep_axis, dtype,
         _launch_tf_batch,
     )
 
-    if engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
-        from ..ops.pallas_kernels import _auto_tile
-
-        tile = _auto_tile(shape, model)  # measured round 3 (16-row blocks)
-    else:
-        tile = (min(8, shape[0]), min(1024, shape[1]))
-
     if not on_tpu and engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
         # EFT-safe eager fallback, one parameter set at a time (host path —
         # correctness/CI only; production sweeps run on the TPU mesh)
@@ -579,6 +572,13 @@ def _pallas_chunk_runner(model, extent, shape, mesh, sweep_axis, dtype,
             return np.stack(outs)
 
         return run_chunk
+
+    if engine in ("pallas_df64", "pallas_edf64", "pallas_tf64"):
+        from ..ops.pallas_kernels import _auto_tile
+
+        tile = _auto_tile(shape, model)  # measured round 3 (16-row blocks)
+    else:
+        tile = (min(8, shape[0]), min(1024, shape[1]))
 
     def launch(scal_block):
         if engine == "pallas_df64":

@@ -226,10 +226,14 @@ def test_auto_tile_choices():
 
     assert _auto_tile((4096, 4096)) == (16, 2048)
     assert _auto_tile((1024, 1024)) == (16, 1024)
+    # 1000 rows: 16-row blocks pad 8 rows (0.8% — under the ~6% budget)
     assert _auto_tile((1000, 1000)) == (16, 1024)   # 1024 pads less than 2048
     assert _auto_tile((2048, 2048)) == (16, 2048)
-    assert _auto_tile((100, 100)) == (16, 128)
+    # 100 rows: 16-row blocks pad 12 rows vs 4 (8 extra > 100//16) → 8 rows
+    assert _auto_tile((100, 100)) == (8, 128)
     assert _auto_tile((8, 4096)) == (8, 2048)       # short grids keep 8 rows
+    assert _auto_tile((24, 4096)) == (8, 2048)      # 16 would pad 33% of rows
+    assert _auto_tile((4, 1024)) == (8, 1024)       # sharded 4-row blocks
     assert _auto_tile((16, 512)) == (16, 512)
     # a 1536-wide grid: 512 divides exactly; 1024/2048 would pad
     assert _auto_tile((512, 1536)) == (16, 512)

@@ -819,7 +819,12 @@ def main():
                 MATRIX["cpu_refstyle_1024_hyper"]["mpts_per_s_32core"] = round(
                     baseline_pps / 1e6, 1
                 )
+                # only cfg1 rows are measured against the hyper baseline;
+                # cfg2/3/4 carry their OWN per-config CPU baselines and
+                # cfg5b/5d the solver baseline — leave those untouched
                 for cfg, fields in MATRIX.items():
+                    if not cfg.startswith("cfg1"):
+                        continue
                     if "vs_ref32" in fields and fields.get("gpts_per_s"):
                         fields["vs_ref32"] = round(
                             fields["gpts_per_s"] * 1e9 / baseline_pps, 2

@@ -111,6 +111,7 @@ def sharded_scan(
     engine: str = "xla",
     kind: str = "complete_analysis",
     accuracy: float = 1e-3,
+    output: str = "f64_device",
 ):
     """Any grid scan kind for one parameter set, grid tiled across ``mesh``.
 
@@ -128,11 +129,39 @@ def sharded_scan(
     with ``accuracy`` (|∂_a V| ≤ accuracy for every field — same semantics
     as :meth:`GeneralisedAL.flag_quantum_dif`).
 
-    Returns the assembled (n_out, N0, N1) array (sharded on device;
-    converting to numpy gathers it).  n_out: 6 for complete_analysis, 4 for
-    hesse, 2 for gradient, 1 otherwise.
+    ``output`` (compensated Pallas engines only; other engines accept only
+    the default):
+
+    * ``"f64_device"`` (default) — the assembled (n_out, N0, N1) device f64
+      array, sharded (converting to numpy gathers it).  On the compensated
+      engines this pays the on-device pair→f64 materialization (~2× the
+      kernel cost at the emulated-f64 store floor, BASELINE.md).
+    * ``"pair"`` — the kernels' native (hi, lo) f32 planes, sharded on
+      device: a tuple of per-output ``(hi, lo)`` pairs, each (N0, N1) and
+      sharded along ``grid_axis`` — the multi-chip equivalent of the
+      single-chip pair headline (device cost = the kernel itself).
+    * ``"f64"`` — host numpy float64 (n_out, N0, N1): fetches the pair
+      planes (gathering the shards) and combines them exactly in host f64
+      during the fetch, like the single-chip ``output="f64"`` delivery.
+
+    n_out: 6 for complete_analysis, 4 for hesse, 2 for gradient, 1
+    otherwise.
     """
     _check_kind(kind)
+    if output not in ("f64", "pair", "f64_device"):
+        raise ValueError(
+            f"output must be 'f64', 'pair' or 'f64_device', got {output!r}"
+        )
+    if output != "f64_device" and (
+        engine not in ("pallas_df64", "pallas_edf64", "pallas_tf64")
+        or kind == "flag_quantum_dif"
+    ):
+        raise ValueError(
+            f'output={output!r} requires a compensated Pallas engine '
+            '("pallas_df64", "pallas_edf64" or "pallas_tf64") and a '
+            "numeric scan kind; this engine/kind returns the default "
+            "device arrays only"
+        )
     if kind == "flag_quantum_dif":
         grads = sharded_scan(
             condition, args, extent, shape, mesh, grid_axis=grid_axis,
@@ -156,7 +185,7 @@ def sharded_scan(
     if engine in _PALLAS_ENGINES:
         return _sharded_scan_pallas(
             model, args, (x0a, x0b, x1a, x1b), (n0, n1), mesh, grid_axis,
-            local_rows, dx0, engine, dtype, kind,
+            local_rows, dx0, engine, dtype, kind, output,
         )
     if engine != "xla":
         raise ValueError(f"unknown engine {engine!r}")
@@ -197,7 +226,7 @@ def _local_extents(extent, n_dev, local_rows, dx0):
 
 def _sharded_scan_pallas(
     model, args, extent, shape, mesh, grid_axis, local_rows, dx0, engine,
-    dtype, kind="complete_analysis",
+    dtype, kind="complete_analysis", output="f64_device",
 ):
     """Pallas kernels under shard_map: each device runs the fused kernel on
     its own row-block.  Per-device scalar operands (parameters + local grid
@@ -229,6 +258,14 @@ def _sharded_scan_pallas(
                                       kind)
             blocks.append(np.stack([np.asarray(o) for o in outs]))
         full = np.concatenate(blocks, axis=1)  # (n_out, n0, n1)
+        if output == "f64":
+            return full
+        if output == "pair":
+            hi = full.astype(np.float32)
+            lo = (full - hi.astype(np.float64)).astype(np.float32)
+            hi_d = jax.device_put(hi, out_sharding)
+            lo_d = jax.device_put(lo, out_sharding)
+            return tuple((hi_d[k], lo_d[k]) for k in range(full.shape[0]))
         return jax.device_put(full, out_sharding)
 
     rows_of = [
@@ -245,17 +282,19 @@ def _sharded_scan_pallas(
         tile = (min(8, local_rows), min(1024, n1))
     interpret = not on_tpu  # fp32 kernel only — compensated paths returned above
 
+    combine = output == "f64_device"
+
     def shard_fn(scal_block):
         local = scal_block[0]
         if engine == "pallas_df64":
             outs = _launch_df(local, model, local_shape, tile, interpret,
-                              kind)
+                              kind, combine=combine)
         elif engine == "pallas_edf64":
             outs = _launch_edf(local, model, local_shape, tile, interpret,
-                               kind)
+                               kind, combine=combine)
         elif engine == "pallas_tf64":
             outs = _launch_tf(local, model, local_shape, tile, interpret,
-                              kind)
+                              kind, combine=combine)
         else:
             outs = _launch(local, model, local_shape, tile, interpret,
                            jnp.dtype(dtype), kind)
@@ -271,7 +310,17 @@ def _sharded_scan_pallas(
             check_vma=False,
         )
     )
-    return fn(scal)
+    res = fn(scal)
+    if output == "pair":
+        # (2·n_out, N0, N1) interleaved (hi, lo) planes, sharded — regroup
+        return tuple(
+            (res[2 * k], res[2 * k + 1]) for k in range(res.shape[0] // 2)
+        )
+    if output == "f64":
+        from ..ops.pallas_kernels import _host_combine_pairs
+
+        return np.stack(_host_combine_pairs(list(res)))
+    return res
 
 
 def _hash_code_object(h, code, _depth=0):

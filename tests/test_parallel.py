@@ -592,3 +592,43 @@ def test_sharded_solve_validates_parameter_shapes(doc_model_artifact):
             doc_model_artifact, np.array([1.0, 2.0]), 8, f0, d0,
             solver="rkf",
         )
+
+
+def test_sharded_scan_output_formats(al):
+    """output= on the sharded compensated scans: 'pair' leaves the kernels'
+    (hi, lo) planes sharded on device, 'f64' host-combines during the
+    gather, both carrying the same information as the default device f64."""
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    n = (32, 16)
+    ref = np.asarray(
+        sharded_scan(al, PARAMS, EXTENT, n, mesh, engine="pallas_df64")
+    )
+
+    host = sharded_scan(al, PARAMS, EXTENT, n, mesh, engine="pallas_df64",
+                        output="f64")
+    assert isinstance(host, np.ndarray) and host.dtype == np.float64
+    np.testing.assert_allclose(host, ref, rtol=1e-13, equal_nan=True)
+
+    pairs = sharded_scan(al, PARAMS, EXTENT, n, mesh, engine="pallas_df64",
+                         output="pair")
+    assert len(pairs) == 6
+    for k, (hi, lo) in enumerate(pairs):
+        assert hi.dtype == jnp.float32 and lo.dtype == jnp.float32
+        assert hi.shape == n
+        np.testing.assert_allclose(
+            np.asarray(hi, np.float64) + np.asarray(lo, np.float64),
+            ref[k], rtol=1e-13, equal_nan=True,
+        )
+
+
+def test_sharded_scan_output_validation(al):
+    mesh = make_mesh(axis_names=("grid",), devices=jax.devices())
+    with pytest.raises(ValueError, match="compensated"):
+        sharded_scan(al, PARAMS, EXTENT, (32, 16), mesh, output="pair")
+    with pytest.raises(ValueError, match="compensated"):
+        sharded_scan(al, PARAMS, EXTENT, (32, 16), mesh,
+                     engine="pallas_df64", kind="flag_quantum_dif",
+                     output="pair")
+    with pytest.raises(ValueError, match="output"):
+        sharded_scan(al, PARAMS, EXTENT, (32, 16), mesh,
+                     engine="pallas_df64", output="bogus")

@@ -56,6 +56,7 @@ __all__ = [
     "slow_roll",
     "along_trajectory",
     "horizon_exit",
+    "power_spectrum",
     "observable_jacobian",
     "fisher_matrix",
     "solve_eom_fixed",
@@ -320,6 +321,90 @@ def horizon_exit(
     sr = slow_roll(artifact)(x_exit, np.asarray(args, dtype=float))
     result.update({k: float(v) for k, v in sr.items()})
     return result
+
+
+def power_spectrum(artifact: CompiledModel, rows, times, args) -> dict:
+    """First-order slow-roll power spectra along a solved trajectory.
+
+    Evaluates, at every output row of a solved background trajectory
+    (``rows``/``times`` from :func:`~inflatox_tpu.background.solve_eom`
+    with ``return_time=True``), the standard horizon-crossing estimates
+
+    * scalar:  P_ζ(k) = H² / (8π² ε_H)  at k = aH,
+    * tensor:  P_T(k) = 2 H² / π²       at k = aH,
+
+    using the **exact** Hubble slow-roll parameter ε_H = −Ḣ/H² from the
+    solved state (see :func:`along_trajectory`) rather than the potential
+    approximation ε_V.  With a = e^N the crossing wavenumbers are
+    ``ln k = N + ln H`` (N from :func:`~inflatox_tpu.background.efolds`,
+    an arbitrary normalization — only Δ ln k is meaningful), giving the
+    whole spectrum from one background solve: each row is the pivot for
+    its own k.  Spectral shape comes from numerical differentiation along
+    the trajectory: n_s(k) − 1 = d ln P_ζ / d ln k (centered differences),
+    its running α_s = d n_s / d ln k, and r(k) = P_T/P_ζ = 16 ε_H.
+
+    Returns a dict of equal-length numpy arrays — ``ln_k``, ``N``,
+    ``P_zeta``, ``P_tensor``, ``n_s``, ``alpha_s``, ``r``, ``epsilon_h``
+    — restricted to the inflating rows (0 < ε_H < 1, where the
+    horizon-crossing formula applies and ln k is strictly increasing:
+    d ln k/dN = 1 − ε_H > 0).  ``n_s``/``alpha_s`` carry NaN at the first/
+    last retained rows (no centered difference there).
+
+    Units are reduced-Planck (M_Pl = 1), matching the solver; one-field
+    limit: P_ζ = H²/(8π²ε) is the textbook result COBE-normalized against
+    A_s ≈ 2.1e-9.  This is the leading slow-roll estimate evaluated at
+    crossing — accurate to O(ε, η) like ``n_s = 1 − 6ε + 2η`` itself; it
+    does not solve mode equations.  The reference has no spectrum surface
+    at all, and cannot build one: its solver output has no time axis
+    (background_solver.rs:283-295).
+    """
+    rows = np.asarray(rows, dtype=float)
+    times = np.asarray(times, dtype=float)
+    if rows.ndim != 2 or times.shape != (rows.shape[0],):
+        raise ShapeError(
+            (rows.shape[0],), times.shape,
+            "pass one trajectory's rows with its times (return_time=True)",
+        )
+    x, chi, hubble = _split_rows(artifact, rows)
+    eps_h = np.asarray(
+        0.5 * artifact.inner_prod(x, args, chi, chi) / (hubble * hubble)
+    )
+    n_efold = efolds(rows, times)
+    hubble = np.asarray(hubble)
+
+    keep = (eps_h > 0.0) & (eps_h < 1.0) & (hubble > 0.0)
+    if not keep.any():
+        raise ValueError(
+            "no inflating rows (0 < ε_H < 1 with H > 0) in the trajectory"
+        )
+    # use the contiguous inflating stretch from the first kept row, so the
+    # ln k axis is strictly monotone (d ln k/dN = 1 − ε_H > 0 within it)
+    first = int(np.argmax(keep))
+    stop = int(np.argmax(~keep[first:])) + first if (~keep[first:]).any() \
+        else rows.shape[0]
+    sl = slice(first, stop)
+    eps, hub, nn = eps_h[sl], hubble[sl], n_efold[sl]
+
+    ln_k = nn + np.log(hub)
+    p_zeta = hub * hub / (8.0 * np.pi**2 * eps)
+    p_tens = 2.0 * hub * hub / np.pi**2
+    ln_p = np.log(p_zeta)
+    n_s = np.full_like(ln_p, np.nan)
+    alpha = np.full_like(ln_p, np.nan)
+    if ln_p.size >= 3:
+        n_s[1:-1] = 1.0 + (ln_p[2:] - ln_p[:-2]) / (ln_k[2:] - ln_k[:-2])
+    if ln_p.size >= 5:
+        alpha[2:-2] = (n_s[3:-1] - n_s[1:-3]) / (ln_k[3:-1] - ln_k[1:-3])
+    return {
+        "ln_k": ln_k,
+        "N": nn,
+        "P_zeta": p_zeta,
+        "P_tensor": p_tens,
+        "n_s": n_s,
+        "alpha_s": alpha,
+        "r": 16.0 * eps,
+        "epsilon_h": eps,
+    }
 
 
 # ----------------------------------------------------------------------- #

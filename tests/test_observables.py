@@ -302,3 +302,59 @@ def test_fit_parameters_custom_optimizer(trivial_artifact):
     np.testing.assert_allclose(
         res.loss_history[0], float(loss(jnp.asarray([1.1, 1.1]))), rtol=1e-12
     )
+
+
+def test_power_spectrum_single_field(trivial_artifact):
+    """Spectrum-from-background on the φ² large-field model.  Slow-roll
+    analytics (M_Pl = 1, m = 1): ε = 2/φ², H² = V/3, so at crossing
+    P_ζ = H²/(8π²ε) = φ⁴/(48π²), n_s − 1 = −8/φ², r = 32/φ², and the
+    running α_s = dn_s/dlnk = −(1 − n_s)²/2."""
+    m = np.array([1.0, 1.0])
+    rows, times = background.solve_eom(
+        trivial_artifact, m, 3000, [16.0, 0.0], [0.0, 0.0],
+        max_err=1e-8, solver="rkf", return_time=True,
+    )
+    spec = observables.power_spectrum(trivial_artifact, rows, times, m)
+    assert set(spec) == {"ln_k", "N", "P_zeta", "P_tensor", "n_s",
+                         "alpha_s", "r", "epsilon_h"}
+    sizes = {v.shape for v in spec.values()}
+    assert len(sizes) == 1
+    # crossing wavenumbers strictly ordered (d ln k/dN = 1 − ε_H > 0)
+    assert np.all(np.diff(spec["ln_k"]) > 0)
+    # r = P_T/P_ζ = 16 ε_H is an identity of the construction
+    np.testing.assert_allclose(
+        spec["P_tensor"] / spec["P_zeta"], spec["r"], rtol=1e-12
+    )
+
+    att = (spec["N"] > 5.0) & (spec["N"] < 50.0)  # on the attractor
+    assert att.sum() > 10
+    phi_sq = 2.0 / spec["epsilon_h"]  # slow roll: ε = 2/φ²
+    np.testing.assert_allclose(
+        spec["P_zeta"][att], (phi_sq[att] ** 2) / (48.0 * np.pi**2),
+        rtol=0.05,
+    )
+    ns_pred = 1.0 - 8.0 / phi_sq
+    ok = att & np.isfinite(spec["n_s"])
+    np.testing.assert_allclose(spec["n_s"][ok], ns_pred[ok], atol=5e-3)
+    np.testing.assert_allclose(spec["r"][att], 32.0 / phi_sq[att], rtol=0.05)
+    oka = att & np.isfinite(spec["alpha_s"])
+    alpha_pred = -((1.0 - ns_pred[oka]) ** 2) / 2.0
+    np.testing.assert_allclose(spec["alpha_s"][oka], alpha_pred, rtol=0.15)
+
+
+def test_power_spectrum_error_paths(trivial_artifact):
+    m = np.array([1.0, 1.0])
+    # no inflating rows: H = 0 everywhere
+    dead = np.zeros((10, 5))
+    with pytest.raises(ValueError, match="no inflating rows"):
+        observables.power_spectrum(
+            trivial_artifact, dead, np.linspace(0, 1, 10), m
+        )
+    rows, times = background.solve_eom(
+        trivial_artifact, m, 100, [16.0, 0.0], [0.0, 0.0],
+        max_err=1e-8, solver="rkf", return_time=True,
+    )
+    from inflatox_tpu.utils.errors import ShapeError
+
+    with pytest.raises(ShapeError):
+        observables.power_spectrum(trivial_artifact, rows, times[:-1], m)

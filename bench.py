@@ -67,8 +67,14 @@ def _fetch(out):
     return float(leaf if getattr(leaf, "ndim", 0) == 0 else leaf[(0,) * leaf.ndim])
 
 
-def amortized(run, init_args, K1=2, K2=22, reps=3):
-    """Device seconds per call via the K-loop difference."""
+def amortized(run, init_args, K1=2, K2=22, reps=3, min_loop_s=0.25):
+    """Device seconds per call via the K-loop difference.
+
+    The chain length auto-scales until the K2 loop dominates the tunnel's
+    dispatch jitter (~26-48 ms/fetch): sub-millisecond kernels at the old
+    fixed K2=22 ran only ~9 ms of device work, and two same-code bench
+    runs differed ~2× on cfg2 (0.365 vs 0.686 ms/call).  K rides the loop
+    as a runtime jnp.int32, so growing it recompiles nothing."""
     import jax.numpy as jnp
 
     def timed(K):
@@ -80,6 +86,10 @@ def amortized(run, init_args, K1=2, K2=22, reps=3):
     t1 = min(timed(K1) for _ in range(reps))
     timed(K2)
     t2 = min(timed(K2) for _ in range(reps))
+    while (t2 - t1) < min_loop_s and K2 < 20_000:
+        K2 *= 4
+        timed(K2)
+        t2 = min(timed(K2) for _ in range(reps))
     return (t2 - t1) / (K2 - K1)
 
 

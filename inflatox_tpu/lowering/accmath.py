@@ -2,9 +2,10 @@
 
 Measured on both XLA:TPU (f64 emulated as an f32 double-word) and XLA:CPU,
 several f64 transcendentals are only ~1e-8 accurate — ``exp``, ``arctan``,
-non-integer ``pow``, ``sinh``/``cosh``/``tanh``, ``arccos`` — while the
-building blocks are good: mul/add ≈ 1e-14, ``log``/``sqrt``/``sin``/``cos``/
-``tan``/``expm1``/``log1p``/``arcsin``/``arctan2`` ≈ 1e-15.  A 1e-8 ``exp``
+non-integer ``pow``, ``sinh``/``cosh``/``tanh``, ``arccos``, and (on TPU,
+for x ≈ 0.5–2.5 only) ``expm1`` — while the building blocks are good:
+mul/add ≈ 1e-14, ``log``/``sqrt``/``sin``/``cos``/``tan``/``log1p``/
+``arcsin``/``arctan2`` ≈ 1e-15.  A 1e-8 ``exp``
 breaks the ≤1e-10 reference-parity budget (BASELINE.json) for any
 exponential-family potential (EGNO, D5), so the lowering routes the weak
 functions through the implementations here, built from the strong primitives:
@@ -16,8 +17,9 @@ functions through the implementations here, built from the strong primitives:
 * :func:`pow` — exp(y·log x) on the accurate exp (plus C pow edge cases for
   zero/negative bases).  Integer exponents never reach here — the lowering
   emits native integer powers.
-* :func:`sinh`/:func:`cosh`/:func:`tanh` — from exp/expm1 with the usual
-  small-argument cancellation guards.
+* :func:`sinh`/:func:`cosh`/:func:`tanh` — from the accurate exp, with an
+  odd Taylor series for small sinh arguments (never ``jnp.expm1``: see
+  :func:`sinh`).
 * :func:`acos` — 2·atan(√((1−x)/(1+x))), accurate through x → ±1.
 
 When running under f32 (fast mode) these still work — they are dtype-generic
@@ -146,14 +148,26 @@ def pow(x, y):  # noqa: A001 — matches libm naming on purpose
     return out
 
 
+#: odd Taylor coefficients 1/(2n+1)! for sinh on |x| < 0.35 (truncation
+#: ≤ ~2e-16 relative at the switch point)
+_SINH_COEFFS = [1.0 / float(math.factorial(2 * n + 1)) for n in (5, 4, 3, 2, 1)]
+
+
 def sinh(x):
     x = jnp.asarray(x)
     if x.dtype != jnp.float64:
         return jnp.sinh(x)
-    # expm1 is accurate natively; sinh = (e^x - e^-x)/2 = expm1(x)(expm1(x)+2) / (2(expm1(x)+1))
-    small = jnp.abs(x) < 1.0
-    u = jnp.expm1(jnp.where(small, x, 0.0))
-    small_val = 0.5 * u * (u + 2.0) / (u + 1.0)
+    # NOT built on jnp.expm1: TPU's emulated-f64 expm1 is only ~2e-8 for
+    # x ≈ 0.5–2.5 (accurate outside that window, which is how the original
+    # sparse probe missed it — measured round 3, this machine).  Odd Taylor
+    # series below 0.35; (e^x − e^-x)/2 on the accurate exp above, where
+    # the cancellation amplification coth(0.35) ≈ 2.9 keeps ~1e-15.
+    small = jnp.abs(x) < 0.35
+    x2 = jnp.where(small, x * x, 0.0)
+    acc = jnp.zeros_like(x)
+    for c in _SINH_COEFFS:
+        acc = (acc + c) * x2
+    small_val = x * (1.0 + acc)
     ex = exp(jnp.where(small, 1.0, x))
     large_val = 0.5 * (ex - 1.0 / ex)
     return jnp.where(small, small_val, large_val)
@@ -171,11 +185,10 @@ def tanh(x):
     x = jnp.asarray(x)
     if x.dtype != jnp.float64:
         return jnp.tanh(x)
-    # tanh = expm1(2x) / (expm1(2x) + 2); expm1 native is accurate but
-    # overflows for large x — clamp (tanh saturates at ±1 well before)
+    # sinh/cosh on the accurate exp (see sinh for why not jnp.expm1);
+    # clamp so e^|2x| stays modest — tanh saturates at ±1 well before
     xc = jnp.clip(x, -20.0, 20.0)
-    u = jnp.expm1(2.0 * xc)
-    out = u / (u + 2.0)
+    out = sinh(xc) / cosh(xc)
     return jnp.where(jnp.isnan(x), x, out)
 
 

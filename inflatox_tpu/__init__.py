@@ -43,6 +43,7 @@ from .version import __version__
 
 from . import background
 from . import consistency_conditions
+from . import geometry
 from . import models
 from . import observables
 from . import parallel
@@ -55,6 +56,7 @@ __all__ = [
     "InflationModelBuilder",
     "consistency_conditions",
     "background",
+    "geometry",
     "models",
     "observables",
     "parallel",

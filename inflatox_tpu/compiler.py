@@ -160,14 +160,16 @@ class CompiledModel:
         """Metric tensor G_ab(x), shape (d, d[, *grid])."""
         d = self.n_fields
         g = self._metric(x, args)
-        sample = None
-        for v in g:
-            sample = v
-            break
-        zero = jnp.zeros_like(jnp.asarray(sample))
+        vals = [jnp.asarray(v) for v in (g if isinstance(g, tuple) else (g,))]
+        # entries lower independently: a constant entry (e.g. G_00 = 1)
+        # comes back scalar while an x-dependent one rides the grid shape —
+        # broadcast everything to the common shape before stacking
+        shape = jnp.broadcast_shapes(*[v.shape for v in vals])
+        dtype = jnp.result_type(*vals)
+        zero = jnp.zeros(shape, dtype)
         rows = [[zero] * d for _ in range(d)]
         for k, (a, b) in enumerate(self._metric_nonzero):
-            rows[a][b] = jnp.asarray(g[k]) + zero
+            rows[a][b] = jnp.broadcast_to(vals[k], shape).astype(dtype)
         return jnp.stack([jnp.stack(r) for r in rows])
 
     def df32_fns(self) -> dict:

@@ -1,0 +1,161 @@
+"""First-principles perturbation spectra (inflatox_tpu.perturbations).
+
+Validation strategy: the δN route is checked against the φ² large-field
+slow-roll analytics; the Mukhanov-Sasaki route is cross-validated against
+δN — two independent formalisms (nonlinear separate-universe solves vs
+linear mode integration) must give the same spectrum — on BOTH a flat and
+a curved field space; and the mass matrix's Riemann term is pinned by the
+constant-curvature identity (it must reproduce the textbook entropic-mass
+curvature correction ε R_fs H², with no correction along the adiabatic
+direction)."""
+
+import numpy as np
+import pytest
+import sympy
+
+import jax
+
+import inflatox_tpu as inflatox
+from inflatox_tpu import background, perturbations
+from inflatox_tpu.models import _args_by_symbol
+
+
+@pytest.fixture(scope="module")
+def quadratic(trivial_artifact):
+    """Base solve on the φ² single-field axis (m1 = m2 = 1, φ₀ = 12)."""
+    m = np.array([1.0, 1.0])
+    rows, times = background.solve_eom(
+        trivial_artifact, m, 2000, [12.0, 0.0], [0.0, 0.0],
+        max_err=1e-9, solver="rkf", return_time=True,
+    )
+    return trivial_artifact, m, rows, times
+
+
+@pytest.fixture(scope="module")
+def curved():
+    """Two-field model on a curved (hyperbolic-like) field space with a
+    displaced second field — a genuinely multi-field, turning background."""
+    p1, p2, m1, m2, b = sympy.symbols("p1 p2 m1 m2 b", real=True)
+    V = sympy.Rational(1, 2) * (m1 * p1) ** 2 + sympy.Rational(1, 2) * (m2 * p2) ** 2
+    g = [[sympy.Integer(1), 0], [0, sympy.exp(2 * b * p1)]]
+    model = inflatox.InflationModelBuilder.new([p1, p2], g, V, silent=True).build()
+    art = inflatox.Compiler(model, silent=True).compile()
+    args = _args_by_symbol(art.model, {"m1": 1.0, "m2": 0.8, "b": 0.25})
+    rows, times = background.solve_eom(
+        art, args, 3000, [10.0, 1.5], [0.0, 0.0],
+        max_err=1e-9, solver="rkf", return_time=True,
+    )
+    return art, args, rows, times
+
+
+def test_delta_n_matches_slow_roll_analytics(quadratic):
+    art, m, rows, times = quadratic
+    spec = perturbations.delta_n_spectrum(
+        art, m, rows, times, pivots=5, N_margin_start=5.0,
+        N_margin_end=10.0, steps=2000,
+    )
+    # ε = 2/φ² from the δN gradients themselves: N(φ) = φ²/4 → N' = φ/2
+    phi = 2.0 * spec["N_grad"][:, 0]
+    np.testing.assert_allclose(
+        spec["P_zeta"], phi**4 / (48 * np.pi**2), rtol=0.08
+    )
+    ns_pred = 1.0 - 8.0 / phi**2
+    ok = np.isfinite(spec["n_s"])
+    # 5 pivots span ~45 e-folds, so the centered n_s difference is a secant
+    # over ~20 e-folds of running — compare to the local slope at ~0.02
+    np.testing.assert_allclose(spec["n_s"][ok], ns_pred[ok], atol=0.02)
+    np.testing.assert_allclose(spec["r"], 32.0 / phi**2, rtol=0.08)
+    # the spectator direction contributes nothing on the single-field axis
+    np.testing.assert_allclose(spec["N_grad"][:, 1], 0.0, atol=1e-6)
+
+
+def test_mode_spectrum_cross_validates_delta_n_flat(quadratic):
+    """Two independent formalisms, one answer (flat field space)."""
+    art, m, rows, times = quadratic
+    kw = dict(pivots=5, N_margin_start=5.0, N_margin_end=8.0)
+    dn = perturbations.delta_n_spectrum(art, m, rows, times, steps=2000, **kw)
+    ms = perturbations.mode_spectrum(art, m, rows, times, **kw)
+    np.testing.assert_allclose(ms["ln_k"], dn["ln_k"], rtol=1e-12)
+    np.testing.assert_allclose(ms["P_zeta"], dn["P_zeta"], rtol=0.08)
+    ok = np.isfinite(ms["n_s"])
+    np.testing.assert_allclose(ms["n_s"][ok], dn["n_s"][ok], atol=0.012)
+
+
+def test_mode_spectrum_cross_validates_delta_n_curved(curved):
+    """Same cross-validation on a curved field space with a turning
+    two-field background — exercises the Christoffel transport and the
+    Riemann term of the mass matrix through the geometry layer."""
+    art, args, rows, times = curved
+    kw = dict(pivots=4, N_margin_start=5.0, N_margin_end=8.0)
+    dn = perturbations.delta_n_spectrum(art, args, rows, times, steps=3000, **kw)
+    ms = perturbations.mode_spectrum(art, args, rows, times, **kw)
+    np.testing.assert_allclose(ms["P_zeta"], dn["P_zeta"], rtol=0.08)
+
+
+def test_mass_matrix_riemann_term_constant_curvature():
+    """The Riemann contraction must reproduce the textbook entropic-mass
+    curvature correction: on a 2-D constant-curvature field space
+    (R^a_{bcd} = K(δ^a_c g_{db} − δ^a_d g_{cb}), Gaussian curvature K) the
+    term contributes −K(χ^aχ_b − δ^a_b|χ|²), i.e. +K|χ|² = ε R_fs H²
+    projected on the entropic direction (geometrical destabilization for
+    K < 0) and exactly zero along the adiabatic direction."""
+    x0, y0, mm, = sympy.symbols("x0 y0 mm", real=True)
+    V = sympy.Rational(1, 2) * mm**2 * (x0**2 + y0**2)
+    g = [[sympy.Integer(1), 0], [0, sympy.sinh(x0) ** 2]]  # K = −1
+    model = inflatox.InflationModelBuilder.new([x0, y0], g, V, silent=True).build()
+    art = inflatox.Compiler(model, silent=True).compile()
+    args = np.array([1.0])
+    K = -1.0
+
+    pt = np.array([[1.1], [0.7]])
+    hub = np.array([2.0])
+    eps = np.array([0.02])
+    u = np.array([[0.3], [0.15]])          # e-fold velocity χ/H
+    chi = u * hub
+
+    m_full = perturbations._mass_matrix_over_h2(art, args, pt, u, hub, eps)[0]
+
+    # independent analytic build of every term for this metric
+    x, y = pt[0, 0], pt[1, 0]
+    g_m = np.diag([1.0, np.sinh(x) ** 2])
+    ginv = np.linalg.inv(g_m)
+    grad = np.array([x, y])  # V = ½(x² + y²): ∂V = (x, y); plain Hessian = I
+    gam = np.zeros((2, 2, 2))
+    gam[0, 1, 1] = -np.sinh(x) * np.cosh(x)
+    gam[1, 0, 1] = gam[1, 1, 0] = np.cosh(x) / np.sinh(x)
+    hesse = np.eye(2) - np.einsum("cab,c->ab", gam, grad)
+    chi_v = chi[:, 0]
+    chi_lo = g_m @ chi_v
+    grad_up = ginv @ grad
+    m_ref = ginv @ hesse
+    m_ref = m_ref - K * (np.outer(chi_v, chi_lo) - np.eye(2) * (chi_lo @ chi_v))
+    m_ref = m_ref + (3.0 - eps[0]) * np.outer(chi_v, chi_lo)
+    m_ref = m_ref + (np.outer(grad_up, chi_lo) + np.outer(chi_v, grad)) / hub[0]
+    np.testing.assert_allclose(m_full, m_ref / hub[0] ** 2, rtol=1e-10)
+
+    # projections: adiabatic direction sees no curvature term, entropic
+    # direction sees exactly K|χ|² (= ε R_fs H² with R_fs = 2K)
+    riem_term = -K * (np.outer(chi_v, chi_lo) - np.eye(2) * (chi_lo @ chi_v))
+    sig = chi_v / np.sqrt(chi_lo @ chi_v)            # σ^a
+    sig_lo = g_m @ sig
+    assert abs(sig_lo @ riem_term @ sig) < 1e-12
+    w = np.array([-chi_v[1], chi_v[0]])              # s_a with s_a χ^a = 0
+    s_up = ginv @ w / np.sqrt(w @ ginv @ w)
+    s_lo = g_m @ s_up
+    np.testing.assert_allclose(
+        s_lo @ riem_term @ s_up, K * (chi_lo @ chi_v), rtol=1e-10
+    )
+
+
+def test_spectra_error_paths(quadratic):
+    art, m, rows, times = quadratic
+    with pytest.raises(ValueError, match="never reaches"):
+        perturbations.delta_n_spectrum(art, m, rows[:50], times[:50])
+    with pytest.raises(ValueError, match="too short"):
+        perturbations.delta_n_spectrum(
+            art, m, rows, times, N_margin_start=50.0, N_margin_end=50.0
+        )
+    with pytest.raises(ValueError, match="raise steps"):
+        perturbations.delta_n_spectrum(
+            art, m, rows, times, pivots=3, N_margin_start=3.0, steps=60
+        )

@@ -320,7 +320,7 @@ def solve_eom_batch(
     return out
 
 
-def efolds(rows, times):
+def efolds(rows, times, hdot=None):
     """Cumulative e-fold count N(t) = ∫₀ᵗ H dt' along solved trajectories.
 
     ``rows``/``times`` are the outputs of :func:`solve_eom` ((steps, 2n+1),
@@ -328,6 +328,13 @@ def efolds(rows, times):
     ``return_time=True``; H is the last state column.  Returns an array
     shaped like ``times`` with N per output row (trapezoid rule over the
     adaptive step sequence; row 0 is 0).
+
+    ``hdot`` (optional, shaped like ``times``) supplies Ḣ at every row
+    (Ḣ = −½ G_ab χ^a χ^b, e.g. ``-0.5 * artifact.inner_prod(x, args, chi,
+    chi)``); the quadrature is then corrected to cubic-Hermite order
+    (trapezoid + Δt²/12·(Ḣᵢ − Ḣᵢ₊₁), per-segment error O(Δt⁵) instead of
+    O(Δt³)) — needed when N differences at the 1e-6 level matter (second-
+    order δN).
 
     No reference equivalent: the reference discards the per-row step sizes
     entirely (background_solver.rs:283-295 returns state rows of unknown
@@ -341,6 +348,12 @@ def efolds(rows, times):
     hubble = rows[..., -1]
     dt = np.diff(times, axis=-1)
     seg = 0.5 * (hubble[..., 1:] + hubble[..., :-1]) * dt
+    if hdot is not None:
+        hdot = np.asarray(hdot, dtype=float)
+        if hdot.shape != times.shape:
+            raise ShapeError(times.shape, hdot.shape,
+                             "hdot must give Ḣ at every output row")
+        seg = seg + (dt * dt / 12.0) * (hdot[..., :-1] - hdot[..., 1:])
     out = np.zeros_like(times)
     np.cumsum(seg, axis=-1, out=out[..., 1:])
     return out

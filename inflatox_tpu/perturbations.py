@@ -49,11 +49,9 @@ def _base_quantities(artifact, args, rows, times):
         )
     x_cols, chi_cols, hubble = _split_rows(artifact, rows)
     hubble = np.asarray(hubble)
-    eps_h = np.asarray(
-        0.5 * artifact.inner_prod(x_cols, args, chi_cols, chi_cols)
-        / (hubble * hubble)
-    )
-    n_axis = background.efolds(rows, times)
+    chi_sq = np.asarray(artifact.inner_prod(x_cols, args, chi_cols, chi_cols))
+    eps_h = 0.5 * chi_sq / (hubble * hubble)
+    n_axis = background.efolds(rows, times, hdot=-0.5 * chi_sq)
     above = np.nonzero(eps_h >= 1.0)[0]
     if above.size == 0:
         raise ValueError(
@@ -83,6 +81,8 @@ def delta_n_spectrum(
     max_err: float = 1e-8,
     solver: str = "rkf",
     mesh=None,
+    order: int = 1,
+    h2: float = 2e-3,
 ) -> dict:
     """Scalar power spectrum from the δN formalism along a solved trajectory.
 
@@ -105,12 +105,27 @@ def delta_n_spectrum(
     ln k; NaN at the ends), ``r`` (= P_T/P_ζ), ``N_grad`` ((pivots, d) —
     the δN gradients themselves), ``H``.
 
+    With ``order=2`` the stencil is widened (one base solve, ±``h2`` axis
+    points and (±h2, ±h2) mixed points per pivot — still ONE batched
+    launch) to second differences of N, and the result gains ``N_hess``
+    ((pivots, d, d) — the *covariant* Hessian N_{;ab} = ∂_a∂_b N − Γ^c_ab N_c)
+    and ``f_NL`` — the local bispectrum amplitude of the δN formalism
+    (Lyth–Rodríguez),
+
+        f_NL = (5/6) · N^a N^b N_{;ab} / (N_c N^c)²
+
+    (super-horizon part only; the intrinsic horizon-crossing contribution
+    is O(slow-roll) on top).
+
     Accuracy notes: the result is exact in the super-horizon separate-
     universe limit given slow roll *at crossing* — the single-field φ²
     test reproduces H²/(8πε) to O(1/N).  ``h`` balances finite-difference
     truncation against solver noise (N is resolved to ~``max_err``); the
-    default loses ~1e-4 relative on N_a.  Raise ``steps`` if a perturbed
-    trajectory fails to reach the final surface (a ``ValueError`` says so).
+    default loses ~1e-4 relative on N_a.  Second differences amplify that
+    noise by 1/h2², so ``h2`` is wider: the defaults resolve N_{;ab} to
+    ~``4·max_err/h2²`` ≈ 1e-2 absolute — tighten ``max_err`` for small
+    f_NL.  Raise ``steps`` if a perturbed trajectory fails to reach the
+    final surface (a ``ValueError`` says so).
     """
     d = artifact.n_fields
     rows, times, hubble, eps_h, n_axis, i, n_end, h_ref = _base_quantities(
@@ -136,8 +151,16 @@ def delta_n_spectrum(
     ], axis=1)                                   # (pivots, d)
     h_star = np.interp(n_pivots, n_axis[span], hubble[span])
 
-    # batch of perturbed initial conditions: (pivots, d directions, ±)
+    # batch of perturbed initial conditions.  Per pivot, in order:
+    #   2d first-order points at ±h_a (for N_a), then with order=2:
+    #   1 base point, 2d points at ±h2_a (diagonal N_aa) and
+    #   4·C(d,2) mixed points at (±h2_a, ±h2_b) (off-diagonal N_ab).
+    order = int(order)
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
     h_a = h * np.maximum(1.0, np.abs(x_star))    # (pivots, d) per-field steps
+    h2_a = h2 * np.maximum(1.0, np.abs(x_star))
+    per_pivot = 2 * d + (1 + 2 * d + 2 * d * (d - 1)) * (order == 2)
     f0 = []
     for p in range(int(pivots)):
         for a in range(d):
@@ -145,8 +168,23 @@ def delta_n_spectrum(
                 xp = x_star[p].copy()
                 xp[a] += s * h_a[p, a]
                 f0.append(xp)
-    f0 = np.asarray(f0)                          # (B, d), B = pivots·2d
-    chi0 = np.repeat(chi_star, 2 * d, axis=0)
+        if order == 2:
+            f0.append(x_star[p].copy())
+            for a in range(d):
+                for s in (+1.0, -1.0):
+                    xp = x_star[p].copy()
+                    xp[a] += s * h2_a[p, a]
+                    f0.append(xp)
+            for a in range(d):
+                for b in range(a + 1, d):
+                    for sa in (+1.0, -1.0):
+                        for sb in (+1.0, -1.0):
+                            xp = x_star[p].copy()
+                            xp[a] += sa * h2_a[p, a]
+                            xp[b] += sb * h2_a[p, b]
+                            f0.append(xp)
+    f0 = np.asarray(f0)                          # (B, d), B = pivots·per_pivot
+    chi0 = np.repeat(chi_star, per_pivot, axis=0)
 
     rows_b, times_b = background.solve_eom_batch(
         artifact, np.asarray(args, dtype=float), int(steps), f0, chi0,
@@ -155,11 +193,21 @@ def delta_n_spectrum(
     )
     rows_b = np.asarray(rows_b)
     times_b = np.asarray(times_b)
-    n_b = background.efolds(rows_b, times_b)     # (B, steps)
+    a_arr = np.asarray(args, dtype=float)
+    hdot_b = np.asarray(-0.5 * artifact.inner_prod(
+        [rows_b[..., c] for c in range(d)], a_arr,
+        [rows_b[..., d + c] for c in range(d)],
+        [rows_b[..., d + c] for c in range(d)],
+    ))                                           # Ḣ = −½|χ|², (B, steps)
+    n_b = background.efolds(rows_b, times_b, hdot=hdot_b)   # (B, steps)
     hub_b = rows_b[..., -1]
 
     # e-folds to the common uniform-H surface (H decreases monotonically:
-    # H' = -½G_ab χ^a χ^b < 0), interpolated at the crossing segment
+    # H' = -½G_ab χ^a χ^b < 0).  Second differences of N amplify readout
+    # noise by 1/h2², so the crossing is resolved with the cubic Hermite
+    # H(t) (values + Ḣ at the bracketing rows, Newton for H(t*) = h_ref)
+    # and N(t*) by integrating that cubic — O(Δt⁴) instead of the O(Δt²)
+    # linear-interpolation floor.
     reached = hub_b.min(axis=1) <= h_ref
     if not reached.all():
         bad = int(np.nonzero(~reached)[0][0])
@@ -170,23 +218,75 @@ def delta_n_spectrum(
         )
     idx = np.argmax(hub_b <= h_ref, axis=1)      # first row past the surface
     rows_idx = np.arange(rows_b.shape[0])
-    h_hi = hub_b[rows_idx, idx - 1]
-    h_lo = hub_b[rows_idx, idx]
-    w = (h_hi - h_ref) / (h_hi - h_lo)
-    n_surface = (
-        n_b[rows_idx, idx - 1]
-        + w * (n_b[rows_idx, idx] - n_b[rows_idx, idx - 1])
+    h0 = hub_b[rows_idx, idx - 1]
+    h1 = hub_b[rows_idx, idx]
+    d0 = hdot_b[rows_idx, idx - 1]
+    d1 = hdot_b[rows_idx, idx]
+    dt = times_b[rows_idx, idx] - times_b[rows_idx, idx - 1]
+    s = (h0 - h_ref) / (h0 - h1)                 # linear first guess
+    for _ in range(3):
+        val = (
+            (2 * s**3 - 3 * s**2 + 1) * h0
+            + (s**3 - 2 * s**2 + s) * dt * d0
+            + (-2 * s**3 + 3 * s**2) * h1
+            + (s**3 - s**2) * dt * d1
+            - h_ref
+        )
+        dval = (
+            (6 * s**2 - 6 * s) * h0
+            + (3 * s**2 - 4 * s + 1) * dt * d0
+            + (-6 * s**2 + 6 * s) * h1
+            + (3 * s**2 - 2 * s) * dt * d1
+        )
+        s = np.clip(s - val / np.where(dval == 0.0, 1.0, dval), 0.0, 1.0)
+    n_surface = n_b[rows_idx, idx - 1] + dt * (
+        (0.5 * s**4 - s**3 + s) * h0
+        + (0.25 * s**4 - (2.0 / 3.0) * s**3 + 0.5 * s**2) * dt * d0
+        + (-0.5 * s**4 + s**3) * h1
+        + (0.25 * s**4 - s**3 / 3.0) * dt * d1
     )
 
-    n_surface = n_surface.reshape(int(pivots), d, 2)
-    n_grad = (n_surface[:, :, 0] - n_surface[:, :, 1]) / (2.0 * h_a)
+    n_surface = n_surface.reshape(int(pivots), per_pivot)
+    n_first = n_surface[:, : 2 * d].reshape(int(pivots), d, 2)
+    n_grad = (n_first[:, :, 0] - n_first[:, :, 1]) / (2.0 * h_a)
 
-    # P_ζ = G^{ab} N_a N_b (H_*/2π)² per pivot
+    n_hess = None
+    if order == 2:
+        n_base = n_surface[:, 2 * d]                       # (pivots,)
+        n_diag = n_surface[:, 2 * d + 1 : 4 * d + 1].reshape(int(pivots), d, 2)
+        n_hess = np.zeros((int(pivots), d, d))
+        for a in range(d):
+            n_hess[:, a, a] = (
+                n_diag[:, a, 0] - 2.0 * n_base + n_diag[:, a, 1]
+            ) / h2_a[:, a] ** 2
+        k = 4 * d + 1
+        for a in range(d):
+            for b in range(a + 1, d):
+                pp, pm, mp, mm_ = (n_surface[:, k + j] for j in range(4))
+                k += 4
+                n_hess[:, a, b] = n_hess[:, b, a] = (pp - pm - mp + mm_) / (
+                    4.0 * h2_a[:, a] * h2_a[:, b]
+                )
+        # covariant Hessian: N_{;ab} = ∂_a∂_b N − Γ^c_ab N_c at the pivot
+        gam = _with_samples(
+            artifact.geometry.christoffels(
+                [x_star[:, c] for c in range(d)], np.asarray(args, float)
+            ),
+            3, int(pivots),
+        )                                                  # (c, a, b, K)
+        n_hess = n_hess - np.einsum("cabk,kc->kab", gam, n_grad)
+
+    # P_ζ = G^{ab} N_a N_b (H_*/2π)², f_NL = (5/6) N^aN^b N_{;ab}/(N·N)²
     p_zeta = np.empty(int(pivots))
+    f_nl = np.empty(int(pivots)) if order == 2 else None
     for p in range(int(pivots)):
         g = np.asarray(artifact.metric(x_star[p], np.asarray(args, float)))
         ginv = np.linalg.inv(g)
-        p_zeta[p] = (n_grad[p] @ ginv @ n_grad[p]) * (h_star[p] / (2 * np.pi)) ** 2
+        n_up = ginv @ n_grad[p]
+        nn = n_grad[p] @ n_up
+        p_zeta[p] = nn * (h_star[p] / (2 * np.pi)) ** 2
+        if order == 2:
+            f_nl[p] = (5.0 / 6.0) * (n_up @ n_hess[p] @ n_up) / nn**2
 
     ln_k = n_pivots + np.log(h_star)
     p_tens = 2.0 * h_star * h_star / np.pi**2
@@ -194,7 +294,7 @@ def delta_n_spectrum(
     if int(pivots) >= 3:
         ln_p = np.log(p_zeta)
         n_s[1:-1] = 1.0 + (ln_p[2:] - ln_p[:-2]) / (ln_k[2:] - ln_k[:-2])
-    return {
+    out = {
         "ln_k": ln_k,
         "N": n_pivots,
         "P_zeta": p_zeta,
@@ -204,6 +304,10 @@ def delta_n_spectrum(
         "N_grad": n_grad,
         "H": h_star,
     }
+    if order == 2:
+        out["N_hess"] = n_hess
+        out["f_NL"] = f_nl
+    return out
 
 
 # ----------------------------------------------------------------------- #
@@ -323,7 +427,20 @@ def mode_spectrum(
     stream.
 
     Returns the same dict layout as :func:`delta_n_spectrum` (without
-    ``N_grad``).  Accuracy budget: massless Bunch-Davies truncation
+    ``N_grad``), plus:
+
+    * ``P_tensor`` is EXACT here — the massless tensor modes are integrated
+      through crossing alongside the scalars (8 × a canonically-normalized
+      massless scalar), not the slow-roll ``2H²/π²`` snapshot — and ``n_t``
+      is its centered-difference tilt (the consistency relation n_t = −r/8
+      only holds to first order in slow roll);
+    * ``P_iso`` — the primordial isocurvature spectrum: the G-orthogonal
+      complement of Q along the adiabatic direction, normalized as
+      S = (H/|χ|)·Q_s so ``P_iso/P_zeta`` is the isocurvature fraction;
+    * ``cos_delta`` — the ζ–S correlation cosine (two-field models only;
+      NaN otherwise).
+
+    Accuracy budget: massless Bunch-Davies truncation
     ~1/y₀² ≈ 3·10⁻⁴ at the default ``N_sub=4`` plus RK4 phase error
     ~10⁻³ at the default step counts — agreement with δN to ~1% is the
     validated envelope.
@@ -458,6 +575,39 @@ def mode_spectrum(
     final = jax.jit(jax.vmap(integrate))(jnp.asarray(state0), per_step)
     final = np.asarray(final)                               # (K, 4, i, a)
 
+    # tensor modes: each polarization is a canonically-normalized massless
+    # scalar (no Γ, no mass matrix), P_T = 8 · P_massless
+    def rhs_t(state, fric, y2):
+        q_r, q_i, p_r, p_i = state
+        return jnp.stack([p_r, p_i,
+                          -fric * p_r - y2 * q_r,
+                          -fric * p_i - y2 * q_i])
+
+    def integrate_t(state0_k, per_step_k):
+        def step(state, s):
+            f0, y20, f1, y21, f2, y22, dt = s
+            k1 = rhs_t(state, f0, y20)
+            k2 = rhs_t(state + 0.5 * dt * k1, f1, y21)
+            k3 = rhs_t(state + 0.5 * dt * k2, f1, y21)
+            k4 = rhs_t(state + dt * k3, f2, y22)
+            return state + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+        out, _ = lax.scan(step, state0_k, per_step_k)
+        return out
+
+    state0_t = np.stack(
+        [np.ones_like(y0), np.zeros_like(y0), -np.ones_like(y0), -y0], axis=1
+    )                                                       # (K, 4)
+    per_step_t = (
+        jnp.asarray(fric_n[:, :-1]), jnp.asarray(y2_n[:, :-1]),
+        jnp.asarray(fric_m), jnp.asarray(y2_m),
+        jnp.asarray(fric_n[:, 1:]), jnp.asarray(y2_n[:, 1:]),
+        jnp.asarray(dts),
+    )
+    final_t = np.asarray(
+        jax.jit(jax.vmap(integrate_t))(jnp.asarray(state0_t), per_step_t)
+    )                                                       # (K, 4)
+
     # ζ read-out on the common end surface
     x_f = np.stack([interp(rows[:, c], grids[:, -1]) for c in range(d)])
     chi_f = np.stack([interp(rows[:, d + c], grids[:, -1]) for c in range(d)])
@@ -477,21 +627,57 @@ def mode_spectrum(
     )[:, None]
     # k³·amp² = (H_* e^{N_sub})²/2 with amp = 1/(a₀√(2k)), a₀ = e^{N*−N_sub}
     k3_amp2 = 0.5 * (h_star * np.exp(float(N_sub))) ** 2
-    p_zeta = (k3_amp2 / (2.0 * np.pi**2)) * (
-        zeta_r**2 + zeta_i**2
-    ).sum(axis=1)
+    norm = k3_amp2 / (2.0 * np.pi**2)
+    p_zeta = norm * (zeta_r**2 + zeta_i**2).sum(axis=1)
 
-    p_tens = 2.0 * h_star * h_star / np.pi**2
+    # isocurvature: decompose Q on the adiabatic direction σ̂ = χ/|χ| and
+    # its G-orthogonal complement; S = (H/|χ|)·Q_s carries ζ's normalization
+    # so P_iso/P_zeta is the primordial isocurvature fraction
+    chi2 = np.einsum("ka,ak->k", chi_lo, chi_f)            # |χ|², (K,)
+    s_norm = h_f / np.sqrt(chi2)                           # H/|χ|
+    q_sig_r = np.einsum("ka,kia->ki", chi_lo, final[:, 0]) / np.sqrt(chi2)[:, None]
+    q_sig_i = np.einsum("ka,kia->ki", chi_lo, final[:, 1]) / np.sqrt(chi2)[:, None]
+    q2_r = np.einsum("kia,kab,kib->ki", final[:, 0], g_f, final[:, 0])
+    q2_i = np.einsum("kia,kab,kib->ki", final[:, 1], g_f, final[:, 1])
+    q_s2 = np.maximum(q2_r - q_sig_r**2, 0.0) + np.maximum(q2_i - q_sig_i**2, 0.0)
+    p_iso = norm * (s_norm**2) * q_s2.sum(axis=1)
+
+    cos_delta = np.full(int(pivots), np.nan)
+    if d == 2:
+        # signed entropic direction: Gram-Schmidt a coordinate vector vs σ̂
+        sig_up = chi_f.T / np.sqrt(chi2)[:, None]          # (K, d)
+        sig_lo = chi_lo / np.sqrt(chi2)[:, None]
+        pick = np.argmin(np.abs(sig_up), axis=1)           # (K,)
+        e = np.eye(d)[pick]                                # (K, d) upper
+        s_up = e - sig_up * np.einsum("ka,ka->k", sig_lo, e)[:, None]
+        s_up = s_up / np.sqrt(
+            np.einsum("ka,kab,kb->k", s_up, g_f, s_up)
+        )[:, None]
+        s_lo = np.einsum("kab,kb->ka", g_f, s_up)
+        ss_r = np.einsum("ka,kia->ki", s_lo, final[:, 0])
+        ss_i = np.einsum("ka,kia->ki", s_lo, final[:, 1])
+        cross = norm * s_norm * (zeta_r * ss_r + zeta_i * ss_i).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos_delta = cross / np.sqrt(p_zeta * p_iso)
+
+    # exact tensor spectrum from the massless-mode integration
+    p_tens = 8.0 * norm * (final_t[:, 0] ** 2 + final_t[:, 1] ** 2)
     n_s = np.full(int(pivots), np.nan)
+    n_t = np.full(int(pivots), np.nan)
     if int(pivots) >= 3:
         ln_p = np.log(p_zeta)
+        ln_pt = np.log(p_tens)
         n_s[1:-1] = 1.0 + (ln_p[2:] - ln_p[:-2]) / (ln_k[2:] - ln_k[:-2])
+        n_t[1:-1] = (ln_pt[2:] - ln_pt[:-2]) / (ln_k[2:] - ln_k[:-2])
     return {
         "ln_k": ln_k,
         "N": n_pivots,
         "P_zeta": p_zeta,
         "P_tensor": p_tens,
+        "P_iso": p_iso,
+        "cos_delta": cos_delta,
         "n_s": n_s,
+        "n_t": n_t,
         "r": p_tens / p_zeta,
         "H": h_star,
     }

@@ -147,6 +147,60 @@ def test_mass_matrix_riemann_term_constant_curvature():
     )
 
 
+def test_delta_n_fnl_matches_lyth_rodriguez(quadratic):
+    """Second-order δN on the φ² axis: N = φ²/4 ⇒ N' = φ/2, N'' = ½, so
+    f_NL = (5/6)·N''/N'² = 5/(3φ²) exactly (Lyth–Rodríguez, super-horizon
+    part).  Also pins the covariant-Hessian values themselves."""
+    art, m, rows, times = quadratic
+    spec = perturbations.delta_n_spectrum(
+        art, m, rows, times, pivots=4, N_margin_start=5.0,
+        N_margin_end=10.0, steps=2000, order=2, max_err=1e-10,
+    )
+    phi = 2.0 * spec["N_grad"][:, 0]
+    np.testing.assert_allclose(spec["f_NL"], 5.0 / (3.0 * phi**2), rtol=0.1)
+    np.testing.assert_allclose(spec["N_hess"][:, 0, 0], 0.5, rtol=0.02)
+    # the spectator axis is flat in N to stencil noise
+    np.testing.assert_allclose(spec["N_hess"][:, 0, 1], 0.0, atol=5e-3)
+
+
+def test_delta_n_order_validation(quadratic):
+    art, m, rows, times = quadratic
+    with pytest.raises(ValueError, match="order"):
+        perturbations.delta_n_spectrum(art, m, rows, times, order=3)
+
+
+def test_mode_spectrum_exact_tensor_and_iso_flat(quadratic):
+    """On the single-field φ² axis: exact P_T matches the slow-roll
+    2H²/π² to O(ε), the entropy mode decays (massless spectator still
+    contributes Q_s, but S = (H/|χ|)Q_s is uncorrelated with ζ), and
+    n_t ≈ −r/8 (consistency relation) at the resolved pivots."""
+    art, m, rows, times = quadratic
+    ms = perturbations.mode_spectrum(
+        art, m, rows, times, pivots=5, N_margin_start=5.0, N_margin_end=8.0
+    )
+    sr = 2.0 * ms["H"] ** 2 / np.pi**2
+    np.testing.assert_allclose(ms["P_tensor"], sr, rtol=0.15)
+    assert np.all(ms["P_iso"] >= 0.0)
+    ok = np.isfinite(ms["n_t"])
+    np.testing.assert_allclose(
+        ms["n_t"][ok], -ms["r"][ok] / 8.0, atol=0.02
+    )
+    # ζ and S are built from orthogonal mode sums on the decoupled axis
+    assert np.all(np.abs(ms["cos_delta"][np.isfinite(ms["cos_delta"])]) < 0.2)
+
+
+def test_mode_spectrum_iso_curved_finite(curved):
+    """Turning two-field background: isocurvature outputs are finite and
+    the correlation cosine is a valid cosine."""
+    art, args, rows, times = curved
+    ms = perturbations.mode_spectrum(
+        art, args, rows, times, pivots=3, N_margin_start=5.0, N_margin_end=8.0
+    )
+    assert np.all(np.isfinite(ms["P_iso"])) and np.all(ms["P_iso"] >= 0)
+    ok = np.isfinite(ms["cos_delta"])
+    assert np.all(np.abs(ms["cos_delta"][ok]) <= 1.0 + 1e-9)
+
+
 def test_spectra_error_paths(quadratic):
     art, m, rows, times = quadratic
     with pytest.raises(ValueError, match="never reaches"):

@@ -232,6 +232,25 @@ def along_trajectory(artifact: CompiledModel, rows, args) -> dict:
     return out
 
 
+def _eps1_crossing(eps_h):
+    """First ε_H = 1 crossing of a solved trajectory: returns the index
+    ``i`` of the first row past the crossing and the linear interpolation
+    fraction within [i−1, i].  Shared by :func:`horizon_exit` and the
+    perturbation-spectra surface detection."""
+    eps_h = np.asarray(eps_h)
+    above = np.nonzero(eps_h >= 1.0)[0]
+    if above.size == 0:
+        raise ValueError(
+            "inflation does not end within the integrated span (max ε_H = "
+            f"{np.nanmax(eps_h):.3g} < 1) — integrate further"
+        )
+    i = int(above[0])
+    if i == 0:
+        raise ValueError("trajectory starts with ε_H ≥ 1 (not inflating)")
+    frac = (1.0 - eps_h[i - 1]) / (eps_h[i] - eps_h[i - 1])
+    return i, frac
+
+
 def _split_rows(artifact: CompiledModel, rows):
     """Solver rows → (fields, derivatives, H) column lists (shape-checked)."""
     rows = jnp.asarray(rows)
@@ -289,18 +308,7 @@ def horizon_exit(
     )
     efold = efolds(rows, times)
 
-    above = np.nonzero(eps_h >= 1.0)[0]
-    if above.size == 0:
-        raise ValueError(
-            f"inflation does not end within the integrated span (max ε_H = "
-            f"{np.nanmax(eps_h):.3g} < 1 over {efold[-1]:.1f} e-folds) — "
-            "integrate further"
-        )
-    i = int(above[0])
-    if i == 0:
-        raise ValueError("trajectory starts with ε_H ≥ 1 (not inflating)")
-    # linear interpolation of the ε_H = 1 crossing in e-fold time
-    frac = (1.0 - eps_h[i - 1]) / (eps_h[i] - eps_h[i - 1])
+    i, frac = _eps1_crossing(eps_h)
     n_end = efold[i - 1] + frac * (efold[i] - efold[i - 1])
     n_exit = n_end - float(N_before_end)
     if n_exit < efold[0]:

@@ -16,9 +16,10 @@ coordinate-Hesse functions):
   field-velocity dependence of N is erased by the attractor); includes all
   multi-field and field-space-metric effects through the solves themselves.
 
-The Mukhanov-Sasaki mode-integration route (:func:`mode_spectrum`, when
-present) solves the coupled perturbation ODEs through horizon crossing and
-is cross-validated against δN — two formalisms, one answer.
+* **Mukhanov-Sasaki mode integration** (:func:`mode_spectrum`): solves the
+  coupled perturbation ODEs through horizon crossing and is cross-validated
+  against δN — two independent formalisms, one answer.  Also yields the
+  exact tensor spectrum and the isocurvature decomposition.
 
 Conventions: reduced Planck units (M_Pl = 1); P_ζ is the dimensionless
 spectrum (single-field slow-roll limit H²/(8π²ε)); ln k = N + ln H at
@@ -30,8 +31,12 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+from jax import lax
+
 from . import background
-from .observables import _split_rows
+from .observables import _eps1_crossing, _split_rows
 from .utils.errors import ShapeError
 
 __all__ = ["delta_n_spectrum", "mode_spectrum"]
@@ -52,16 +57,7 @@ def _base_quantities(artifact, args, rows, times):
     chi_sq = np.asarray(artifact.inner_prod(x_cols, args, chi_cols, chi_cols))
     eps_h = 0.5 * chi_sq / (hubble * hubble)
     n_axis = background.efolds(rows, times, hdot=-0.5 * chi_sq)
-    above = np.nonzero(eps_h >= 1.0)[0]
-    if above.size == 0:
-        raise ValueError(
-            "the base trajectory never reaches ε_H = 1 — integrate further "
-            f"(max ε_H = {np.nanmax(eps_h):.3g})"
-        )
-    i = int(above[0])
-    if i == 0:
-        raise ValueError("base trajectory starts with ε_H ≥ 1 (not inflating)")
-    frac = (1.0 - eps_h[i - 1]) / (eps_h[i] - eps_h[i - 1])
+    i, frac = _eps1_crossing(eps_h)
     n_end = n_axis[i - 1] + frac * (n_axis[i] - n_axis[i - 1])
     h_ref = hubble[i - 1] + frac * (hubble[i] - hubble[i - 1])
     return rows, times, hubble, eps_h, n_axis, i, n_end, h_ref
@@ -217,6 +213,13 @@ def delta_n_spectrum(
             f"{hub_b[bad].min():.4g}) — raise steps"
         )
     idx = np.argmax(hub_b <= h_ref, axis=1)      # first row past the surface
+    if (idx == 0).any():
+        bad = int(np.nonzero(idx == 0)[0][0])
+        raise ValueError(
+            f"perturbed trajectory {bad} starts at or below the final "
+            f"surface H = {h_ref:.4g} — the pivot is too close to the end "
+            "of inflation; raise N_margin_end"
+        )
     rows_idx = np.arange(rows_b.shape[0])
     h0 = hub_b[rows_idx, idx - 1]
     h1 = hub_b[rows_idx, idx]
@@ -313,6 +316,60 @@ def delta_n_spectrum(
 # ----------------------------------------------------------------------- #
 # Mukhanov-Sasaki mode integration                                         #
 # ----------------------------------------------------------------------- #
+
+
+def _ms_rhs(state, gam, cmat, fric, y2):
+    """Scalar-mode RHS: state (4, i, a) = (Re Q, Im Q, Re P, Im P) with the
+    covariant P = dQ/dN + (Γu)Q."""
+    q_r, q_i, p_r, p_i = state[0], state[1], state[2], state[3]
+    gam_t = gam.T
+    c_t = cmat.T
+    dq_r = p_r - q_r @ gam_t
+    dq_i = p_i - q_i @ gam_t
+    dp_r = -(p_r @ gam_t) - fric * p_r - y2 * q_r - q_r @ c_t
+    dp_i = -(p_i @ gam_t) - fric * p_i - y2 * q_i - q_i @ c_t
+    return jnp.stack([dq_r, dq_i, dp_r, dp_i])
+
+
+def _ms_integrate(state0_k, per_step):
+    """RK4 over one pivot's e-fold grid (node/midpoint coefficient streams)."""
+    def step(state, s):
+        g0, c0, f0, y20, g1, c1, f1, y21, g2, c2, f2, y22, dt = s
+        k1 = _ms_rhs(state, g0, c0, f0, y20)
+        k2 = _ms_rhs(state + 0.5 * dt * k1, g1, c1, f1, y21)
+        k3 = _ms_rhs(state + 0.5 * dt * k2, g1, c1, f1, y21)
+        k4 = _ms_rhs(state + dt * k3, g2, c2, f2, y22)
+        return state + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+    out, _ = lax.scan(step, state0_k, per_step)
+    return out
+
+
+def _ms_rhs_t(state, fric, y2):
+    """Tensor-mode RHS: each polarization is a massless scalar (no Γ, no M)."""
+    q_r, q_i, p_r, p_i = state
+    return jnp.stack([p_r, p_i,
+                      -fric * p_r - y2 * q_r,
+                      -fric * p_i - y2 * q_i])
+
+
+def _ms_integrate_t(state0_k, per_step_k):
+    def step(state, s):
+        f0, y20, f1, y21, f2, y22, dt = s
+        k1 = _ms_rhs_t(state, f0, y20)
+        k2 = _ms_rhs_t(state + 0.5 * dt * k1, f1, y21)
+        k3 = _ms_rhs_t(state + 0.5 * dt * k2, f1, y21)
+        k4 = _ms_rhs_t(state + dt * k3, f2, y22)
+        return state + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+    out, _ = lax.scan(step, state0_k, per_step_k)
+    return out
+
+
+# module-level jits: repeated mode_spectrum calls with the same grid shape
+# hit the trace cache instead of recompiling a per-call closure
+_MS_INTEGRATE = jax.jit(jax.vmap(_ms_integrate))
+_MS_INTEGRATE_T = jax.jit(jax.vmap(_ms_integrate_t))
 
 
 def _with_samples(arr, nd, s):
@@ -445,10 +502,6 @@ def mode_spectrum(
     ~10⁻³ at the default step counts — agreement with δN to ~1% is the
     validated envelope.
     """
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
     d = artifact.n_fields
     rows, times, hubble, eps_h, n_axis, i_end, n_end, h_ref = _base_quantities(
         artifact, args, rows, times
@@ -456,7 +509,20 @@ def mode_spectrum(
     span = slice(0, i_end + 1)
     n_span = n_axis[span]
 
-    n_lo = n_axis[0] + max(float(N_margin_start), float(N_sub) + 0.25)
+    if float(N_margin_start) < float(N_sub) + 0.25:
+        raise ValueError(
+            f"N_margin_start ({N_margin_start}) must be at least "
+            f"N_sub + 0.25 ({float(N_sub) + 0.25}) so the Bunch-Davies "
+            "initialization has tabulated background before the first pivot"
+        )
+    if float(N_margin_end) < float(N_dense) + 0.25:
+        raise ValueError(
+            f"N_margin_end ({N_margin_end}) must be at least "
+            f"N_dense + 0.25 ({float(N_dense) + 0.25}) so every pivot's "
+            "dense phase ends before the ζ read-out surface (np.interp "
+            "would silently clamp the ODE coefficients past the table)"
+        )
+    n_lo = n_axis[0] + float(N_margin_start)
     n_hi = n_end - float(N_margin_end)
     if not n_hi > n_lo:
         raise ValueError(
@@ -482,11 +548,6 @@ def mode_spectrum(
                            int(tail_steps) + 1)[1:]
         grids.append(np.concatenate([dense, tail]))
     grids = np.asarray(grids)                              # (K, S+1)
-    if grids[:, 0].min() < n_axis[0] - 1e-12:
-        raise ValueError(
-            "first pivot needs background earlier than the trajectory start "
-            "— raise N_margin_start or start the base solve deeper"
-        )
     mids = 0.5 * (grids[:, :-1] + grids[:, 1:])            # (K, S)
     dts = np.diff(grids, axis=1)                           # (K, S)
 
@@ -538,28 +599,6 @@ def mode_spectrum(
     p_i0 = dq_i0 + np.einsum("kac,kic->kia", gam_n[:, 0], q_i0)
     state0 = np.stack([q_r0, q_i0, p_r0, p_i0], axis=1)     # (K, 4, i, a)
 
-    def rhs(state, gam, cmat, fric, y2):
-        q_r, q_i, p_r, p_i = state[0], state[1], state[2], state[3]
-        gam_t = gam.T
-        c_t = cmat.T
-        dq_r = p_r - q_r @ gam_t
-        dq_i = p_i - q_i @ gam_t
-        dp_r = -(p_r @ gam_t) - fric * p_r - y2 * q_r - q_r @ c_t
-        dp_i = -(p_i @ gam_t) - fric * p_i - y2 * q_i - q_i @ c_t
-        return jnp.stack([dq_r, dq_i, dp_r, dp_i])
-
-    def integrate(state0_k, per_step):
-        def step(state, s):
-            g0, c0, f0, y20, g1, c1, f1, y21, g2, c2, f2, y22, dt = s
-            k1 = rhs(state, g0, c0, f0, y20)
-            k2 = rhs(state + 0.5 * dt * k1, g1, c1, f1, y21)
-            k3 = rhs(state + 0.5 * dt * k2, g1, c1, f1, y21)
-            k4 = rhs(state + dt * k3, g2, c2, f2, y22)
-            return state + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
-
-        out, _ = lax.scan(step, state0_k, per_step)
-        return out
-
     per_step = (
         jnp.asarray(gam_n[:, :-1]), jnp.asarray(c_n[:, :-1]),
         jnp.asarray(fric_n[:, :-1, None, None]),
@@ -572,29 +611,12 @@ def mode_spectrum(
         jnp.asarray(y2_n[:, 1:, None, None]),
         jnp.asarray(dts[:, :, None, None, None]),
     )
-    final = jax.jit(jax.vmap(integrate))(jnp.asarray(state0), per_step)
-    final = np.asarray(final)                               # (K, 4, i, a)
+    final = np.asarray(
+        _MS_INTEGRATE(jnp.asarray(state0), per_step)
+    )                                                       # (K, 4, i, a)
 
     # tensor modes: each polarization is a canonically-normalized massless
     # scalar (no Γ, no mass matrix), P_T = 8 · P_massless
-    def rhs_t(state, fric, y2):
-        q_r, q_i, p_r, p_i = state
-        return jnp.stack([p_r, p_i,
-                          -fric * p_r - y2 * q_r,
-                          -fric * p_i - y2 * q_i])
-
-    def integrate_t(state0_k, per_step_k):
-        def step(state, s):
-            f0, y20, f1, y21, f2, y22, dt = s
-            k1 = rhs_t(state, f0, y20)
-            k2 = rhs_t(state + 0.5 * dt * k1, f1, y21)
-            k3 = rhs_t(state + 0.5 * dt * k2, f1, y21)
-            k4 = rhs_t(state + dt * k3, f2, y22)
-            return state + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
-
-        out, _ = lax.scan(step, state0_k, per_step_k)
-        return out
-
     state0_t = np.stack(
         [np.ones_like(y0), np.zeros_like(y0), -np.ones_like(y0), -y0], axis=1
     )                                                       # (K, 4)
@@ -605,7 +627,7 @@ def mode_spectrum(
         jnp.asarray(dts),
     )
     final_t = np.asarray(
-        jax.jit(jax.vmap(integrate_t))(jnp.asarray(state0_t), per_step_t)
+        _MS_INTEGRATE_T(jnp.asarray(state0_t), per_step_t)
     )                                                       # (K, 4)
 
     # ζ read-out on the common end surface
@@ -644,15 +666,16 @@ def mode_spectrum(
 
     cos_delta = np.full(int(pivots), np.nan)
     if d == 2:
-        # signed entropic direction: Gram-Schmidt a coordinate vector vs σ̂
-        sig_up = chi_f.T / np.sqrt(chi2)[:, None]          # (K, d)
-        sig_lo = chi_lo / np.sqrt(chi2)[:, None]
-        pick = np.argmin(np.abs(sig_up), axis=1)           # (K,)
-        e = np.eye(d)[pick]                                # (K, d) upper
-        s_up = e - sig_up * np.einsum("ka,ka->k", sig_lo, e)[:, None]
-        s_up = s_up / np.sqrt(
-            np.einsum("ka,kab,kb->k", s_up, g_f, s_up)
-        )[:, None]
+        # signed entropic direction s^a = ε^{ab} σ_b (ε^{ab} = the
+        # contravariant Levi-Civita tensor, [[0,1],[−1,0]]/√detG) —
+        # G-orthonormal to σ̂ by construction and CONTINUOUS along the
+        # trajectory (a coordinate-pick Gram-Schmidt flips sign whenever
+        # the picked axis switches, scrambling the sign of cos Δ)
+        sig_lo = chi_lo / np.sqrt(chi2)[:, None]           # σ_b, (K, 2)
+        detg = np.linalg.det(g_f)                          # (K,)
+        s_up = np.stack(
+            [sig_lo[:, 1], -sig_lo[:, 0]], axis=1
+        ) / np.sqrt(detg)[:, None]
         s_lo = np.einsum("kab,kb->ka", g_f, s_up)
         ss_r = np.einsum("ka,kia->ki", s_lo, final[:, 0])
         ss_i = np.einsum("ka,kia->ki", s_lo, final[:, 1])

@@ -203,8 +203,12 @@ def test_mode_spectrum_iso_curved_finite(curved):
 
 def test_spectra_error_paths(quadratic):
     art, m, rows, times = quadratic
-    with pytest.raises(ValueError, match="never reaches"):
+    with pytest.raises(ValueError, match="does not end"):
         perturbations.delta_n_spectrum(art, m, rows[:50], times[:50])
+    with pytest.raises(ValueError, match="N_margin_end"):
+        perturbations.mode_spectrum(art, m, rows, times, N_margin_end=1.0)
+    with pytest.raises(ValueError, match="N_margin_start"):
+        perturbations.mode_spectrum(art, m, rows, times, N_margin_start=1.0)
     with pytest.raises(ValueError, match="too short"):
         perturbations.delta_n_spectrum(
             art, m, rows, times, N_margin_start=50.0, N_margin_end=50.0

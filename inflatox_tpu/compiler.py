@@ -163,9 +163,14 @@ class CompiledModel:
         vals = [jnp.asarray(v) for v in (g if isinstance(g, tuple) else (g,))]
         # entries lower independently: a constant entry (e.g. G_00 = 1)
         # comes back scalar while an x-dependent one rides the grid shape —
-        # broadcast everything to the common shape before stacking
-        shape = jnp.broadcast_shapes(*[v.shape for v in vals])
+        # broadcast everything to the x arrays' common shape before
+        # stacking (a fully-constant metric must still honor the
+        # trailing-grid-axes and float contract)
+        xshape = jnp.broadcast_shapes(*[jnp.shape(xi) for xi in x])
+        shape = jnp.broadcast_shapes(xshape, *[v.shape for v in vals])
         dtype = jnp.result_type(*vals)
+        if not jnp.issubdtype(dtype, jnp.inexact):
+            dtype = jnp.result_type(float)
         zero = jnp.zeros(shape, dtype)
         rows = [[zero] * d for _ in range(d)]
         for k, (a, b) in enumerate(self._metric_nonzero):

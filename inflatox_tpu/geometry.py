@@ -42,9 +42,10 @@ __all__ = [
 
 
 def _metric_inverse(model) -> sympy.Matrix:
-    # 2×2 models (the common case) invert via adjugate/det — pure
-    # arithmetic, no simplification, safe for huge D5-class entries
-    return sympy.Matrix(model.metric).inv()
+    # adjugate/det — pure arithmetic.  The default inv() (DM/GE) runs
+    # pivot zero-testing through the assumption engine, which is the class
+    # of sympy call that never terminates on D5/EGNO-scale entries
+    return sympy.Matrix(model.metric).inv(method="ADJ")
 
 
 def christoffel_exprs(model) -> list:
@@ -137,12 +138,23 @@ class Geometry:
         self._art = artifact
         self._fns: dict = {}
         self._gamma_exprs = None
+        self._riemann_exprs = None
 
     @property
     def _gamma(self):
         if self._gamma_exprs is None:
             self._gamma_exprs = christoffel_exprs(self._art.model)
         return self._gamma_exprs
+
+    @property
+    def _riemann(self):
+        # cached: the d⁴ nested diff over /det-laden Christoffels is
+        # minutes of single-core sympy on D5/EGNO-class metrics
+        if self._riemann_exprs is None:
+            self._riemann_exprs = riemann_exprs(
+                self._art.model, gamma=self._gamma
+            )
+        return self._riemann_exprs
 
     def _lowered(self, key, exprs_builder):
         fn = self._fns.get(key)
@@ -157,14 +169,19 @@ class Geometry:
         return fn
 
     @staticmethod
-    def _stack(flat, dims):
+    def _stack(flat, dims, x):
         """Stack lowered components into shape dims + broadcast-shape.
-        Identically-zero components lower to plain scalars while the rest
-        ride the grid shape, so broadcast everything up first."""
+        Identically-zero (or constant) components lower to plain scalars
+        while the rest ride the grid shape, so broadcast everything up to
+        the x arrays' common shape — a flat metric must still honor the
+        documented trailing-grid-axes (and float) contract."""
         arrs = [jnp.asarray(v) for v in flat]
-        shape = jnp.broadcast_shapes(*[a.shape for a in arrs])
-        arrs = [jnp.broadcast_to(a, shape).astype(jnp.result_type(*arrs))
-                for a in arrs]
+        xshape = jnp.broadcast_shapes(*[jnp.shape(xi) for xi in x])
+        shape = jnp.broadcast_shapes(xshape, *[a.shape for a in arrs])
+        dtype = jnp.result_type(*arrs)
+        if not jnp.issubdtype(dtype, jnp.inexact):
+            dtype = jnp.result_type(float)
+        arrs = [jnp.broadcast_to(a, shape).astype(dtype) for a in arrs]
         return jnp.stack(arrs).reshape(dims + shape)
 
     def christoffels(self, x, args):
@@ -175,28 +192,25 @@ class Geometry:
             lambda: [self._gamma[a][b][c]
                      for a in range(d) for b in range(d) for c in range(d)],
         )(x, args)
-        return self._stack(flat, (d, d, d))
+        return self._stack(flat, (d, d, d), x)
 
     def riemann(self, x, args):
         """``R^a_{bcd}(x)``, shape (d, d, d, d[, *grid])."""
         d = self._art.n_fields
 
         def build():
-            riem = riemann_exprs(self._art.model, gamma=self._gamma)
+            riem = self._riemann
             return [riem[a][b][c][e] for a in range(d) for b in range(d)
                     for c in range(d) for e in range(d)]
 
         flat = self._lowered("riemann", build)(x, args)
-        return self._stack(flat, (d, d, d, d))
+        return self._stack(flat, (d, d, d, d), x)
 
     def ricci_scalar(self, x, args):
         """Ricci scalar ``R(x)`` (scalar or grid)."""
         return self._lowered(
             "ricci_scalar",
-            lambda: ricci_scalar_expr(
-                self._art.model,
-                riem=riemann_exprs(self._art.model, gamma=self._gamma),
-            ),
+            lambda: ricci_scalar_expr(self._art.model, riem=self._riemann),
         )(x, args)
 
     def hesse(self, x, args):
@@ -209,4 +223,4 @@ class Geometry:
             lambda: [e for row in hesse_coord_exprs(
                 self._art.model, gamma=self._gamma) for e in row],
         )(x, args)
-        return self._stack(flat, (d, d))
+        return self._stack(flat, (d, d), x)

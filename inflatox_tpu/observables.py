@@ -233,20 +233,27 @@ def along_trajectory(artifact: CompiledModel, rows, args) -> dict:
 
 
 def _eps1_crossing(eps_h):
-    """First ε_H = 1 crossing of a solved trajectory: returns the index
-    ``i`` of the first row past the crossing and the linear interpolation
-    fraction within [i−1, i].  Shared by :func:`horizon_exit` and the
-    perturbation-spectra surface detection."""
+    """End-of-inflation ε_H = 1 up-crossing of a solved trajectory: the
+    index ``i`` of the first row past the crossing and the linear
+    interpolation fraction within [i−1, i].  Shared by
+    :func:`horizon_exit` and the perturbation-spectra surface detection.
+
+    A velocity-overshoot start (large user-supplied initial χ that the
+    Hubble friction damps onto the attractor within a few rows) may begin
+    with ε_H ≥ 1 — the search runs from the first *inflating* row, not
+    row 0, so only trajectories that never inflate are rejected."""
     eps_h = np.asarray(eps_h)
-    above = np.nonzero(eps_h >= 1.0)[0]
+    below = np.nonzero(eps_h < 1.0)[0]
+    if below.size == 0:
+        raise ValueError("trajectory never inflates (ε_H ≥ 1 at every row)")
+    start = int(below[0])
+    above = np.nonzero(eps_h[start:] >= 1.0)[0]
     if above.size == 0:
         raise ValueError(
             "inflation does not end within the integrated span (max ε_H = "
-            f"{np.nanmax(eps_h):.3g} < 1) — integrate further"
+            f"{np.nanmax(eps_h[start:]):.3g} < 1) — integrate further"
         )
-    i = int(above[0])
-    if i == 0:
-        raise ValueError("trajectory starts with ε_H ≥ 1 (not inflating)")
+    i = start + int(above[0])
     frac = (1.0 - eps_h[i - 1]) / (eps_h[i] - eps_h[i - 1])
     return i, frac
 
@@ -263,6 +270,28 @@ def _split_rows(artifact: CompiledModel, rows):
     x = [rows[:, a] for a in range(d)]
     chi = [rows[:, d + a] for a in range(d)]
     return x, chi, rows[:, 2 * d]
+
+
+def _trajectory_eps_h(artifact: CompiledModel, rows, times, args):
+    """Coerce/validate one solved trajectory and compute its Hubble column,
+    exact ε_H = ½|χ|²_G/H², and Hermite-corrected e-fold axis — the shared
+    preamble of every along-the-trajectory analysis (:func:`horizon_exit`,
+    :func:`power_spectrum`, the perturbation-spectra surfaces)."""
+    rows = np.asarray(rows, dtype=float)
+    times = np.asarray(times, dtype=float)
+    if rows.ndim != 2 or times.shape != (rows.shape[0],):
+        raise ShapeError(
+            (rows.shape[0],), times.shape,
+            "pass one trajectory's rows with its times (return_time=True)",
+        )
+    # ε_H directly (inner_prod + H only) — along_trajectory would also
+    # evaluate the full projected Hesse at every row just to discard it
+    x, chi, hubble = _split_rows(artifact, rows)
+    hubble = np.asarray(hubble)
+    chi_sq = np.asarray(artifact.inner_prod(x, args, chi, chi))
+    eps_h = 0.5 * chi_sq / (hubble * hubble)
+    n_efold = efolds(rows, times, hdot=-0.5 * chi_sq)
+    return rows, times, hubble, eps_h, n_efold
 
 
 def horizon_exit(
@@ -292,21 +321,8 @@ def horizon_exit(
     reference cannot express it at all — its solver output has no time
     axis, making e-fold counts uncomputable (background_solver.rs:283-295).
     """
-    rows = np.asarray(rows, dtype=float)
-    times = np.asarray(times, dtype=float)
-    if rows.ndim != 2 or times.shape != (rows.shape[0],):
-        raise ShapeError(
-            (rows.shape[0],), times.shape,
-            "pass one trajectory's rows with its times (return_time=True)",
-        )
     d = artifact.n_fields
-    # epsilon_h directly (inner_prod + H only) — along_trajectory would also
-    # evaluate the full projected Hesse at every row just to discard it
-    x, chi, hubble = _split_rows(artifact, rows)
-    eps_h = np.asarray(
-        0.5 * artifact.inner_prod(x, args, chi, chi) / (hubble * hubble)
-    )
-    efold = efolds(rows, times)
+    rows, times, _, eps_h, efold = _trajectory_eps_h(artifact, rows, times, args)
 
     i, frac = _eps1_crossing(eps_h)
     n_end = efold[i - 1] + frac * (efold[i] - efold[i - 1])
@@ -366,19 +382,9 @@ def power_spectrum(artifact: CompiledModel, rows, times, args) -> dict:
     at all, and cannot build one: its solver output has no time axis
     (background_solver.rs:283-295).
     """
-    rows = np.asarray(rows, dtype=float)
-    times = np.asarray(times, dtype=float)
-    if rows.ndim != 2 or times.shape != (rows.shape[0],):
-        raise ShapeError(
-            (rows.shape[0],), times.shape,
-            "pass one trajectory's rows with its times (return_time=True)",
-        )
-    x, chi, hubble = _split_rows(artifact, rows)
-    eps_h = np.asarray(
-        0.5 * artifact.inner_prod(x, args, chi, chi) / (hubble * hubble)
+    rows, times, hubble, eps_h, n_efold = _trajectory_eps_h(
+        artifact, rows, times, args
     )
-    n_efold = efolds(rows, times)
-    hubble = np.asarray(hubble)
 
     keep = (eps_h > 0.0) & (eps_h < 1.0) & (hubble > 0.0)
     if not keep.any():
@@ -420,6 +426,14 @@ def power_spectrum(artifact: CompiledModel, rows, times, args) -> dict:
 # ----------------------------------------------------------------------- #
 
 _fixed_cache: dict = {}
+_CACHE_CAP = 8  # both runner caches: keys pin their closures (and every
+                # array they capture) alive, so bound them LRU-style
+
+
+def _cache_put(cache: dict, key, value):
+    cache[key] = value
+    while len(cache) > _CACHE_CAP:
+        cache.pop(next(iter(cache)))  # dicts preserve insertion order
 
 
 def _build_fixed(artifact: CompiledModel, dtype):
@@ -495,7 +509,7 @@ def solve_eom_fixed(
     run = _fixed_cache.get(key)
     if run is None:
         run = _build_fixed(artifact, jnp.float64)
-        _fixed_cache[key] = run
+        _cache_put(_fixed_cache, key, run)
     return run(fields_init, derivatives_init, pars, times)
 
 
@@ -576,7 +590,7 @@ def fit_parameters(
             return params, history
 
         run = jax.jit(lambda p0: (run_one if p0.ndim == 1 else jax.vmap(run_one))(p0))
-        _fit_cache[key] = run
+        _cache_put(_fit_cache, key, run)
 
     params, history = run(params0)
     return FitResult(np.asarray(params), np.asarray(history))

@@ -39,7 +39,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..background import _DT_FLOOR, _DT_INIT, _RKF_A, _RKF_B4, _RKF_B5
+from ..background import _DT_INIT, _RKF_A, _RKF_B4, _RKF_B5
 
 __all__ = ["solve_eom_batch_pallas"]
 
@@ -187,7 +187,10 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
     def row_body(local, carry):
         y_, t_, dt_ = unpack_state(carry)
         grow = rc * jnp.int32(_ROW_CHUNK) + local  # global row index
-        stepping = grow > jnp.int32(0)  # row 0 records the initial state
+        # row 0 records the initial state; rows >= steps are _ROW_CHUNK
+        # padding that _combine_outputs slices away — don't burn adaptive
+        # attempts (possibly on a diverging state) producing them
+        stepping = (grow > jnp.int32(0)) & (grow < jnp.int32(steps))
 
         # masked adaptive attempts with an all-lanes-accepted early exit:
         # every update below is already masked to not-yet-accepted lanes, so
@@ -209,9 +212,13 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
             ya, ta, adt = unpack_state(carry[2:])
             accepted = acc_f > np.float32(0.5)
             cand, err = _rkf_attempt(fns, ya, adt, args, nf)
+            # NB: background.py's _DT_FLOOR (1e-250) underflows to 0.0 in
+            # f32, which would make this force-accept dead and let a
+            # stalled lane freeze at dt = 0 forever — use the smallest
+            # f32-representable positive floor instead
             ok = jnp.logical_or(
                 err / np.float32(max_err) <= np.float32(1.1),
-                adt <= np.float32(_DT_FLOOR),
+                adt <= np.float32(1e-30),
             )
             take = ok & jnp.logical_not(accepted)
 
@@ -391,6 +398,9 @@ def solve_eom_batch_pallas(
     if fields_init.ndim != 2 or fields_init.shape[1] != nf:
         raise ShapeError((-1, nf), fields_init.shape,
                          "batched initial conditions must be (B, n_fields)")
+    if derivs_init.shape != fields_init.shape:
+        raise ShapeError(fields_init.shape, derivs_init.shape,
+                         "derivatives_init must match fields_init (B, n_fields)")
     per_traj = pars.ndim == 2
     if per_traj and pars.shape != (fields_init.shape[0],
                                    artifact.n_parameters):

@@ -36,8 +36,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import background
-from .observables import _eps1_crossing, _split_rows
-from .utils.errors import ShapeError
+from .observables import _eps1_crossing, _trajectory_eps_h
 
 __all__ = ["delta_n_spectrum", "mode_spectrum"]
 
@@ -45,18 +44,9 @@ __all__ = ["delta_n_spectrum", "mode_spectrum"]
 def _base_quantities(artifact, args, rows, times):
     """Common base-trajectory analysis: e-fold axis, ε_H, end of inflation
     (ε_H = 1 crossing, interpolated) and the H value there."""
-    rows = np.asarray(rows, dtype=float)
-    times = np.asarray(times, dtype=float)
-    if rows.ndim != 2 or times.shape != (rows.shape[0],):
-        raise ShapeError(
-            (rows.shape[0],), times.shape,
-            "pass one base trajectory's rows with its times (return_time=True)",
-        )
-    x_cols, chi_cols, hubble = _split_rows(artifact, rows)
-    hubble = np.asarray(hubble)
-    chi_sq = np.asarray(artifact.inner_prod(x_cols, args, chi_cols, chi_cols))
-    eps_h = 0.5 * chi_sq / (hubble * hubble)
-    n_axis = background.efolds(rows, times, hdot=-0.5 * chi_sq)
+    rows, times, hubble, eps_h, n_axis = _trajectory_eps_h(
+        artifact, rows, times, args
+    )
     i, frac = _eps1_crossing(eps_h)
     n_end = n_axis[i - 1] + frac * (n_axis[i] - n_axis[i - 1])
     h_ref = hubble[i - 1] + frac * (hubble[i] - hubble[i - 1])

@@ -152,6 +152,10 @@ def test_pallas_solver_fallback_and_contract(doc_model_artifact):
         solve_eom_batch_pallas(
             doc_model_artifact, np.array([1.0]), 10, f0[:, :1], d0
         )
+    with pytest.raises(ShapeError, match="derivatives_init"):
+        solve_eom_batch_pallas(
+            doc_model_artifact, np.array([1.0]), 10, f0, d0[:, :1]
+        )
 
 
 def test_pallas_solver_interpret_plumbing(doc_model_artifact, monkeypatch):

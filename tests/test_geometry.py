@@ -67,6 +67,21 @@ def test_flat_metric_geometry(trivial_artifact):
     )
 
 
+def test_flat_metric_geometry_grid_shape_contract(trivial_artifact):
+    """A flat metric lowers every component to a literal constant — the
+    result must STILL carry the documented trailing grid axes and a float
+    dtype (a caller indexing gamma[..., iy, ix] would otherwise crash)."""
+    geo = trivial_artifact.geometry
+    xg = [np.linspace(1.0, 2.0, 6), np.linspace(0.5, 1.5, 6)]
+    gam = np.asarray(geo.christoffels(xg, ARGS))
+    assert gam.shape == (2, 2, 2, 6) and np.issubdtype(gam.dtype, np.floating)
+    riem = np.asarray(geo.riemann(xg, ARGS))
+    assert riem.shape == (2, 2, 2, 2, 6)
+    # a fully-constant metric honors the same contract
+    gm = np.asarray(trivial_artifact.metric(xg, ARGS))
+    assert gm.shape == (2, 2, 6) and np.issubdtype(gm.dtype, np.floating)
+
+
 def test_polar_christoffels_and_flatness(polar_artifact):
     geo = polar_artifact.geometry
     r = 1.7

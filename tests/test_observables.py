@@ -179,6 +179,25 @@ def test_horizon_exit_error_paths(trivial_artifact):
         )
 
 
+def test_horizon_exit_velocity_overshoot_start(trivial_artifact):
+    """A large initial χ puts ε_H ≥ 1 on the first rows before Hubble
+    friction damps onto the attractor — the crossing search must skip the
+    overshoot and find the genuine end of inflation, not reject the
+    trajectory as 'not inflating'."""
+    m = np.array([1.0, 1.0])
+    rows, times = background.solve_eom(
+        trivial_artifact, m, 3000, [16.0, 0.0], [-40.0, 0.0],
+        max_err=1e-8, solver="rkf", return_time=True,
+    )
+    x, chi, hub = rows[0, :2], rows[0, 2:4], rows[0, 4]
+    eps0 = 0.5 * float(chi @ chi) / hub**2
+    assert eps0 >= 1.0, "fixture must actually start with an overshoot"
+    info = observables.horizon_exit(
+        trivial_artifact, rows, times, m, N_before_end=40.0
+    )
+    assert np.isfinite(info["N_end"]) and info["N_end"] > 40.0
+
+
 def test_solve_eom_fixed_matches_adaptive(trivial_artifact):
     # run the production adaptive solver, then re-integrate on a uniform
     # grid covering the same span: final states must agree to RK4 accuracy

@@ -16,6 +16,10 @@ Beyond the reference set:
   spectator; the concave potential region makes Planck-like (n_s, r)
   reachable, which the observable-fitting example exploits
   (examples/fit_observables.py).
+* :func:`alpha_attractor` — two-field α-attractor T-model on a hyperbolic
+  field space; the standard modern multi-field testbed (geometrical
+  destabilization, curvature-fed isocurvature) for the geometry and
+  perturbation-spectra layers.
 """
 
 from __future__ import annotations
@@ -25,7 +29,9 @@ import sympy
 
 from ..symbolic import InflationModel, InflationModelBuilder
 
-__all__ = ["hyperinflation", "angular", "egno", "d5", "natural"]
+__all__ = [
+    "hyperinflation", "angular", "egno", "d5", "natural", "alpha_attractor",
+]
 
 
 def hyperinflation(silent: bool = True):
@@ -189,6 +195,33 @@ def natural(silent: bool = True):
         [f1, f2], [[1, 0], [0, 1]], V, model_name="natural", silent=silent
     ).build()
     return model, _args_by_symbol(model, {"f_a": 5.73, "m": 0.05})
+
+
+def alpha_attractor(silent: bool = True):
+    """Two-field α-attractor T-model on the hyperbolic disc.
+
+    Disc coordinates (r, θ) with metric ``6α/(1−r²)² · diag(1, r²)``
+    (constant negative curvature: Ricci scalar −4/(3α)) and potential
+    ``V = M⁴ r² (1 + c·cos θ)`` — the T-model ``tanh²(φ/√(6α))`` in disc
+    coordinates (r = tanh(φ/√(6α))) with a small angular modulation that
+    makes the model genuinely two-field.  The universal large-N
+    predictions n_s ≈ 1 − 2/N, r ≈ 12α/N² (Kallosh–Linde, JCAP07(2013)002)
+    are what the zoo test pins.  Not in the reference's model set — added
+    as the standard modern testbed for the geometry and perturbation-
+    spectra layers (curved field space, curvature-fed isocurvature).
+    Default args: α = 1, M⁴ = 1e-10, c = 0.1.
+    """
+    r, th = sympy.symbols("r θ", real=True)
+    alpha, m4, c = sympy.symbols("alpha M4 c", positive=True)
+    conf = 6 * alpha / (1 - r**2) ** 2
+    metric = [[conf, 0], [0, conf * r**2]]
+    V = m4 * r**2 * (1 + c * sympy.cos(th))
+    model = InflationModelBuilder.new(
+        [r, th], metric, V, model_name="alpha_attractor", silent=silent
+    ).build()
+    return model, _args_by_symbol(
+        model, {"alpha": 1.0, "M4": 1e-10, "c": 0.1}
+    )
 
 
 def _args_by_symbol(model: InflationModel, by_name: dict) -> np.ndarray:

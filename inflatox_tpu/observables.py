@@ -57,6 +57,7 @@ __all__ = [
     "along_trajectory",
     "horizon_exit",
     "power_spectrum",
+    "cobe_normalize",
     "observable_jacobian",
     "fisher_matrix",
     "solve_eom_fixed",
@@ -418,6 +419,48 @@ def power_spectrum(artifact: CompiledModel, rows, times, args) -> dict:
         "alpha_s": alpha,
         "r": 16.0 * eps,
         "epsilon_h": eps,
+    }
+
+
+def cobe_normalize(
+    artifact: CompiledModel,
+    rows,
+    times,
+    args,
+    *,
+    A_s: float = 2.1e-9,
+    N_before_end: float = 55.0,
+) -> dict:
+    """Overall potential rescaling that COBE-normalizes a solved model.
+
+    Along a solved trajectory, reads P_ζ at the pivot ``N_before_end``
+    e-folds before the end of inflation and returns the factor ``scale``
+    by which an overall potential normalization (a parameter the potential
+    is linear in, e.g. the α-attractor's M⁴ or a quadratic model's m²)
+    must be multiplied so that P_ζ(k_*) = ``A_s`` (Planck:
+    ln(10¹⁰ A_s) ≈ 3.044 → A_s ≈ 2.1·10⁻⁹).
+
+    Valid because scaling V → λV scales H² → λH² at fixed field-space
+    path (the e-fold-time trajectory shape is λ-invariant — both sides of
+    the EoM in e-fold time scale together) and P_ζ = H²/(8π²ε_H) is
+    linear in it.  Returns ``{"scale", "P_zeta", "N_exit", "N_end"}``;
+    multiply the scale parameter by ``scale`` and re-solve to confirm.
+    """
+    spec = power_spectrum(artifact, rows, times, args)
+    info = horizon_exit(artifact, rows, times, args,
+                        N_before_end=N_before_end)
+    n_exit = info["N_exit"]
+    if not (spec["N"][0] <= n_exit <= spec["N"][-1]):
+        raise ValueError(
+            f"pivot N = {n_exit:.1f} lies outside the inflating stretch "
+            f"[{spec['N'][0]:.1f}, {spec['N'][-1]:.1f}] of the spectrum"
+        )
+    p_now = float(np.interp(n_exit, spec["N"], spec["P_zeta"]))
+    return {
+        "scale": float(A_s) / p_now,
+        "P_zeta": p_now,
+        "N_exit": float(n_exit),
+        "N_end": info["N_end"],
     }
 
 

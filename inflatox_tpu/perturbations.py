@@ -105,7 +105,13 @@ def delta_n_spectrum(
 
     Accuracy notes: the result is exact in the super-horizon separate-
     universe limit given slow roll *at crossing* — the single-field φ²
-    test reproduces H²/(8πε) to O(1/N).  ``h`` balances finite-difference
+    test reproduces H²/(8πε) to O(1/N).  The (H_*/2π)² mode normalization
+    is leading order: relative to full linear theory
+    (:func:`mode_spectrum`) it misses the Stewart–Lyth O(ε, dlnε/dN)
+    factor at crossing — negligible deep in slow roll, but on strongly
+    flattened potentials (α-attractors: dlnε/dN ≈ 2/N_remaining) pivots
+    near the end of inflation can differ by tens of percent in power;
+    when the two routes disagree there, trust :func:`mode_spectrum`.  ``h`` balances finite-difference
     truncation against solver noise (N is resolved to ~``max_err``); the
     default loses ~1e-4 relative on N_a.  Second differences amplify that
     noise by 1/h2², so ``h2`` is wider: the defaults resolve N_{;ab} to

@@ -311,3 +311,28 @@ def test_model_zoo_natural():
         float(sr["eta_v"]), -c / (fa**2 * (1 + c)), rtol=1e-12
     )
     assert float(sr["eta_v"]) < 0
+
+
+def test_model_zoo_alpha_attractor():
+    """α-attractor T-model zoo entry: constant hyperbolic curvature
+    R = −4/(3α) through the geometry layer, and the universal large-N
+    predictions n_s ≈ 1 − 2/N, r ≈ 12α/N² at the horizon-exit point
+    (Kallosh–Linde) from a full background solve."""
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.models import alpha_attractor
+    from inflatox_tpu import background, observables
+
+    model, args = alpha_attractor()
+    art = inflatox.Compiler(model, silent=True).compile()
+    np.testing.assert_allclose(
+        float(art.geometry.ricci_scalar([0.3, 0.7], args)), -4.0 / 3.0,
+        rtol=1e-12,
+    )
+    rows, times = background.solve_eom(
+        art, args, 3000, [0.99, 0.5], [0.0, 0.0],
+        max_err=1e-9, solver="rkf", return_time=True,
+    )
+    info = observables.horizon_exit(art, rows, times, args, N_before_end=55.0)
+    assert info["N_end"] > 60.0
+    np.testing.assert_allclose(info["n_s"], 1.0 - 2.0 / 55.0, atol=0.002)
+    np.testing.assert_allclose(info["r"], 12.0 / 55.0**2, rtol=0.05)

@@ -377,3 +377,32 @@ def test_power_spectrum_error_paths(trivial_artifact):
 
     with pytest.raises(ShapeError):
         observables.power_spectrum(trivial_artifact, rows, times[:-1], m)
+
+
+def test_cobe_normalize_round_trip():
+    """Scaling the potential's linear normalization by the returned factor
+    and re-solving must land P_ζ(k_*) on A_s (V → λV ⇒ H² → λH² at fixed
+    field-space path ⇒ P_ζ linear in λ)."""
+    import sympy
+
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.models import alpha_attractor
+
+    model, args = alpha_attractor()
+    art = inflatox.Compiler(model, silent=True).compile()
+    rows, times = background.solve_eom(
+        art, args, 3000, [0.99, 0.5], [0.0, 0.0],
+        max_err=1e-9, solver="rkf", return_time=True,
+    )
+    res = observables.cobe_normalize(art, rows, times, args)
+    slot = art.lookup_symbol(sympy.Symbol("M4"))
+    i = int(slot[slot.index("[") + 1 : -1])
+    args2 = args.copy()
+    args2[i] *= res["scale"]
+    rows2, times2 = background.solve_eom(
+        art, args2, 3000, [0.99, 0.5], [0.0, 0.0],
+        max_err=1e-9, solver="rkf", return_time=True,
+    )
+    res2 = observables.cobe_normalize(art, rows2, times2, args2)
+    np.testing.assert_allclose(res2["P_zeta"], 2.1e-9, rtol=1e-4)
+    np.testing.assert_allclose(res2["scale"], 1.0, rtol=1e-4)

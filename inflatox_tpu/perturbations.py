@@ -451,6 +451,8 @@ def mode_spectrum(
     N_dense: float = 2.0,
     dense_steps: int = 4000,
     tail_steps: int = 1500,
+    mesh=None,
+    pivot_axis: str | None = None,
 ) -> dict:
     """Scalar power spectrum by direct Mukhanov-Sasaki mode integration.
 
@@ -492,6 +494,10 @@ def mode_spectrum(
       S = (H/|χ|)·Q_s so ``P_iso/P_zeta`` is the isocurvature fraction;
     * ``cos_delta`` — the ζ–S correlation cosine (two-field models only;
       NaN otherwise).
+
+    ``mesh=`` shards the pivot axis of both mode integrations across the
+    mesh (zero collectives — each device integrates its own pivots;
+    ``pivot_axis`` names the mesh axis, default its first).
 
     Accuracy budget: massless Bunch-Davies truncation
     ~1/y₀² ≈ 3·10⁻⁴ at the default ``N_sub=4`` plus RK4 phase error
@@ -607,9 +613,34 @@ def mode_spectrum(
         jnp.asarray(y2_n[:, 1:, None, None]),
         jnp.asarray(dts[:, :, None, None, None]),
     )
+    if mesh is None:
+        pad = 0
+
+        def shard(tree):
+            return tree
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+        axis = pivot_axis if pivot_axis is not None else mesh.axis_names[0]
+        sh = NamedSharding(mesh, PartitionSpec(axis))
+        # device_put needs the sharded axis divisible by the mesh size —
+        # pad with copies of the last pivot and slice the results back
+        pad = (-int(pivots)) % int(mesh.shape[axis])
+
+        def shard(tree):
+            def put(v):
+                v = jnp.asarray(v)
+                if pad:
+                    v = jnp.concatenate(
+                        [v, jnp.repeat(v[-1:], pad, axis=0)], axis=0
+                    )
+                return jax.device_put(v, sh)
+
+            return jax.tree_util.tree_map(put, tree)
+
     final = np.asarray(
-        _MS_INTEGRATE(jnp.asarray(state0), per_step)
-    )                                                       # (K, 4, i, a)
+        _MS_INTEGRATE(shard(jnp.asarray(state0)), shard(per_step))
+    )[: int(pivots)]                                        # (K, 4, i, a)
 
     # tensor modes: each polarization is a canonically-normalized massless
     # scalar (no Γ, no mass matrix), P_T = 8 · P_massless
@@ -623,8 +654,8 @@ def mode_spectrum(
         jnp.asarray(dts),
     )
     final_t = np.asarray(
-        _MS_INTEGRATE_T(jnp.asarray(state0_t), per_step_t)
-    )                                                       # (K, 4)
+        _MS_INTEGRATE_T(shard(jnp.asarray(state0_t)), shard(per_step_t))
+    )[: int(pivots)]                                        # (K, 4)
 
     # ζ read-out on the common end surface
     x_f = np.stack([interp(rows[:, c], grids[:, -1]) for c in range(d)])

@@ -201,6 +201,30 @@ def test_mode_spectrum_iso_curved_finite(curved):
     assert np.all(np.abs(ms["cos_delta"][ok]) <= 1.0 + 1e-9)
 
 
+def test_spectra_sharded_match_single_device(quadratic):
+    """Both routes on an 8-device CPU mesh must match the single-device
+    results: δN shards the perturbed-trajectory batch (solver precision,
+    ~1e-11 N differences → ~1e-7 on N_grad at h=1e-4), mode_spectrum
+    shards the pivot axis (identical math, GSPMD partitioning only)."""
+    import jax
+
+    from inflatox_tpu.parallel import make_mesh
+
+    art, m, rows, times = quadratic
+    mesh = make_mesh(axis_names=("solve",), devices=jax.devices())
+    kw = dict(pivots=4, N_margin_start=5.0, N_margin_end=8.0)
+    dn0 = perturbations.delta_n_spectrum(art, m, rows, times, steps=2000, **kw)
+    dn1 = perturbations.delta_n_spectrum(
+        art, m, rows, times, steps=2000, mesh=mesh, **kw
+    )
+    np.testing.assert_allclose(dn1["P_zeta"], dn0["P_zeta"], rtol=1e-6)
+    ms0 = perturbations.mode_spectrum(art, m, rows, times, **kw)
+    ms1 = perturbations.mode_spectrum(art, m, rows, times, mesh=mesh, **kw)
+    np.testing.assert_allclose(ms1["P_zeta"], ms0["P_zeta"], rtol=1e-10)
+    np.testing.assert_allclose(ms1["P_tensor"], ms0["P_tensor"], rtol=1e-10)
+    np.testing.assert_allclose(ms1["P_iso"], ms0["P_iso"], rtol=1e-8, atol=1e-25)
+
+
 def test_spectra_error_paths(quadratic):
     art, m, rows, times = quadratic
     with pytest.raises(ValueError, match="does not end"):

@@ -169,6 +169,14 @@ class DF:
     def __neg__(self):
         return DF(-self.hi, -self.lo)
 
+    def __abs__(self):
+        # a normalized pair's sign is the sign of hi (|lo| ≤ ½ulp(hi));
+        # flip BOTH limbs on negative so |x| stays an exact pair.  sympy
+        # emits Abs differentiating sqrt/powers, printed as python abs()
+        neg = self.hi < np.float32(0.0)
+        return DF(jnp.where(neg, -self.hi, self.hi),
+                  jnp.where(neg, -self.lo, self.lo))
+
     def __sub__(self, other):
         if isinstance(other, (int, float)):
             return self + (-float(other))

@@ -189,6 +189,13 @@ class EDF:
     def __neg__(self):
         return EDF(-self.hi, -self.lo, self.e, _raw=True)
 
+    def __abs__(self):
+        # sign = sign of hi (normalized pair); the exponent is unsigned
+        neg = self.hi < np.float32(0.0)
+        return EDF(jnp.where(neg, -self.hi, self.hi),
+                   jnp.where(neg, -self.lo, self.lo),
+                   self.e, _raw=True)
+
     def __sub__(self, other):
         return self + (-EDF.of(other))
 

@@ -130,6 +130,14 @@ class TF:
     def __neg__(self):
         return TF(-self.x0, -self.x1, -self.x2)
 
+    def __abs__(self):
+        # the triple's sign is the sign of the leading limb (the tail is
+        # bounded by ½ulp at each level); flip every limb on negative
+        neg = self.x0 < np.float32(0.0)
+        return TF(jnp.where(neg, -self.x0, self.x0),
+                  jnp.where(neg, -self.x1, self.x1),
+                  jnp.where(neg, -self.x2, self.x2))
+
     def __add__(self, other):
         o = TF.of(other)
         s0, e0 = _two_sum(self.x0, o.x0)

@@ -198,3 +198,45 @@ def test_special_call_cse_always_on(registry):
         np.testing.assert_allclose(
             float(got[1]), sc.yv(2, t + 0.7) + 3.0, rtol=1e-13
         )
+
+
+def test_compensated_abs():
+    """sympy emits Abs differentiating sqrt/powers and the printer renders
+    it as python abs() — every compensated number type must implement
+    __abs__ exactly (flip all limbs on negative; re-learned when the
+    α-attractor's Hesse crashed the default TPU engine)."""
+    from inflatox_tpu.lowering.df32 import DF
+    from inflatox_tpu.lowering.edf32 import EDF
+    from inflatox_tpu.lowering.tf32 import TF
+
+    v = -1.0 - 2.0**-40  # needs more than f32 precision to represent
+    d = abs(DF.const(v))
+    assert float(jnp.asarray(d.hi, jnp.float64) + jnp.asarray(d.lo, jnp.float64)) == -v
+    assert float(abs(DF.const(2.5)).hi) == 2.5
+    t = abs(TF.const(v))
+    tv = sum(float(jnp.asarray(x, jnp.float64)) for x in (t.x0, t.x1, t.x2))
+    assert tv == -v
+    e = abs(EDF.const(-1e300))
+    ev = float(jnp.asarray(e.hi, jnp.float64) + jnp.asarray(e.lo, jnp.float64)) * 2.0 ** int(e.e)
+    np.testing.assert_allclose(ev, 1e300, rtol=1e-13)
+
+
+def test_abs_model_lowers_on_every_engine():
+    """The α-attractor's vielbein/Hesse lowerings contain genuine Abs calls
+    (sympy emits them normalizing sqrt(v·v)); the compensated engines must
+    evaluate them identically to the XLA path."""
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+    from inflatox_tpu.models import alpha_attractor
+
+    model, args = alpha_attractor()
+    art = inflatox.Compiler(model, silent=True).compile()
+    assert "abs(" in art._hesse.source  # the regression's trigger
+    al = GeneralisedAL(art, validate_basis=False)
+    a = al.complete_analysis(args, 0.1, 0.9, 0.0, np.pi, 16, 16, engine="xla")
+    b = al.complete_analysis(
+        args, 0.1, 0.9, 0.0, np.pi, 16, 16, engine="pallas_df64"
+    )
+    np.testing.assert_allclose(
+        np.asarray(b)[1], np.asarray(a)[1], rtol=1e-12
+    )

@@ -226,10 +226,32 @@ class CompiledModel:
         if getattr(self, "_df32_ok", None) is None:
             import re  # noqa: PLC0415
 
+            from .lowering import df32  # noqa: PLC0415
+
+            jnp_names = (set(vars(df32._jnp_like()))
+                         | set(df32._LazyConstNamespace._LAZY))
+            amath_names = set(vars(df32._amath_like()))
             ok = True
             srcs = (self.potential.source, self._hesse.source,
                     self.grad_square.source, self._grad.source)
             for src in srcs:
+                # every jax.numpy.* / _amath.* call must exist in the df32
+                # engine's namespaces (re-learned when the α-attractor's
+                # Abs crashed the auto-selected engine); anything else
+                # (jax.scipy, erf/gamma via _amath additions the engine
+                # lacks) routes to the XLA engine instead of crashing
+                for m in re.finditer(r"jax\.numpy\.(\w+)", src):
+                    if m.group(1) not in jnp_names:
+                        ok = False
+                        break
+                if ok:
+                    for m in re.finditer(r"_amath\.(\w+)", src):
+                        if m.group(1) not in amath_names:
+                            ok = False
+                            break
+                if not ok or "jax.scipy" in src:
+                    ok = False
+                    break
                 for m in re.finditer(r"_special\.(\w+)\(\s*([^,)]+)[,)]", src):
                     name, first = m.group(1), m.group(2).strip()
                     if name not in self._DF32_SPECIALS:

@@ -615,6 +615,55 @@ def atan(x) -> DF:
     return DF(sign * out.hi, sign * out.lo)
 
 
+def arctan2(y, x) -> DF:
+    """Quadrant-corrected atan(y/x) with the C atan2 conventions
+    (atan2(0, −1) = π, atan2(±y, 0) = ±π/2, atan2(0, 0) = 0)."""
+    y, x = DF.of(y), DF.of(x)
+    ys = y._cmp_val()
+    xs = x._cmp_val()
+    xsafe = where(xs == 0, DF.const(1.0), x)
+    base = atan(y / xsafe)
+    pi = DF.const(math.pi)
+    out = where(xs < 0, base + where(ys < 0, -pi, pi), base)
+    half = DF.const(_PI_2)
+    out = where((xs == 0) & (ys > 0), half, out)
+    out = where((xs == 0) & (ys < 0), -half, out)
+    return where((xs == 0) & (ys == 0), DF.const(0.0), out)
+
+
+def arcsin(x) -> DF:
+    """asin(x) = atan2(x, √(1−x²)) — exact ±π/2 endpoints; NaN outside."""
+    x = DF.of(x)
+    inner = DF.const(1.0) - x * x
+    out = arctan2(x, sqrt(inner))
+    bad = jnp.abs(x._cmp_val()) > np.float32(1.0)
+    return DF(jnp.where(bad, _c(np.nan), out.hi),
+              jnp.where(bad, _c(0.0), out.lo))
+
+
+def arcsinh(x) -> DF:
+    """asinh(x) = sign(x)·log(|x| + √(x²+1)) (the sign trick keeps the
+    log argument ≥ 1, away from the cancellation at x → −∞)."""
+    x = DF.of(x)
+    s = jnp.sign(x._cmp_val())
+    ax = abs_(x)
+    out = log(ax + sqrt(x * x + 1.0))
+    return DF(s * out.hi, s * out.lo)
+
+
+def arccosh(x) -> DF:
+    """acosh(x) = log(x + √(x−1)·√(x+1)) (x ≥ 1; the factored roots keep
+    accuracy near the endpoint)."""
+    x = DF.of(x)
+    return log(x + sqrt(x - 1.0) * sqrt(x + 1.0))
+
+
+def arctanh(x) -> DF:
+    """atanh(x) = ½·log((1+x)/(1−x)) (|x| < 1)."""
+    x = DF.of(x)
+    return log((DF.const(1.0) + x) / (DF.const(1.0) - x)) * 0.5
+
+
 # ---------------------------------------------------------------------- #
 # namespace adapter: run lowered sources on df32                         #
 # ---------------------------------------------------------------------- #
@@ -647,6 +696,11 @@ def _jnp_like() -> types.SimpleNamespace:
         abs=abs_,
         absolute=abs_,
         arctan=atan,
+        arctan2=arctan2,
+        arcsin=arcsin,
+        arcsinh=arcsinh,
+        arccosh=arccosh,
+        arctanh=arctanh,
         minimum=minimum,
         maximum=maximum,
         where=where,

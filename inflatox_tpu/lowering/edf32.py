@@ -404,6 +404,45 @@ sin = _via_df(_dfm.sin, tiny_identity=True)
 cos = _via_df(_dfm.cos, tiny_one=True)
 tan = _via_df(_dfm.tan, tiny_identity=True)
 atan = _via_df(_dfm.atan, tiny_identity=True)
+arcsin = _via_df(_dfm.arcsin, tiny_identity=True)  # domain |x| ≤ 1: O(1)
+
+
+def arcsinh(x) -> EDF:
+    """asinh on EDF ops end-to-end (sqrt/log are range-extended, so
+    arguments beyond f32 range — where this engine lives — stay exact;
+    a via-df materialization would overflow them to inf)."""
+    x = EDF.of(x)
+    s = sign(x)
+    out = log(abs_(x) + sqrt(x * x + 1.0))
+    return EDF(s * out.hi, s * out.lo, out.e, _raw=True)
+
+
+def arccosh(x) -> EDF:
+    """acosh(x) = log(x + √(x−1)·√(x+1)) on range-extended ops."""
+    x = EDF.of(x)
+    return log(x + sqrt(x - 1.0) * sqrt(x + 1.0))
+
+
+def arctanh(x) -> EDF:
+    """atanh(x) = ½·log((1+x)/(1−x)) (domain |x| < 1: O(1))."""
+    x = EDF.of(x)
+    return log((EDF.const(1.0) + x) / (EDF.const(1.0) - x)) * 0.5
+
+
+def arctan2(y, x) -> EDF:
+    """Quadrant-corrected atan2: the ratio divides in EDF (range-safe);
+    the df atan saturates to π/2 beyond its 1e30 cap, as it should."""
+    y, x = EDF.of(y), EDF.of(x)
+    xs = sign(x)
+    ys = sign(y)
+    xsafe = where(xs == 0, EDF.const(1.0), x)
+    base = atan(y / xsafe)
+    pi = EDF.const(math.pi)
+    half = EDF.const(math.pi / 2.0)
+    out = where(xs < 0, base + where(ys < 0, -pi, pi), base)
+    out = where((xs == 0) & (ys > 0), half, out)
+    out = where((xs == 0) & (ys < 0), -half, out)
+    return where((xs == 0) & (ys == 0), EDF.const(0.0), out)
 
 
 def sign(x):
@@ -446,6 +485,11 @@ def _jnp_like() -> types.SimpleNamespace:
         abs=abs_,
         absolute=abs_,
         arctan=atan,
+        arctan2=arctan2,
+        arcsin=arcsin,
+        arcsinh=arcsinh,
+        arccosh=arccosh,
+        arctanh=arctanh,
         minimum=minimum,
         maximum=maximum,
         where=where,

@@ -25,6 +25,7 @@ Divergences from the reference, by design:
 
 from __future__ import annotations
 
+import re
 import sys
 from dataclasses import dataclass, field
 from typing import Callable, Sequence
@@ -135,6 +136,44 @@ class _ModelJaxPrinter(JaxPrinter):
 
     def _print_acos(self, expr):
         return f"_amath.acos({self._print(expr.args[0])})"
+
+    # the sympy base printer renders these to scalar-only math.* calls
+    # (NameError/TypeError on arrays) — route to the accurate array forms
+    def _print_erf(self, expr):
+        return f"_amath.erf({self._print(expr.args[0])})"
+
+    def _print_erfc(self, expr):
+        return f"_amath.erfc({self._print(expr.args[0])})"
+
+    def _print_loggamma(self, expr):
+        return f"_amath.lgamma({self._print(expr.args[0])})"
+
+    def _print_gamma(self, expr):
+        return f"_amath.gamma({self._print(expr.args[0])})"
+
+    def _print_polygamma(self, expr):
+        n, z = expr.args
+        if not (n.is_Integer and int(n) >= 0):
+            raise NotImplementedError(
+                f"polygamma order must be a non-negative integer, got {n}"
+            )
+        return f"_amath.polygamma({int(n)}, {self._print(z)})"
+
+    # the base printer renders Max/Min through functools.reduce, which the
+    # lowered namespace does not carry — emit nested jnp calls instead
+    def _print_Max(self, expr):
+        args = [self._print(a) for a in expr.args]
+        out = args[-1]
+        for a in reversed(args[:-1]):
+            out = f"jax.numpy.maximum({a}, {out})"
+        return out
+
+    def _print_Min(self, expr):
+        args = [self._print(a) for a in expr.args]
+        out = args[-1]
+        for a in reversed(args[:-1]):
+            out = f"jax.numpy.minimum({a}, {out})"
+        return out
 
     # -- special functions → _special.* ------------------------------------- #
 
@@ -310,6 +349,17 @@ def lower(
         + ("\n".join(lines) + "\n" if lines else "")
         + f"    return {ret}\n"
     )
+    # the sympy base printer can fall back to scalar math.* / functools.*
+    # for functions without an override above — those would NameError at
+    # call time (the exec namespace carries only jax/_special/_amath).
+    # Fail at lower time with an actionable message instead.
+    leak = re.search(r"(?<![\w.])(math|functools)\.(\w+)", src)
+    if leak:
+        raise NotImplementedError(
+            f"'{leak.group(2)}' has no array lowering (the printer fell "
+            f"back to scalar {leak.group(1)}.{leak.group(2)}); add a "
+            "_print_ override in lowering/jax_lowering.py"
+        )
     namespace = {"jax": jax, "_special": special, "_amath": accmath}
     exec(compile(src, f"<inflatox-lowered:{name}>", "exec"), namespace)
     return LoweredFunction(

@@ -421,6 +421,13 @@ def _jnp_like() -> types.SimpleNamespace:
         cos=_via_df(_dfm.cos),
         tan=_via_df(_dfm.tan),
         arctan=_via_df(_dfm.atan),
+        arctan2=lambda y, x: TF.of(
+            _dfm.arctan2(TF.of(y).to_df(), TF.of(x).to_df())
+        ),
+        arcsin=_via_df(_dfm.arcsin),
+        arcsinh=_via_df(_dfm.arcsinh),
+        arccosh=_via_df(_dfm.arccosh),
+        arctanh=_via_df(_dfm.arctanh),
         abs=abs_,
         absolute=abs_,
         minimum=minimum,

@@ -240,3 +240,134 @@ def test_abs_model_lowers_on_every_engine():
     np.testing.assert_allclose(
         np.asarray(b)[1], np.asarray(a)[1], rtol=1e-12
     )
+
+
+def _lower_eval(exprs, grid_x, grid_y=None):
+    """Lower expressions against a throwaway 2-field registry and evaluate
+    on arrays (the XLA path a user's potential takes)."""
+    import inflatox_tpu as inflatox
+
+    x, y = sympy.symbols("x y", real=True)
+    m1, m2 = sympy.symbols("m1 m2")
+    model = inflatox.InflationModelBuilder.new(
+        [x, y], [[1, 0], [0, 1]], (m1 * x) ** 2 + (m2 * y) ** 2, silent=True
+    ).build()
+    from inflatox_tpu.lowering import SymbolRegistry, lower
+
+    reg = SymbolRegistry.from_model(model)
+    f = lower(list(exprs), reg, signature=("x", "args"), name="t")
+    gy = grid_x if grid_y is None else grid_y
+    return f.fn([jnp.asarray(grid_x), jnp.asarray(gy)], jnp.zeros(2)), f.source
+
+
+def test_xla_lowering_full_function_coverage():
+    """Functions the reference gets free from C99/GSL (erf, tgamma, lgamma,
+    fmax/fmin, atan2, inverse hyperbolics, floor/mod) must lower to
+    array-correct JAX — the sympy base printer renders several to
+    scalar-only math.*/functools.* calls that NameError at run time."""
+    from scipy import special as ssp
+
+    x, y = sympy.symbols("x y", real=True)
+    gx = np.linspace(-2.5, 2.5, 41)
+    gy = np.linspace(0.3, 4.7, 41)
+    cases = [
+        (sympy.erf(x), ssp.erf(gx)),
+        (sympy.erfc(x), ssp.erfc(gx)),
+        (sympy.gamma(y), ssp.gamma(gy)),
+        (sympy.loggamma(y), ssp.gammaln(gy)),
+        (sympy.Max(x, y), np.maximum(gx, gy)),
+        (sympy.Min(x, y, 2 * x), np.minimum(np.minimum(gx, gy), 2 * gx)),
+        (sympy.atan2(y, x), np.arctan2(gy, gx)),
+        (sympy.asinh(x), np.arcsinh(gx)),
+        (sympy.acosh(1 + y), np.arccosh(1 + gy)),
+        (sympy.atanh(x / 3), np.arctanh(gx / 3)),
+        (sympy.floor(x), np.floor(gx)),
+        (sympy.Mod(y, sympy.Rational(3, 2)), np.mod(gy, 1.5)),
+        (sympy.sign(x), np.sign(gx)),
+    ]
+    (vals, _) = _lower_eval([e for e, _ in cases], gx, gy)
+    for (expr, want), got in zip(cases, vals):
+        np.testing.assert_allclose(
+            np.asarray(got), want, rtol=5e-11, atol=1e-300,
+            err_msg=str(expr),
+        )
+    # gamma's floor-parity sign on negative arguments
+    (g_neg,), _ = _lower_eval([sympy.gamma(x)], np.array([-0.5, -1.5, -2.5]))
+    np.testing.assert_allclose(
+        np.asarray(g_neg), ssp.gamma([-0.5, -1.5, -2.5]), rtol=5e-11
+    )
+
+
+def test_lowering_rejects_scalar_math_fallbacks():
+    """Anything the printer can only render as scalar math.* must fail AT
+    LOWER TIME with an actionable message, not NameError at call time."""
+    x = sympy.Symbol("x", real=True)
+    with pytest.raises(NotImplementedError, match="array lowering"):
+        _lower_eval([sympy.factorial(x)], np.ones(3))
+
+
+def test_df32_inverse_functions_match_mpmath():
+    """The compensated engines' new inverse functions hold df accuracy
+    (~1e-13) over their domains — eager op-by-op on CPU preserves EFT."""
+    import mpmath as mp
+
+    from inflatox_tpu.lowering import df32
+
+    mp.mp.dps = 40
+    grids = {
+        "arcsin": (np.linspace(-0.999, 0.999, 97), mp.asin),
+        "arcsinh": (np.linspace(-25.0, 25.0, 97), mp.asinh),
+        "arccosh": (np.linspace(1.02, 40.0, 97), mp.acosh),
+        "arctanh": (np.linspace(-0.99, 0.99, 97), mp.atanh),
+    }
+    for name, (g, ref) in grids.items():
+        out = getattr(df32, name)(df32.DF.of(jnp.asarray(g)))
+        got = np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64)
+        want = np.array([float(ref(mp.mpf(float(v)))) for v in g])
+        np.testing.assert_allclose(got, want, rtol=2e-13, err_msg=name)
+    # atan2 quadrant conventions + accuracy
+    ys = np.array([0.7, 0.7, -0.7, -0.7, 0.0, 1.0, -1.0, 0.0])
+    xs = np.array([0.4, -0.4, 0.4, -0.4, -1.0, 0.0, 0.0, 0.0])
+    out = df32.arctan2(df32.DF.of(jnp.asarray(ys)), df32.DF.of(jnp.asarray(xs)))
+    got = np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64)
+    np.testing.assert_allclose(got, np.arctan2(ys, xs), rtol=1e-13, atol=0)
+
+
+def test_edf_inverse_functions_range_extended():
+    """EDF's asinh/acosh must survive arguments far beyond f32 range
+    (the whole point of the range-extended engine)."""
+    from inflatox_tpu.lowering import edf32
+
+    big = edf32.EDF.const(1e60)
+    out = edf32.arcsinh(big)
+    got = (np.asarray(out.hi, np.float64) + np.asarray(out.lo, np.float64)
+           ) * 2.0 ** np.asarray(out.e, np.float64)
+    np.testing.assert_allclose(got, np.log(2e60), rtol=1e-12)
+    out2 = edf32.arccosh(big)
+    got2 = (np.asarray(out2.hi, np.float64) + np.asarray(out2.lo, np.float64)
+            ) * 2.0 ** np.asarray(out2.e, np.float64)
+    np.testing.assert_allclose(got2, np.log(2e60), rtol=1e-12)
+
+
+def test_df32_compatible_gates_on_namespace_coverage():
+    """Models whose lowered sources call functions the df32 engine lacks
+    (erf, floor) must auto-route to the XLA engine instead of crashing;
+    models using the newly covered inverse functions stay on the fast
+    engine."""
+    import inflatox_tpu as inflatox
+
+    x, y, m = sympy.symbols("x y m", real=True)
+    g = [[1, 0], [0, 1]]
+
+    def compat(V):
+        model = inflatox.InflationModelBuilder.new(
+            [x, y], g, V, silent=True
+        ).build()
+        return inflatox.Compiler(model, silent=True).compile().df32_compatible
+
+    assert compat((m * x) ** 2 + sympy.asinh(y) ** 2)
+    assert not compat((m * x) ** 2 + sympy.erf(y))
+    assert not compat((m * x) ** 2 + sympy.gamma(2 + y))
+    # (floor/ceil cannot appear in a buildable potential at all — their
+    # field derivatives stay unevaluated and the strict printer rejects
+    # them at build time; the jnp-name scan still covers the identifiers)

@@ -108,3 +108,30 @@ def test_native_solver_matches_jax(native, doc_model_artifact):
     # time increases, H decreases on an inflating background
     assert np.all(np.diff(got[0, :, 5]) > 0)
     assert got[0, -1, 4] < got[0, 0, 4]
+
+
+def test_native_oracle_covers_extended_function_family():
+    """The C oracle and the XLA engine agree on a model using the round-3
+    function-coverage additions (erf + asinh) — C99 libm provides them
+    natively, the JAX path through the accmath/printer additions."""
+    import sympy
+
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    x, y, m = sympy.symbols("x y m", real=True)
+    g = [[sympy.Integer(1), 0], [0, sympy.Integer(1)]]
+    V = (m * x) ** 2 * (1 + sympy.erf(y)) + sympy.asinh(y) ** 2
+    model = inflatox.InflationModelBuilder.new([x, y], g, V, silent=True).build()
+    art = inflatox.Compiler(model, silent=True).compile()
+    nm = NativeModel(model)
+    args = np.array([1.0])
+    nat = np.asarray(nm.complete_analysis(args, 0.5, 2.0, 0.3, 1.5, 16, 16))
+    alx = np.asarray(
+        GeneralisedAL(art, validate_basis=False).complete_analysis(
+            args, 0.5, 2.0, 0.3, 1.5, 16, 16, engine="xla"
+        )
+    )
+    np.testing.assert_array_equal(np.isfinite(nat), np.isfinite(alx))
+    both = np.isfinite(nat)
+    np.testing.assert_allclose(nat[both], alx[both], rtol=1e-11)

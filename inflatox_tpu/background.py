@@ -190,15 +190,20 @@ def _build_solver(model: CompiledModel, solver: str, steps: int, dtype, max_err:
     return jax.jit(run), d
 
 
-_solver_cache: dict = {}
+def _model_cache(model) -> dict:
+    """Solver cache stored ON the model object: lifetime tied to the model
+    (a module-global id(model)-keyed dict would pin every artifact and its
+    executables forever, and invite id-reuse aliasing after gc)."""
+    return model.__dict__.setdefault("_solver_cache", {})
 
 
 def _get_solver(model, solver, steps, dtype, max_err):
-    key = (id(model), solver, steps, jnp.dtype(dtype).name, float(max_err))
-    entry = _solver_cache.get(key)
+    cache = _model_cache(model)
+    key = (solver, steps, jnp.dtype(dtype).name, float(max_err))
+    entry = cache.get(key)
     if entry is None:
         entry = _build_solver(model, solver, steps, dtype, max_err)
-        _solver_cache[key] = entry
+        cache[key] = entry
     return entry
 
 
@@ -275,6 +280,33 @@ def solve_eom_batch(
     to the while-loop RKF45.  Step sequences agree with
     ``solver="rkf"`` to controller precision (adaptive dt computed in f32;
     per-step error control is identical)."""
+    # validate BEFORE the mesh / rkf_pallas dispatch branches so every path
+    # raises the typed ShapeError instead of a cryptic trace-time broadcast
+    n = artifact.n_fields
+    fields_init = np.asarray(fields_init, dtype=float)
+    derivatives_init = np.asarray(derivatives_init, dtype=float)
+    pars = np.asarray(pars, dtype=float)
+    if fields_init.ndim != 2 or fields_init.shape[1] != n:
+        raise ShapeError(
+            (-1, n), fields_init.shape,
+            "batched initial conditions must be (B, n_fields)",
+        )
+    if derivatives_init.shape != fields_init.shape:
+        raise ShapeError(
+            fields_init.shape, derivatives_init.shape,
+            "derivatives_init must match fields_init (B, n_fields)",
+        )
+    if pars.ndim == 2 and pars.shape != (fields_init.shape[0],
+                                         artifact.n_parameters):
+        raise ShapeError(
+            (fields_init.shape[0], artifact.n_parameters), pars.shape,
+            "per-trajectory parameters must be (B, n_parameters)",
+        )
+    if pars.ndim == 1 and pars.shape != (artifact.n_parameters,):
+        raise ShapeError(
+            (artifact.n_parameters,), pars.shape,
+            "shared parameters must be (n_parameters,)",
+        )
     if mesh is not None:
         from .parallel.solve import sharded_solve_eom_batch  # noqa: PLC0415
 
@@ -290,30 +322,19 @@ def solve_eom_batch(
             artifact, pars, steps, fields_init, derivatives_init,
             max_err=max_err, return_time=return_time,
         )
-    n = artifact.n_fields
-    fields_init = np.asarray(fields_init, dtype=float)
-    derivatives_init = np.asarray(derivatives_init, dtype=float)
-    pars = np.asarray(pars, dtype=float)
-    if fields_init.ndim != 2 or fields_init.shape[1] != n:
-        raise ShapeError(
-            (-1, n), fields_init.shape, "batched initial conditions must be (B, n_fields)"
-        )
-    if pars.ndim == 2 and pars.shape != (fields_init.shape[0], artifact.n_parameters):
-        raise ShapeError(
-            (fields_init.shape[0], artifact.n_parameters), pars.shape,
-            "per-trajectory parameters must be (B, n_parameters)",
-        )
-    if pars.ndim == 1 and pars.shape != (artifact.n_parameters,):
-        raise ShapeError(
-            (artifact.n_parameters,), pars.shape,
-            "shared parameters must be (n_parameters,)",
-        )
-    run, _ = _get_solver(artifact, solver, int(steps), jnp.float64, max_err)
-    if pars.ndim == 1:
-        batched = jax.vmap(run, in_axes=(0, 0, None))
-    else:
-        batched = jax.vmap(run, in_axes=(0, 0, 0))
-    rows = np.asarray(jax.jit(batched)(fields_init, derivatives_init, pars))
+    # cache the jitted vmapped wrapper too: a fresh jax.jit(jax.vmap(...))
+    # object per call would miss the jit cache every time and re-compile
+    # the whole batched integrator (~minutes cold) on every invocation
+    mode = "shared" if pars.ndim == 1 else "per_traj"
+    cache = _model_cache(artifact)
+    bkey = ("batch", solver, int(steps), float(max_err), mode)
+    batched = cache.get(bkey)
+    if batched is None:
+        run, _ = _get_solver(artifact, solver, int(steps), jnp.float64, max_err)
+        in_axes = (0, 0, None) if mode == "shared" else (0, 0, 0)
+        batched = jax.jit(jax.vmap(run, in_axes=in_axes))
+        cache[bkey] = batched
+    rows = np.asarray(batched(fields_init, derivatives_init, pars))
     out, times = rows[:, :, :-1], rows[:, :, -1]
     if return_time:
         return out, times

@@ -82,20 +82,26 @@ class InflationCondition:
     def _basis_inner_products(self, xs, p):
         """All pairwise basis inner products at the given points.
 
-        Returns dict {(i, j): array} for i <= j."""
-        m = self.artifact
-        d = m.n_fields
+        Returns dict {(i, j): array} for i <= j.  The jitted computation is
+        cached on the instance — a fresh jax.jit per call would re-trace
+        and re-compile for every validation chunk (62 identical compiles at
+        the reference's 8000² domain scale)."""
+        fn = self._grid_fn_cache.get("basis_inner")
+        if fn is None:
+            m = self.artifact
+            d = m.n_fields
 
-        def compute(xs, p):
-            flat = m.basis_tuple(xs, p)
-            vecs = [flat[i * d : (i + 1) * d] for i in range(d)]
-            return {
-                (i, j): m.inner_prod(xs, p, vecs[i], vecs[j])
-                for i in range(d)
-                for j in range(i, d)
-            }
+            def compute(xs, p):
+                flat = m.basis_tuple(xs, p)
+                vecs = [flat[i * d : (i + 1) * d] for i in range(d)]
+                return {
+                    (i, j): m.inner_prod(xs, p, vecs[i], vecs[j])
+                    for i in range(d)
+                    for j in range(i, d)
+                }
 
-        return jax.jit(compute)(xs, p)
+            fn = self._grid_fn_cache["basis_inner"] = jax.jit(compute)
+        return fn(xs, p)
 
     #: per-component NaN warnings are capped (then summarized) so
     #: reference-scale domains (8000 samples/axis) stay feasible
@@ -290,11 +296,10 @@ class InflationCondition:
                 "expected a 1D array with as many elements as there are "
                 "field-space coordinates",
             )
-        return float(
-            jax.jit(self.artifact.potential)(
-                jnp.asarray(x, self.dtype), jnp.asarray(args, self.dtype)
-            )
-        )
+        fn = self._grid_fn_cache.get("calc_V")
+        if fn is None:
+            fn = self._grid_fn_cache["calc_V"] = jax.jit(self.artifact.potential)
+        return float(fn(jnp.asarray(x, self.dtype), jnp.asarray(args, self.dtype)))
 
     # ------------------------------------------------------------------ #
     # engine auto-selection: range probing + post-scan NaN guard          #
@@ -500,10 +505,11 @@ class InflationCondition:
                 "expected a 1D array with as many elements as there are "
                 "field-space coordinates",
             )
+        fn = self._grid_fn_cache.get("calc_H")
+        if fn is None:
+            fn = self._grid_fn_cache["calc_H"] = jax.jit(self.artifact.hesse)
         return np.asarray(
-            jax.jit(self.artifact.hesse)(
-                jnp.asarray(x, self.dtype), jnp.asarray(args, self.dtype)
-            )
+            fn(jnp.asarray(x, self.dtype), jnp.asarray(args, self.dtype))
         )
 
     def calc_H_array(

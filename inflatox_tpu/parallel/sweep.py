@@ -183,10 +183,15 @@ def sharded_scan(
     dx0 = (x0b - x0a) / n0
 
     if engine in _PALLAS_ENGINES:
-        return _sharded_scan_pallas(
+        out = _sharded_scan_pallas(
             model, args, (x0a, x0b, x1a, x1b), (n0, n1), mesh, grid_axis,
             local_rows, dx0, engine, dtype, kind, output,
         )
+        # same compensated-engine overflow guard as the single-chip scans
+        # (all-NaN is a silent result, not an error); the pair format's hi
+        # planes carry the NaNs, which _nan_guard already handles
+        condition._nan_guard(out, engine, f"sharded_scan[{kind}]")
+        return out
     if engine != "xla":
         raise ValueError(f"unknown engine {engine!r}")
 
@@ -338,14 +343,42 @@ def _hash_code_object(h, code, _depth=0):
             h.update(repr(c).encode())
 
 
+def _fp_value(h, v, depth=0):
+    """Fold a closure-cell / default value into the fingerprint hash,
+    REPRODUCIBLY across processes: captured callables hash via their
+    bytecode (recursively — repr would embed a memory address, making the
+    exact fingerprint never match on resume and pushing every wrapped
+    reduce_fn into the weak qualname-only fallback); objects whose repr is
+    the default address form hash as their type name."""
+    code = getattr(v, "__code__", None)
+    if code is not None and depth < 4:
+        h.update(getattr(v, "__qualname__", "?").encode())
+        _hash_code_object(h, code)
+        for cell in getattr(v, "__closure__", None) or ():
+            try:
+                _fp_value(h, cell.cell_contents, depth + 1)
+            except ValueError:
+                h.update(b"<empty-cell>")
+        for d in getattr(v, "__defaults__", None) or ():
+            _fp_value(h, d, depth + 1)
+        return
+    try:
+        r = repr(v)
+    except Exception:
+        r = type(v).__name__
+    if " at 0x" in r:
+        r = type(v).__name__
+    h.update(r.encode())
+
+
 def _reduce_fingerprint(reduce_fn):
     """Identify *which* reduction wrote a checkpoint, not just whether one
     did — resuming with a different same-shape reduce_fn must not silently
     mix chunks (ADVICE/review round 2).  Uses the function's qualname plus a
     recursive hash of its bytecode, constants, defaults and closure-cell
-    contents (two reduce_fns differing only in a captured value must not
-    collide); falls back to repr for callables without __code__ (e.g.
-    jitted wrappers)."""
+    contents (two reduce_fns differing only in a captured value — or a
+    captured FUNCTION — must not collide); falls back to repr for callables
+    without __code__ (e.g. jitted wrappers)."""
     if reduce_fn is None:
         return None
     code = getattr(reduce_fn, "__code__", None)
@@ -354,24 +387,25 @@ def _reduce_fingerprint(reduce_fn):
         _hash_code_object(h, code)
         for cell in getattr(reduce_fn, "__closure__", None) or ():
             try:
-                h.update(repr(cell.cell_contents).encode())
-            except Exception:
-                h.update(type(cell.cell_contents).__name__.encode())
+                _fp_value(h, cell.cell_contents)
+            except ValueError:
+                h.update(b"<empty-cell>")
         for d in getattr(reduce_fn, "__defaults__", None) or ():
-            h.update(repr(d).encode())
+            _fp_value(h, d)
         return f"{getattr(reduce_fn, '__qualname__', '?')}:{h.hexdigest()[:16]}"
     return repr(reduce_fn)
 
 
 def _sweep_manifest(args_batch, extent, shape, chunk_size, engine, reduce_fn,
-                    kind="complete_analysis"):
+                    kind="complete_analysis", dtype=None):
     """Fingerprint of everything that shapes chunk contents — resuming a
     checkpoint directory written under different inputs silently mixes
     results otherwise.
 
-    ``kind`` is folded in only when it differs from the historical default,
-    so checkpoint directories written by earlier releases (which always
-    swept complete_analysis and had no "kind" field) still resume."""
+    ``kind`` and ``dtype`` are folded in only when they differ from the
+    historical defaults (complete_analysis / float64), so checkpoint
+    directories written by earlier releases — which had neither field —
+    still resume."""
     h = hashlib.sha256()
     h.update(np.ascontiguousarray(args_batch, dtype=np.float64).tobytes())
     meta = {
@@ -383,6 +417,8 @@ def _sweep_manifest(args_batch, extent, shape, chunk_size, engine, reduce_fn,
     }
     if kind != "complete_analysis":
         meta["kind"] = kind
+    if dtype is not None and jnp.dtype(dtype) != jnp.dtype(jnp.float64):
+        meta["dtype"] = str(jnp.dtype(dtype))
     h.update(json.dumps(meta, sort_keys=True).encode())
     return {"sha256": h.hexdigest(), **meta}
 
@@ -413,10 +449,11 @@ def _manifest_matches(found, manifest, args_batch, extent, shape, chunk_size,
         "reduced": reduce_fn is not None,
     }
     h.update(json.dumps(legacy_meta, sort_keys=True).encode())
-    if kind == "complete_analysis" and found.get("sha256") == h.hexdigest():
+    if (kind == "complete_analysis" and "dtype" not in manifest
+            and found.get("sha256") == h.hexdigest()):
         return True
     # round-2 address-polluted fingerprint: field match + same qualname
-    fixed = ("extent", "shape", "chunk_size", "engine", "kind")
+    fixed = ("extent", "shape", "chunk_size", "engine", "kind", "dtype")
     if any(found.get(k) != manifest.get(k) for k in fixed):
         return False
     f_red, m_red = found.get("reduced"), manifest.get("reduced")
@@ -466,9 +503,12 @@ def parameter_sweep(
         the failure-recovery story for long sweeps (the reference has none;
         SURVEY.md §5 checkpoint/resume).  A ``manifest.json`` fingerprints
         the sweep inputs; resuming with different inputs raises.
-    reduce_fn: optional ``(6, N0, N1) → pytree`` applied per parameter set
-        *on device* (e.g. extract min consistency + argmin) so that huge
-        sweeps don't materialize full maps.
+    reduce_fn: optional ``(6, N0, N1) → array`` applied per parameter set
+        *on device* (e.g. ``lambda m: jnp.stack([m[0].min(), m[0].argmax()
+        .astype(float)])``) so that huge sweeps don't materialize full
+        maps.  Must return a SINGLE array (stack multiple quantities) —
+        tuple/dict returns are rejected, the chunk/checkpoint plumbing
+        cannot represent them.
     engine: None (auto: "pallas_df64" on TPU, "xla" elsewhere), "xla",
         "pallas", "pallas_df64", "pallas_edf64" or "pallas_tf64".  On the
         Pallas engines
@@ -493,6 +533,20 @@ def parameter_sweep(
             return user_reduce(flag) if user_reduce is not None else flag
 
         kind = "gradient"
+    if reduce_fn is not None:
+        _wrapped = reduce_fn
+
+        def reduce_fn(stacked):  # noqa: F811 — deliberate rebind
+            out = _wrapped(stacked)
+            if isinstance(out, (tuple, list, dict)):
+                raise TypeError(
+                    "reduce_fn must return a single array — the chunk/"
+                    "checkpoint plumbing (np.save, pad-strip, concatenate) "
+                    "silently mangles tuple/dict returns; stack multiple "
+                    "quantities into one array instead"
+                )
+            return out
+
     model = condition.artifact
     args_batch = np.asarray(args_batch, dtype=float)
     if args_batch.ndim != 2:
@@ -502,7 +556,17 @@ def parameter_sweep(
 
     on_tpu = jax.default_backend() == "tpu"
     if engine is None:
-        engine = "pallas_df64" if (on_tpu and model.n_fields == 2) else "xla"
+        # mirror the single-chip auto-selection exactly: df32_compatible
+        # gate + dynamic-range probe on the first parameter set (the old
+        # on_tpu/n_fields-only check routed D5-class models onto a
+        # silently-NaNing kernel and df32-incompatible ones onto a crash)
+        probe_dtype = (
+            None if jnp.dtype(dtype) == jnp.dtype(jnp.float64) else dtype
+        )
+        engine = condition._resolve_engine(
+            None, dtype=probe_dtype, kind=kind, args=args_batch[0],
+            extent=extent,
+        )
     if engine not in ("xla", *_PALLAS_ENGINES):
         raise ValueError(f"unknown engine {engine!r}")
 
@@ -545,7 +609,7 @@ def parameter_sweep(
 
     if checkpoint_dir:
         manifest = _sweep_manifest(args_batch, extent, shape, chunk_size,
-                                   engine, reduce_fn, kind)
+                                   engine, reduce_fn, kind, dtype=dtype)
         os.makedirs(checkpoint_dir, exist_ok=True)
         mpath = os.path.join(checkpoint_dir, "manifest.json")
         if os.path.exists(mpath):
@@ -587,7 +651,12 @@ def parameter_sweep(
                 np.save(path, out)
             chunks.append(out)
             prog.tick(ci + 1, n_chunks)
-    return np.concatenate(chunks, axis=0)
+    result = np.concatenate(chunks, axis=0)
+    if reduce_fn is None:
+        # compensated engines return all-NaN (not an error) on overflow —
+        # same post-scan guard as the single-chip scans (VERDICT r2 item 2)
+        condition._nan_guard(result, engine, f"parameter_sweep[{kind}]")
+    return result
 
 
 def _pallas_chunk_runner(model, extent, shape, mesh, sweep_axis, dtype,

@@ -377,3 +377,37 @@ def test_solver_parameterless_model(monkeypatch):
                                      solver="rkf")
     assert out.shape == ref.shape == (1, 5, 5)
     np.testing.assert_array_equal(out[:, 0, :4], ref[:, 0, :4])
+
+
+def test_solve_eom_batch_validates_derivatives_every_path(doc_model_artifact):
+    """derivatives_init shape mismatches must raise the typed ShapeError on
+    every dispatch branch (plain, rkf_pallas, mesh) — not a cryptic
+    trace-time broadcast error."""
+    import pytest
+
+    from inflatox_tpu import background
+    from inflatox_tpu.utils.errors import ShapeError
+
+    f0 = np.array([[2.0, 2.0], [1.9, 2.1]])
+    bad = np.zeros((2, 1))
+    for kw in ({}, {"solver": "rkf_pallas"}):
+        with pytest.raises(ShapeError, match="derivatives_init"):
+            background.solve_eom_batch(
+                doc_model_artifact, np.array([1.0]), 10, f0, bad, **kw
+            )
+
+
+def test_solve_eom_batch_reuses_compiled_wrapper(doc_model_artifact):
+    """Back-to-back batched solves with the same shapes must hit the cached
+    jitted wrapper (a fresh jax.jit(jax.vmap(...)) per call re-compiled the
+    whole integrator every time)."""
+    from inflatox_tpu import background
+
+    f0 = np.array([[2.0, 2.0], [1.9, 2.1]])
+    d0 = np.zeros((2, 2))
+    background.solve_eom_batch(doc_model_artifact, np.array([1.0]), 11, f0, d0)
+    cache = doc_model_artifact.__dict__["_solver_cache"]
+    key = ("batch", "rk4", 11, 1e-6, "shared")
+    fn_before = cache[key]
+    background.solve_eom_batch(doc_model_artifact, np.array([1.0]), 11, f0, d0)
+    assert cache[key] is fn_before

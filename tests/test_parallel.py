@@ -632,3 +632,48 @@ def test_sharded_scan_output_validation(al):
     with pytest.raises(ValueError, match="output"):
         sharded_scan(al, PARAMS, EXTENT, (32, 16), mesh,
                      engine="pallas_df64", output="bogus")
+
+
+def test_parameter_sweep_rejects_pytree_reduce(al):
+    """Tuple/dict reduce_fn returns would be silently mangled by the
+    chunk/checkpoint plumbing (np.save + pad-strip + concatenate work on
+    a single array axis) — they must be rejected loudly."""
+    batch = np.linspace(0.5, 2.0, 3)[:, None]
+    with pytest.raises(TypeError, match="single array"):
+        parameter_sweep(
+            al, batch, EXTENT, (8, 8), progress=False,
+            reduce_fn=lambda m: (jnp.nanmin(m[0]), jnp.nanargmin(m[0])),
+        )
+
+
+def test_sweep_manifest_dtype_guard(al, tmp_path):
+    """Resuming a checkpoint directory written under a different dtype
+    must refuse (mixed-precision chunks would silently concatenate)."""
+    batch = np.linspace(0.5, 2.0, 4)[:, None]
+    ck = str(tmp_path / "ck")
+    parameter_sweep(al, batch, EXTENT, (8, 8), progress=False,
+                    chunk_size=2, checkpoint_dir=ck, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="different sweep"):
+        parameter_sweep(al, batch, EXTENT, (8, 8), progress=False,
+                        chunk_size=2, checkpoint_dir=ck)
+    # same dtype resumes fine
+    out = parameter_sweep(al, batch, EXTENT, (8, 8), progress=False,
+                          chunk_size=2, checkpoint_dir=ck, dtype=jnp.float32)
+    assert out.shape[0] == 4
+
+
+def test_reduce_fingerprint_reproducible_for_captured_functions():
+    """A reduce_fn wrapping a user callable must fingerprint by the
+    callable's CODE, not its repr (which embeds a per-process memory
+    address): identical source → identical fingerprint, different captured
+    function → different fingerprint."""
+    from inflatox_tpu.parallel.sweep import _reduce_fingerprint
+
+    ns1, ns2, ns3 = {}, {}, {}
+    src = ("def user(m):\n    return m + 1\n"
+           "def outer(m, _u=user):\n    return _u(m)\n")
+    exec(src, ns1)
+    exec(src, ns2)  # same code, different function objects/addresses
+    exec(src.replace("m + 1", "m + 2"), ns3)
+    assert _reduce_fingerprint(ns1["outer"]) == _reduce_fingerprint(ns2["outer"])
+    assert _reduce_fingerprint(ns1["outer"]) != _reduce_fingerprint(ns3["outer"])

@@ -21,6 +21,12 @@ coordinate-Hesse functions):
   against δN — two independent formalisms, one answer.  Also yields the
   exact tensor spectrum and the isocurvature decomposition.
 
+* **Moment transport** (:func:`transport_spectrum`): evolves the phase-space
+  correlation matrix Σ^{AB}(k) itself (dΣ/dN = uΣ + Σuᵀ) through the same
+  covariant coefficient streams as the mode route — PyTransport-style — and
+  additionally reads Σ on the post-crossing surface, yielding the Wands
+  super-horizon transfer functions T_RS/T_SS.
+
 Conventions: reduced Planck units (M_Pl = 1); P_ζ is the dimensionless
 spectrum (single-field slow-roll limit H²/(8π²ε)); ln k = N + ln H at
 crossing with N normalized to the supplied trajectory's start (only Δln k
@@ -38,7 +44,7 @@ from jax import lax
 from . import background
 from .observables import _eps1_crossing, _trajectory_eps_h
 
-__all__ = ["delta_n_spectrum", "mode_spectrum"]
+__all__ = ["delta_n_spectrum", "mode_spectrum", "transport_spectrum"]
 
 
 def _base_quantities(artifact, args, rows, times):
@@ -438,6 +444,216 @@ def _gamma_u(artifact, args, x_pts, u_pts):
     return np.einsum("abcs,bs->sac", gam, u_pts)
 
 
+def _pivot_setup(
+    artifact, args, rows, times, pivots, N_margin_start, N_margin_end,
+    N_sub, N_dense, dense_steps, tail_steps,
+):
+    """Shared linear-perturbation setup for the mode and transport routes.
+
+    Places the pivots, builds the per-pivot two-phase e-fold grids, samples
+    every ODE coefficient (Γu, M/H², 3−ε, (k/aH)²) at the grid nodes and
+    midpoints, constructs the unit-amplitude Bunch-Davies initial state on
+    the vielbein, and exposes a ``surface(targets)`` sampler for read-out
+    surfaces.  Both routes integrate the SAME coefficient streams — their
+    agreement tests only the integrators."""
+    import types  # noqa: PLC0415
+
+    d = artifact.n_fields
+    rows, times, hubble, eps_h, n_axis, i_end, n_end, h_ref = _base_quantities(
+        artifact, args, rows, times
+    )
+    span = slice(0, i_end + 1)
+    n_span = n_axis[span]
+
+    if float(N_margin_start) < float(N_sub) + 0.25:
+        raise ValueError(
+            f"N_margin_start ({N_margin_start}) must be at least "
+            f"N_sub + 0.25 ({float(N_sub) + 0.25}) so the Bunch-Davies "
+            "initialization has tabulated background before the first pivot"
+        )
+    if float(N_margin_end) < float(N_dense) + 0.25:
+        raise ValueError(
+            f"N_margin_end ({N_margin_end}) must be at least "
+            f"N_dense + 0.25 ({float(N_dense) + 0.25}) so every pivot's "
+            "dense phase ends before the ζ read-out surface (np.interp "
+            "would silently clamp the ODE coefficients past the table)"
+        )
+    n_lo = n_axis[0] + float(N_margin_start)
+    n_hi = n_end - float(N_margin_end)
+    if not n_hi > n_lo:
+        raise ValueError(
+            f"trajectory spans only {n_end - n_axis[0]:.1f} e-folds — too "
+            "short for the requested pivot margins"
+        )
+    n_pivots = np.linspace(n_lo, n_hi, int(pivots))
+    n_stop = n_end - 0.25  # common final surface (ζ read-out)
+
+    def interp(col, targets):
+        return np.interp(targets, n_span, col[span])
+
+    h_star = interp(hubble, n_pivots)
+    ln_k = n_pivots + np.log(h_star)
+    k_phys = np.exp(ln_k)
+
+    # per-pivot two-phase e-fold grids (K, S+1 nodes); node index
+    # ``dense_steps`` is exactly N_* + N_dense (the crossing surface)
+    grids = []
+    for p in range(int(pivots)):
+        dense = np.linspace(n_pivots[p] - N_sub, n_pivots[p] + N_dense,
+                            int(dense_steps) + 1)
+        tail = np.linspace(n_pivots[p] + N_dense, n_stop,
+                           int(tail_steps) + 1)[1:]
+        grids.append(np.concatenate([dense, tail]))
+    grids = np.asarray(grids)                              # (K, S+1)
+    mids = 0.5 * (grids[:, :-1] + grids[:, 1:])            # (K, S)
+    dts = np.diff(grids, axis=1)                           # (K, S)
+
+    # background samples at every node and midpoint, all pivots at once
+    def samples(targets):
+        flat = targets.ravel()
+        x = np.stack([interp(rows[:, c], flat) for c in range(d)])
+        u = np.stack([
+            interp(rows[:, d + c], flat) for c in range(d)
+        ])
+        hh = interp(hubble, flat)
+        u = u / hh                                          # u = χ/H
+        ee = interp(eps_h, flat)
+        gam = _gamma_u(artifact, args, x, u)
+        cmat = _mass_matrix_over_h2(artifact, args, x, u, hh, ee)
+        shape = targets.shape
+        return (
+            gam.reshape(shape + (d, d)),
+            cmat.reshape(shape + (d, d)),
+            (3.0 - ee).reshape(shape),
+            hh.reshape(shape),
+        )
+
+    gam_n, c_n, fric_n, h_n = samples(grids)               # nodes (K, S+1, …)
+    gam_m, c_m, fric_m, h_m = samples(mids)                # midpoints (K, S, …)
+
+    # y² = (k/aH)² at nodes and midpoints
+    y2_n = (k_phys[:, None] * np.exp(-grids) / h_n) ** 2
+    y2_m = (k_phys[:, None] * np.exp(-mids) / h_m) ** 2
+
+    # Bunch-Davies initial conditions on the vielbein at the first node.
+    # The true amplitude 1/(a₀√(2k)) ~ e^{-(N*−N_sub)}·e^{-N*/2} underflows
+    # the TPU's emulated f64 (f32 dynamic range) for late pivots; the ODE is
+    # linear, so integrate the UNIT-amplitude modes Q̃ and fold the amplitude
+    # into the read-out, where k³·amp² = k²/(2a₀²) = (H_* e^{N_sub})²/2
+    # analytically — no out-of-range number ever reaches the device.
+    x0 = np.stack([interp(rows[:, c], grids[:, 0]) for c in range(d)])
+    basis0 = _with_samples(
+        artifact.basis([x0[c] for c in range(d)], np.asarray(args, float)),
+        2, int(pivots),
+    )                                                      # (d real, d comp, K)
+    y0 = np.sqrt(y2_n[:, 0])
+    q_r0 = np.moveaxis(basis0, -1, 0)                      # (K, i, a)
+    q_i0 = np.zeros_like(q_r0)
+    dq_r0 = -q_r0                                           # d/dN of BD mode
+    dq_i0 = -y0[:, None, None] * q_r0
+    # covariant P = dQ/dN + (Γu) Q
+    p_r0 = dq_r0 + np.einsum("kac,kic->kia", gam_n[:, 0], q_r0)
+    p_i0 = dq_i0 + np.einsum("kac,kic->kia", gam_n[:, 0], q_i0)
+    state0 = np.stack([q_r0, q_i0, p_r0, p_i0], axis=1)     # (K, 4, i, a)
+    state0_t = np.stack(
+        [np.ones_like(y0), np.zeros_like(y0), -np.ones_like(y0), -y0], axis=1
+    )                                                       # (K, 4)
+
+    # k³·amp² = (H_* e^{N_sub})²/2 with amp = 1/(a₀√(2k)), a₀ = e^{N*−N_sub}
+    k3_amp2 = 0.5 * (h_star * np.exp(float(N_sub))) ** 2
+    norm = k3_amp2 / (2.0 * np.pi**2)
+
+    def surface(targets):
+        """Read-out surface data at per-pivot e-fold targets (K,):
+        returns (g (K,d,d), χ (d,K), H (K,), ε_H (K,))."""
+        x_f = np.stack([interp(rows[:, c], targets) for c in range(d)])
+        chi_f = np.stack([interp(rows[:, d + c], targets) for c in range(d)])
+        h_f = interp(hubble, targets)
+        eps_f = interp(eps_h, targets)
+        g_f = np.moveaxis(
+            _with_samples(artifact.metric([x_f[c] for c in range(d)],
+                                          np.asarray(args, float)),
+                          2, len(targets)), -1, 0
+        )                                                  # (K, d, d)
+        return g_f, chi_f, h_f, eps_f
+
+    return types.SimpleNamespace(
+        d=d, n_pivots=n_pivots, h_star=h_star, ln_k=ln_k, grids=grids,
+        mids=mids, dts=dts, gam_n=gam_n, c_n=c_n, fric_n=fric_n,
+        gam_m=gam_m, c_m=c_m, fric_m=fric_m, y2_n=y2_n, y2_m=y2_m,
+        state0=state0, state0_t=state0_t, norm=norm, surface=surface,
+    )
+
+
+def _pivot_shard(mesh, pivots, pivot_axis):
+    """Shard-the-pivot-axis helper shared by the mode and transport routes:
+    returns a tree-map that pads the leading (pivot) axis to the mesh size
+    and device_puts with a NamedSharding — or identity when mesh is None."""
+    if mesh is None:
+        def shard(tree):
+            return tree
+
+        return shard
+    from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
+
+    axis = pivot_axis if pivot_axis is not None else mesh.axis_names[0]
+    sh = NamedSharding(mesh, PartitionSpec(axis))
+    # device_put needs the sharded axis divisible by the mesh size —
+    # pad with copies of the last pivot and slice the results back
+    pad = (-int(pivots)) % int(mesh.shape[axis])
+
+    def shard(tree):
+        def put(v):
+            v = jnp.asarray(v)
+            if pad:
+                v = jnp.concatenate(
+                    [v, jnp.repeat(v[-1:], pad, axis=0)], axis=0
+                )
+            return jax.device_put(v, sh)
+
+        return jax.tree_util.tree_map(put, tree)
+
+    return shard
+
+
+def _sigma_readout(sigma_qq, g, chi, h, eps, norm):
+    """Gauge read-outs from the field-field correlation matrix Σ_QQ^{ab}.
+
+    ``sigma_qq`` (K, d, d) is Σ_i Re[Q^a Q^b*] in the unit-amplitude
+    normalization (fold ``norm`` back in here); returns
+    ``(P_ζ, P_iso, cos Δ, C_ζS)`` with the ζ–S pieces NaN unless d == 2.
+    The mode route's per-realization read-out and this matrix form are
+    algebraically identical (Σ_i |χ_a Q^a_i|² = χ_a χ_b Σ^{ab} etc.)."""
+    kk = sigma_qq.shape[0]
+    chi_t = chi.T                                          # (K, d)
+    chi_lo = np.einsum("kab,kb->ka", g, chi_t)             # χ_a
+    chi2 = np.einsum("ka,ka->k", chi_lo, chi_t)            # |χ|²
+    zz = np.einsum("ka,kab,kb->k", chi_lo, sigma_qq, chi_lo)
+    p_zeta = norm * zz / (2.0 * eps * h) ** 2
+    s_norm = h / np.sqrt(chi2)                             # H/|χ|
+    tr_g = np.einsum("kab,kab->k", g, sigma_qq)            # g_ab Σ^{ab}
+    q_s2 = np.maximum(tr_g - zz / chi2, 0.0)
+    p_iso = norm * s_norm**2 * q_s2
+    cos_delta = np.full(kk, np.nan)
+    c_zs = np.full(kk, np.nan)
+    if sigma_qq.shape[-1] == 2:
+        # signed entropic direction s^a = ε^{ab} σ_b (contravariant
+        # Levi-Civita, [[0,1],[−1,0]]/√detG) — G-orthonormal to σ̂ and
+        # CONTINUOUS along the trajectory
+        sig_lo = chi_lo / np.sqrt(chi2)[:, None]           # σ_b, (K, 2)
+        detg = np.linalg.det(g)                            # (K,)
+        s_up = np.stack(
+            [sig_lo[:, 1], -sig_lo[:, 0]], axis=1
+        ) / np.sqrt(detg)[:, None]
+        s_lo = np.einsum("kab,kb->ka", g, s_up)
+        c_zs = norm * s_norm * np.einsum(
+            "ka,kab,kb->k", s_lo, sigma_qq, chi_lo
+        ) / (2.0 * eps * h)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos_delta = c_zs / np.sqrt(p_zeta * p_iso)
+    return p_zeta, p_iso, cos_delta, c_zs
+
+
 def mode_spectrum(
     artifact,
     args,
@@ -504,224 +720,58 @@ def mode_spectrum(
     ~10⁻³ at the default step counts — agreement with δN to ~1% is the
     validated envelope.
     """
-    d = artifact.n_fields
-    rows, times, hubble, eps_h, n_axis, i_end, n_end, h_ref = _base_quantities(
-        artifact, args, rows, times
+    t = _pivot_setup(
+        artifact, args, rows, times, pivots, N_margin_start, N_margin_end,
+        N_sub, N_dense, dense_steps, tail_steps,
     )
-    span = slice(0, i_end + 1)
-    n_span = n_axis[span]
-
-    if float(N_margin_start) < float(N_sub) + 0.25:
-        raise ValueError(
-            f"N_margin_start ({N_margin_start}) must be at least "
-            f"N_sub + 0.25 ({float(N_sub) + 0.25}) so the Bunch-Davies "
-            "initialization has tabulated background before the first pivot"
-        )
-    if float(N_margin_end) < float(N_dense) + 0.25:
-        raise ValueError(
-            f"N_margin_end ({N_margin_end}) must be at least "
-            f"N_dense + 0.25 ({float(N_dense) + 0.25}) so every pivot's "
-            "dense phase ends before the ζ read-out surface (np.interp "
-            "would silently clamp the ODE coefficients past the table)"
-        )
-    n_lo = n_axis[0] + float(N_margin_start)
-    n_hi = n_end - float(N_margin_end)
-    if not n_hi > n_lo:
-        raise ValueError(
-            f"trajectory spans only {n_end - n_axis[0]:.1f} e-folds — too "
-            "short for the requested pivot margins"
-        )
-    n_pivots = np.linspace(n_lo, n_hi, int(pivots))
-    n_stop = n_end - 0.25  # common final surface (ζ read-out)
-
-    def interp(col, targets):
-        return np.interp(targets, n_span, col[span])
-
-    h_star = interp(hubble, n_pivots)
-    ln_k = n_pivots + np.log(h_star)
-    k_phys = np.exp(ln_k)
-
-    # per-pivot two-phase e-fold grids (K, S+1 nodes)
-    grids = []
-    for p in range(int(pivots)):
-        dense = np.linspace(n_pivots[p] - N_sub, n_pivots[p] + N_dense,
-                            int(dense_steps) + 1)
-        tail = np.linspace(n_pivots[p] + N_dense, n_stop,
-                           int(tail_steps) + 1)[1:]
-        grids.append(np.concatenate([dense, tail]))
-    grids = np.asarray(grids)                              # (K, S+1)
-    mids = 0.5 * (grids[:, :-1] + grids[:, 1:])            # (K, S)
-    dts = np.diff(grids, axis=1)                           # (K, S)
-
-    # background samples at every node and midpoint, all pivots at once
-    def samples(targets):
-        flat = targets.ravel()
-        x = np.stack([interp(rows[:, c], flat) for c in range(d)])
-        u = np.stack([
-            interp(rows[:, d + c], flat) for c in range(d)
-        ])
-        hh = interp(hubble, flat)
-        u = u / hh                                          # u = χ/H
-        ee = interp(eps_h, flat)
-        gam = _gamma_u(artifact, args, x, u)
-        cmat = _mass_matrix_over_h2(artifact, args, x, u, hh, ee)
-        shape = targets.shape
-        return (
-            gam.reshape(shape + (d, d)),
-            cmat.reshape(shape + (d, d)),
-            (3.0 - ee).reshape(shape),
-            hh.reshape(shape),
-        )
-
-    gam_n, c_n, fric_n, h_n = samples(grids)               # nodes (K, S+1, …)
-    gam_m, c_m, fric_m, h_m = samples(mids)                # midpoints (K, S, …)
-
-    # y² = (k/aH)² at nodes and midpoints
-    y2_n = (k_phys[:, None] * np.exp(-grids) / h_n) ** 2
-    y2_m = (k_phys[:, None] * np.exp(-mids) / h_m) ** 2
-
-    # Bunch-Davies initial conditions on the vielbein at the first node.
-    # The true amplitude 1/(a₀√(2k)) ~ e^{-(N*−N_sub)}·e^{-N*/2} underflows
-    # the TPU's emulated f64 (f32 dynamic range) for late pivots; the ODE is
-    # linear, so integrate the UNIT-amplitude modes Q̃ and fold the amplitude
-    # into the read-out, where k³·amp² = k²/(2a₀²) = (H_* e^{N_sub})²/2
-    # analytically — no out-of-range number ever reaches the device.
-    x0 = np.stack([interp(rows[:, c], grids[:, 0]) for c in range(d)])
-    basis0 = _with_samples(
-        artifact.basis([x0[c] for c in range(d)], np.asarray(args, float)),
-        2, int(pivots),
-    )                                                      # (d real, d comp, K)
-    y0 = np.sqrt(y2_n[:, 0])
-    q_r0 = np.moveaxis(basis0, -1, 0)                      # (K, i, a)
-    q_i0 = np.zeros_like(q_r0)
-    dq_r0 = -q_r0                                           # d/dN of BD mode
-    dq_i0 = -y0[:, None, None] * q_r0
-    # covariant P = dQ/dN + (Γu) Q
-    p_r0 = dq_r0 + np.einsum("kac,kic->kia", gam_n[:, 0], q_r0)
-    p_i0 = dq_i0 + np.einsum("kac,kic->kia", gam_n[:, 0], q_i0)
-    state0 = np.stack([q_r0, q_i0, p_r0, p_i0], axis=1)     # (K, 4, i, a)
+    shard = _pivot_shard(mesh, pivots, pivot_axis)
 
     per_step = (
-        jnp.asarray(gam_n[:, :-1]), jnp.asarray(c_n[:, :-1]),
-        jnp.asarray(fric_n[:, :-1, None, None]),
-        jnp.asarray(y2_n[:, :-1, None, None]),
-        jnp.asarray(gam_m), jnp.asarray(c_m),
-        jnp.asarray(fric_m[:, :, None, None]),
-        jnp.asarray(y2_m[:, :, None, None]),
-        jnp.asarray(gam_n[:, 1:]), jnp.asarray(c_n[:, 1:]),
-        jnp.asarray(fric_n[:, 1:, None, None]),
-        jnp.asarray(y2_n[:, 1:, None, None]),
-        jnp.asarray(dts[:, :, None, None, None]),
+        jnp.asarray(t.gam_n[:, :-1]), jnp.asarray(t.c_n[:, :-1]),
+        jnp.asarray(t.fric_n[:, :-1, None, None]),
+        jnp.asarray(t.y2_n[:, :-1, None, None]),
+        jnp.asarray(t.gam_m), jnp.asarray(t.c_m),
+        jnp.asarray(t.fric_m[:, :, None, None]),
+        jnp.asarray(t.y2_m[:, :, None, None]),
+        jnp.asarray(t.gam_n[:, 1:]), jnp.asarray(t.c_n[:, 1:]),
+        jnp.asarray(t.fric_n[:, 1:, None, None]),
+        jnp.asarray(t.y2_n[:, 1:, None, None]),
+        jnp.asarray(t.dts[:, :, None, None, None]),
     )
-    if mesh is None:
-        pad = 0
-
-        def shard(tree):
-            return tree
-    else:
-        from jax.sharding import NamedSharding, PartitionSpec  # noqa: PLC0415
-
-        axis = pivot_axis if pivot_axis is not None else mesh.axis_names[0]
-        sh = NamedSharding(mesh, PartitionSpec(axis))
-        # device_put needs the sharded axis divisible by the mesh size —
-        # pad with copies of the last pivot and slice the results back
-        pad = (-int(pivots)) % int(mesh.shape[axis])
-
-        def shard(tree):
-            def put(v):
-                v = jnp.asarray(v)
-                if pad:
-                    v = jnp.concatenate(
-                        [v, jnp.repeat(v[-1:], pad, axis=0)], axis=0
-                    )
-                return jax.device_put(v, sh)
-
-            return jax.tree_util.tree_map(put, tree)
-
     final = np.asarray(
-        _MS_INTEGRATE(shard(jnp.asarray(state0)), shard(per_step))
+        _MS_INTEGRATE(shard(jnp.asarray(t.state0)), shard(per_step))
     )[: int(pivots)]                                        # (K, 4, i, a)
 
     # tensor modes: each polarization is a canonically-normalized massless
     # scalar (no Γ, no mass matrix), P_T = 8 · P_massless
-    state0_t = np.stack(
-        [np.ones_like(y0), np.zeros_like(y0), -np.ones_like(y0), -y0], axis=1
-    )                                                       # (K, 4)
     per_step_t = (
-        jnp.asarray(fric_n[:, :-1]), jnp.asarray(y2_n[:, :-1]),
-        jnp.asarray(fric_m), jnp.asarray(y2_m),
-        jnp.asarray(fric_n[:, 1:]), jnp.asarray(y2_n[:, 1:]),
-        jnp.asarray(dts),
+        jnp.asarray(t.fric_n[:, :-1]), jnp.asarray(t.y2_n[:, :-1]),
+        jnp.asarray(t.fric_m), jnp.asarray(t.y2_m),
+        jnp.asarray(t.fric_n[:, 1:]), jnp.asarray(t.y2_n[:, 1:]),
+        jnp.asarray(t.dts),
     )
     final_t = np.asarray(
-        _MS_INTEGRATE_T(shard(jnp.asarray(state0_t)), shard(per_step_t))
+        _MS_INTEGRATE_T(shard(jnp.asarray(t.state0_t)), shard(per_step_t))
     )[: int(pivots)]                                        # (K, 4)
 
-    # ζ read-out on the common end surface
-    x_f = np.stack([interp(rows[:, c], grids[:, -1]) for c in range(d)])
-    chi_f = np.stack([interp(rows[:, d + c], grids[:, -1]) for c in range(d)])
-    h_f = interp(hubble, grids[:, -1])
-    eps_f = interp(eps_h, grids[:, -1])
-    g_f = np.moveaxis(
-        _with_samples(artifact.metric([x_f[c] for c in range(d)],
-                                      np.asarray(args, float)),
-                      2, int(pivots)), -1, 0
-    )                                                      # (K, d, d)
-    chi_lo = np.einsum("kab,bk->ka", g_f, chi_f)           # χ_a, (K, d)
-    zeta_r = np.einsum("ka,kia->ki", chi_lo, final[:, 0]) / (
-        2.0 * eps_f * h_f
-    )[:, None]
-    zeta_i = np.einsum("ka,kia->ki", chi_lo, final[:, 1]) / (
-        2.0 * eps_f * h_f
-    )[:, None]
-    # k³·amp² = (H_* e^{N_sub})²/2 with amp = 1/(a₀√(2k)), a₀ = e^{N*−N_sub}
-    k3_amp2 = 0.5 * (h_star * np.exp(float(N_sub))) ** 2
-    norm = k3_amp2 / (2.0 * np.pi**2)
-    p_zeta = norm * (zeta_r**2 + zeta_i**2).sum(axis=1)
-
-    # isocurvature: decompose Q on the adiabatic direction σ̂ = χ/|χ| and
-    # its G-orthogonal complement; S = (H/|χ|)·Q_s carries ζ's normalization
-    # so P_iso/P_zeta is the primordial isocurvature fraction
-    chi2 = np.einsum("ka,ak->k", chi_lo, chi_f)            # |χ|², (K,)
-    s_norm = h_f / np.sqrt(chi2)                           # H/|χ|
-    q_sig_r = np.einsum("ka,kia->ki", chi_lo, final[:, 0]) / np.sqrt(chi2)[:, None]
-    q_sig_i = np.einsum("ka,kia->ki", chi_lo, final[:, 1]) / np.sqrt(chi2)[:, None]
-    q2_r = np.einsum("kia,kab,kib->ki", final[:, 0], g_f, final[:, 0])
-    q2_i = np.einsum("kia,kab,kib->ki", final[:, 1], g_f, final[:, 1])
-    q_s2 = np.maximum(q2_r - q_sig_r**2, 0.0) + np.maximum(q2_i - q_sig_i**2, 0.0)
-    p_iso = norm * (s_norm**2) * q_s2.sum(axis=1)
-
-    cos_delta = np.full(int(pivots), np.nan)
-    if d == 2:
-        # signed entropic direction s^a = ε^{ab} σ_b (ε^{ab} = the
-        # contravariant Levi-Civita tensor, [[0,1],[−1,0]]/√detG) —
-        # G-orthonormal to σ̂ by construction and CONTINUOUS along the
-        # trajectory (a coordinate-pick Gram-Schmidt flips sign whenever
-        # the picked axis switches, scrambling the sign of cos Δ)
-        sig_lo = chi_lo / np.sqrt(chi2)[:, None]           # σ_b, (K, 2)
-        detg = np.linalg.det(g_f)                          # (K,)
-        s_up = np.stack(
-            [sig_lo[:, 1], -sig_lo[:, 0]], axis=1
-        ) / np.sqrt(detg)[:, None]
-        s_lo = np.einsum("kab,kb->ka", g_f, s_up)
-        ss_r = np.einsum("ka,kia->ki", s_lo, final[:, 0])
-        ss_i = np.einsum("ka,kia->ki", s_lo, final[:, 1])
-        cross = norm * s_norm * (zeta_r * ss_r + zeta_i * ss_i).sum(axis=1)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos_delta = cross / np.sqrt(p_zeta * p_iso)
+    # ζ/S read-out on the common end surface via the correlation matrix
+    # Σ_QQ^{ab} = Σ_i (Re Q^a Re Q^b + Im Q^a Im Q^b) — algebraically the
+    # per-realization sums, shared with the transport route
+    sigma_qq = (
+        np.einsum("kia,kib->kab", final[:, 0], final[:, 0])
+        + np.einsum("kia,kib->kab", final[:, 1], final[:, 1])
+    )
+    g_f, chi_f, h_f, eps_f = t.surface(t.grids[:, -1])
+    p_zeta, p_iso, cos_delta, _ = _sigma_readout(
+        sigma_qq, g_f, chi_f, h_f, eps_f, t.norm
+    )
 
     # exact tensor spectrum from the massless-mode integration
-    p_tens = 8.0 * norm * (final_t[:, 0] ** 2 + final_t[:, 1] ** 2)
-    n_s = np.full(int(pivots), np.nan)
-    n_t = np.full(int(pivots), np.nan)
-    if int(pivots) >= 3:
-        ln_p = np.log(p_zeta)
-        ln_pt = np.log(p_tens)
-        n_s[1:-1] = 1.0 + (ln_p[2:] - ln_p[:-2]) / (ln_k[2:] - ln_k[:-2])
-        n_t[1:-1] = (ln_pt[2:] - ln_pt[:-2]) / (ln_k[2:] - ln_k[:-2])
+    p_tens = 8.0 * t.norm * (final_t[:, 0] ** 2 + final_t[:, 1] ** 2)
+    n_s, n_t = _tilts(p_zeta, p_tens, t.ln_k)
     return {
-        "ln_k": ln_k,
-        "N": n_pivots,
+        "ln_k": t.ln_k,
+        "N": t.n_pivots,
         "P_zeta": p_zeta,
         "P_tensor": p_tens,
         "P_iso": p_iso,
@@ -729,5 +779,214 @@ def mode_spectrum(
         "n_s": n_s,
         "n_t": n_t,
         "r": p_tens / p_zeta,
-        "H": h_star,
+        "H": t.h_star,
+    }
+
+
+def _tilts(p_zeta, p_tens, ln_k):
+    """Centered-difference tilts (n_s, n_t); NaN at the ends."""
+    kk = len(ln_k)
+    n_s = np.full(kk, np.nan)
+    n_t = np.full(kk, np.nan)
+    if kk >= 3:
+        ln_p = np.log(p_zeta)
+        ln_pt = np.log(p_tens)
+        n_s[1:-1] = 1.0 + (ln_p[2:] - ln_p[:-2]) / (ln_k[2:] - ln_k[:-2])
+        n_t[1:-1] = (ln_pt[2:] - ln_pt[:-2]) / (ln_k[2:] - ln_k[:-2])
+    return n_s, n_t
+
+
+# ----------------------------------------------------------------------- #
+# Moment-transport integration                                             #
+# ----------------------------------------------------------------------- #
+
+
+def _u_matrix(gam, cmat, fric, y2):
+    """Phase-space transport matrix u^A_B for X = (Q^a, P^a) (numpy, host):
+
+        dQ = P − (Γu) Q
+        dP = −(Γu) P − (3−ε) P − (k/aH)² Q − (M/H²) Q
+
+    ``gam``/``cmat`` (..., d, d), ``fric``/``y2`` (...) → u (..., 2d, 2d).
+    The SAME dynamics as :func:`_ms_rhs` in first-order form — the mode and
+    transport routes integrate one u."""
+    d = gam.shape[-1]
+    eye = np.broadcast_to(np.eye(d), gam.shape)
+    top = np.concatenate([-gam, eye], axis=-1)
+    bot = np.concatenate(
+        [-(y2[..., None, None] * eye + cmat),
+         -fric[..., None, None] * eye - gam],
+        axis=-1,
+    )
+    return np.concatenate([top, bot], axis=-2)
+
+
+def _tr_rhs(sig, u):
+    """dΣ/dN = u Σ + Σ uᵀ (Σ symmetric ⇒ uΣ + (uΣ)ᵀ)."""
+    us = u @ sig
+    return us + jnp.swapaxes(us, -2, -1)
+
+
+def _tr_integrate(sig0, per_step):
+    """RK4 on the covariance transport over one pivot's e-fold segment."""
+    def step(sig, s):
+        u0, um, u1, dt = s
+        k1 = _tr_rhs(sig, u0)
+        k2 = _tr_rhs(sig + 0.5 * dt * k1, um)
+        k3 = _tr_rhs(sig + 0.5 * dt * k2, um)
+        k4 = _tr_rhs(sig + dt * k3, u1)
+        return sig + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+    out, _ = lax.scan(step, sig0, per_step)
+    return out
+
+
+_TR_INTEGRATE = jax.jit(jax.vmap(_tr_integrate))
+
+
+def transport_spectrum(
+    artifact,
+    args,
+    rows,
+    times,
+    *,
+    pivots: int = 12,
+    N_margin_start: float = 5.0,
+    N_margin_end: float = 5.0,
+    N_sub: float = 4.0,
+    N_dense: float = 2.0,
+    dense_steps: int = 4000,
+    tail_steps: int = 1500,
+    mesh=None,
+    pivot_axis: str | None = None,
+) -> dict:
+    """Scalar/tensor spectra by moment transport (the PyTransport-style
+    third route): instead of integrating mode realizations, evolve the full
+    phase-space correlation matrix
+
+        Σ^{AB}(k, N) = Σᵢ Re⟨X^A X^B⟩,   X = (Q^a, P^a),
+        dΣ/dN = u Σ + Σ uᵀ,
+
+    with the SAME covariant transport matrix u (Γu, mass matrix M/H²,
+    friction 3−ε, (k/aH)²) the Mukhanov-Sasaki route uses — agreement
+    between :func:`mode_spectrum` and this function tests only the two
+    integrators, and is asserted to ~1e-9 in the suite.  Bunch-Davies
+    initial conditions, pivot placement, read-out surfaces, sharding
+    (``mesh=`` shards the pivot axis, zero collectives) and the returned
+    dict all match :func:`mode_spectrum`.
+
+    What transport adds over the mode route:
+
+    * Σ is read out on TWO surfaces — shortly after crossing
+      (N_* + ``N_dense``) and at the end of inflation — which yields the
+      Wands et al. (astro-ph/0205253) super-horizon **transfer functions**
+
+          ζ(N_end) = ζ_* + T_RS S_*,     S(N_end) = T_SS S_*,
+
+      measured from the evolved correlators themselves (two-field models):
+      ``T_SS = √(P_S(end)/P_S(*))`` and ``T_RS = C_ζS(end)/(T_SS P_S(*))``
+      — exact up to the O(slow-roll) ζ–S correlation already present at
+      the first surface.  Extra keys: ``T_RS``, ``T_SS``, ``P_zeta_star``,
+      ``P_iso_star`` (NaN for d ≠ 2 except the starred spectra).
+    * The evolution is the first-order moment hierarchy of the transport
+      method — the natural base for higher moments (the bispectrum's
+      Σ³ source terms contract this Σ).
+
+    No reference equivalent: the reference computes no perturbation
+    spectra at all (its solver output has no time axis,
+    background_solver.rs:283-295)."""
+    t = _pivot_setup(
+        artifact, args, rows, times, pivots, N_margin_start, N_margin_end,
+        N_sub, N_dense, dense_steps, tail_steps,
+    )
+    shard = _pivot_shard(mesh, pivots, pivot_axis)
+    d = t.state0.shape[-1]
+    ds = int(dense_steps)
+
+    # u at step start-nodes / midpoints / end-nodes, (K, S, 2d, 2d)
+    u_start = _u_matrix(t.gam_n[:, :-1], t.c_n[:, :-1],
+                        t.fric_n[:, :-1], t.y2_n[:, :-1])
+    u_mid = _u_matrix(t.gam_m, t.c_m, t.fric_m, t.y2_m)
+    u_end = _u_matrix(t.gam_n[:, 1:], t.c_n[:, 1:],
+                      t.fric_n[:, 1:], t.y2_n[:, 1:])
+
+    # Σ(N₀) from the same unit-amplitude BD mode matrix: X^A_i columns
+    # (state0 = (K, 4, i, a) → X_r/X_i (K, i, 2d))
+    x_r = np.concatenate([t.state0[:, 0], t.state0[:, 2]], axis=-1)
+    x_i = np.concatenate([t.state0[:, 1], t.state0[:, 3]], axis=-1)
+    sig0 = (
+        np.einsum("kiA,kiB->kAB", x_r, x_r)
+        + np.einsum("kiA,kiB->kAB", x_i, x_i)
+    )                                                      # (K, 2d, 2d)
+
+    def seg(a, b):
+        return (
+            jnp.asarray(u_start[:, a:b]), jnp.asarray(u_mid[:, a:b]),
+            jnp.asarray(u_end[:, a:b]),
+            jnp.asarray(t.dts[:, a:b, None, None]),
+        )
+
+    # dense segment → Σ at the crossing surface; tail segment → Σ at end
+    sig_star = _TR_INTEGRATE(shard(jnp.asarray(sig0)), shard(seg(0, ds)))
+    sig_end = np.asarray(
+        _TR_INTEGRATE(sig_star, shard(seg(ds, u_start.shape[1])))
+    )[: int(pivots)]
+    sig_star = np.asarray(sig_star)[: int(pivots)]
+
+    # tensor modes: massless scalar transport (d=1 blocks, no Γ, no mass)
+    zeros1 = np.zeros(t.fric_n.shape + (1, 1))
+    u_t_start = _u_matrix(zeros1[:, :-1], zeros1[:, :-1],
+                          t.fric_n[:, :-1], t.y2_n[:, :-1])
+    u_t_mid = _u_matrix(zeros1[:, :-1] * 0.0, zeros1[:, :-1] * 0.0,
+                        t.fric_m, t.y2_m)
+    u_t_end = _u_matrix(zeros1[:, 1:], zeros1[:, 1:],
+                        t.fric_n[:, 1:], t.y2_n[:, 1:])
+    xt_r = np.stack([t.state0_t[:, 0], t.state0_t[:, 2]], axis=-1)[:, None]
+    xt_i = np.stack([t.state0_t[:, 1], t.state0_t[:, 3]], axis=-1)[:, None]
+    sig0_t = (
+        np.einsum("kiA,kiB->kAB", xt_r, xt_r)
+        + np.einsum("kiA,kiB->kAB", xt_i, xt_i)
+    )                                                      # (K, 2, 2)
+    per_step_t = (
+        jnp.asarray(u_t_start), jnp.asarray(u_t_mid), jnp.asarray(u_t_end),
+        jnp.asarray(t.dts[:, :, None, None]),
+    )
+    sig_t = np.asarray(
+        _TR_INTEGRATE(shard(jnp.asarray(sig0_t)), shard(per_step_t))
+    )[: int(pivots)]
+
+    # read-outs: end surface (the spectra) and crossing surface (for the
+    # transfer functions)
+    qq_end = sig_end[:, :d, :d]
+    g_f, chi_f, h_f, eps_f = t.surface(t.grids[:, -1])
+    p_zeta, p_iso, cos_delta, c_zs_end = _sigma_readout(
+        qq_end, g_f, chi_f, h_f, eps_f, t.norm
+    )
+    qq_star = sig_star[:, :d, :d]
+    g_s, chi_s, h_s, eps_s = t.surface(t.grids[:, ds])
+    p_zeta_star, p_iso_star, _, _ = _sigma_readout(
+        qq_star, g_s, chi_s, h_s, eps_s, t.norm
+    )
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t_ss = np.sqrt(p_iso / p_iso_star)
+        t_rs = c_zs_end / (t_ss * p_iso_star)
+
+    p_tens = 8.0 * t.norm * sig_t[:, 0, 0]
+    n_s, n_t = _tilts(p_zeta, p_tens, t.ln_k)
+    return {
+        "ln_k": t.ln_k,
+        "N": t.n_pivots,
+        "P_zeta": p_zeta,
+        "P_tensor": p_tens,
+        "P_iso": p_iso,
+        "cos_delta": cos_delta,
+        "n_s": n_s,
+        "n_t": n_t,
+        "r": p_tens / p_zeta,
+        "H": t.h_star,
+        "T_RS": t_rs,
+        "T_SS": t_ss,
+        "P_zeta_star": p_zeta_star,
+        "P_iso_star": p_iso_star,
     }

@@ -241,3 +241,66 @@ def test_spectra_error_paths(quadratic):
         perturbations.delta_n_spectrum(
             art, m, rows, times, pivots=3, N_margin_start=3.0, steps=60
         )
+
+
+def test_transport_cross_validates_mode_flat(quadratic):
+    """The moment-transport route integrates the SAME u-matrix streams as
+    the mode route, so the two must agree to integrator error (the
+    difference refines ~4th order; ~1e-5 at these step counts)."""
+    art, m, rows, times = quadratic
+    kw = dict(pivots=5, N_margin_start=5.0, N_margin_end=8.0,
+              dense_steps=1500, tail_steps=600)
+    ms = perturbations.mode_spectrum(art, m, rows, times, **kw)
+    tr = perturbations.transport_spectrum(art, m, rows, times, **kw)
+    np.testing.assert_allclose(tr["ln_k"], ms["ln_k"], rtol=1e-12)
+    np.testing.assert_allclose(tr["P_zeta"], ms["P_zeta"], rtol=5e-5)
+    np.testing.assert_allclose(tr["P_tensor"], ms["P_tensor"], rtol=5e-5)
+    np.testing.assert_allclose(tr["P_iso"], ms["P_iso"], rtol=5e-5)
+    # single-field axis: zero ζ–S correlation, zero adiabatic–entropic
+    # transfer, and no super-horizon feeding of P_ζ
+    np.testing.assert_allclose(tr["T_RS"], 0.0, atol=1e-8)
+    np.testing.assert_allclose(tr["P_zeta"], tr["P_zeta_star"], rtol=0.03)
+    # the heavy orthogonal direction decays: T_SS < 1
+    assert np.all(tr["T_SS"] < 1.0)
+
+
+def test_transport_transfer_functions_curved(curved):
+    """On a turning background the Wands transfer-function decomposition
+    must be internally consistent: with ζ–S uncorrelated at the crossing
+    surface (true to O(slow-roll)),
+
+        P_ζ(end) = P_ζ* + T_RS² P_S*   and   cos Δ = T_RS √(P_S*/P_ζ(end))."""
+    art, args, rows, times = curved
+    kw = dict(pivots=4, N_margin_start=5.0, N_margin_end=8.0,
+              dense_steps=1500, tail_steps=600)
+    ms = perturbations.mode_spectrum(art, args, rows, times, **kw)
+    tr = perturbations.transport_spectrum(art, args, rows, times, **kw)
+    np.testing.assert_allclose(tr["P_zeta"], ms["P_zeta"], rtol=1e-3)
+    np.testing.assert_allclose(tr["P_iso"], ms["P_iso"], rtol=1e-3)
+    np.testing.assert_allclose(
+        tr["cos_delta"], ms["cos_delta"], rtol=1e-3, atol=1e-8
+    )
+    pred = tr["P_zeta_star"] + tr["T_RS"] ** 2 * tr["P_iso_star"]
+    np.testing.assert_allclose(tr["P_zeta"], pred, rtol=0.05)
+    cos_pred = tr["T_RS"] * np.sqrt(tr["P_iso_star"] / tr["P_zeta"])
+    np.testing.assert_allclose(tr["cos_delta"], cos_pred, rtol=0.05)
+
+
+def test_transport_sharded_matches_single_device(quadratic):
+    """Pivot-axis sharding of the transport route (GSPMD partitioning
+    only — the per-pivot integrations are independent)."""
+    import jax
+
+    from inflatox_tpu.parallel import make_mesh
+
+    art, m, rows, times = quadratic
+    mesh = make_mesh(axis_names=("solve",), devices=jax.devices())
+    kw = dict(pivots=4, N_margin_start=5.0, N_margin_end=8.0,
+              dense_steps=800, tail_steps=400)
+    tr0 = perturbations.transport_spectrum(art, m, rows, times, **kw)
+    tr1 = perturbations.transport_spectrum(art, m, rows, times, mesh=mesh, **kw)
+    np.testing.assert_allclose(tr1["P_zeta"], tr0["P_zeta"], rtol=1e-10)
+    np.testing.assert_allclose(tr1["P_tensor"], tr0["P_tensor"], rtol=1e-10)
+    np.testing.assert_allclose(
+        tr1["P_iso"], tr0["P_iso"], rtol=1e-8, atol=1e-25
+    )

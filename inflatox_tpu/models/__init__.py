@@ -20,6 +20,9 @@ Beyond the reference set:
   field space; the standard modern multi-field testbed (geometrical
   destabilization, curvature-fed isocurvature) for the geometry and
   perturbation-spectra layers.
+* :func:`double_quadratic` — double inflation (two massive fields,
+  mass ratio 7); the canonical isocurvature→adiabatic transfer testbed
+  for the transport/δN spectrum routes.
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ from ..symbolic import InflationModel, InflationModelBuilder
 
 __all__ = [
     "hyperinflation", "angular", "egno", "d5", "natural", "alpha_attractor",
+    "double_quadratic",
 ]
 
 
@@ -222,6 +226,29 @@ def alpha_attractor(silent: bool = True):
     return model, _args_by_symbol(
         model, {"alpha": 1.0, "M4": 1e-10, "c": 0.1}
     )
+
+
+def double_quadratic(silent: bool = True):
+    """Double inflation: two massive fields with a mass hierarchy, flat
+    metric (Polarski–Starobinsky, Phys. Rev. D 50, 6123).
+
+    V = ½ m_h² φ_h² + ½ m_l² φ_l² with m_h/m_l = 7.  Inflation proceeds in
+    two stages (heavy field first); scales leaving the horizon during the
+    first stage gain curvature power super-horizon as the light field takes
+    over — the canonical testbed for isocurvature→adiabatic transfer, which
+    is what the zoo test pins (P_ζ(end)/P_ζ(*) of several, transport route
+    vs δN).  Not in the reference's model set.  Default args:
+    m_l = 1e-5, m_h = 7e-5 (reduced Planck units; P_ζ scales as m²).
+    Standard initial conditions: φ_h = φ_l = 12.
+    """
+    fh, fl = sympy.symbols("phi_h phi_l")
+    mh, ml = sympy.symbols("m_h m_l")
+    V = sympy.Rational(1, 2) * ((mh * fh) ** 2 + (ml * fl) ** 2)
+    model = InflationModelBuilder.new(
+        [fh, fl], [[1, 0], [0, 1]], V, model_name="double_quadratic",
+        silent=silent,
+    ).build()
+    return model, _args_by_symbol(model, {"m_h": 7e-5, "m_l": 1e-5})
 
 
 def _args_by_symbol(model: InflationModel, by_name: dict) -> np.ndarray:

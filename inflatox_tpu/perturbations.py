@@ -886,8 +886,13 @@ def transport_spectrum(
       measured from the evolved correlators themselves (two-field models):
       ``T_SS = √(P_S(end)/P_S(*))`` and ``T_RS = C_ζS(end)/(T_SS P_S(*))``
       — exact up to the O(slow-roll) ζ–S correlation already present at
-      the first surface.  Extra keys: ``T_RS``, ``T_SS``, ``P_zeta_star``,
-      ``P_iso_star`` (NaN for d ≠ 2 except the starred spectra).
+      the first surface.  Where the entropic mode has fully decayed by the
+      end surface (double-inflation transitions: T_SS → 0), T_RS falls
+      back to the growth-based magnitude ``√((P_ζ(end) − P_ζ*)/P_S*)``
+      with positive sign (the sign is unobservable once S has died).
+      Extra keys: ``T_RS``, ``T_SS``, ``P_zeta_star``, ``P_iso_star``
+      (for d ≠ 2 the correlation form is unavailable and T_RS is always
+      the growth-based magnitude).
     * The evolution is the first-order moment hierarchy of the transport
       method — the natural base for higher moments (the bispectrum's
       Σ³ source terms contract this Σ).
@@ -970,7 +975,18 @@ def transport_spectrum(
 
     with np.errstate(invalid="ignore", divide="ignore"):
         t_ss = np.sqrt(p_iso / p_iso_star)
-        t_rs = c_zs_end / (t_ss * p_iso_star)
+        # correlation-based T_RS = C_ζS(end)/(T_SS·P_S*) where the entropic
+        # mode survives to the end surface; where it has fully decayed
+        # (double-inflation-style transitions: T_SS → 0 makes the ratio
+        # 0/0) fall back to the growth-based magnitude
+        # √((P_ζ(end) − P_ζ*)/P_S*) — the sign is unobservable once S has
+        # died (only T_RS² enters P_ζ), reported positive
+        corr = c_zs_end / (t_ss * p_iso_star)
+        growth = np.sqrt(
+            np.maximum(p_zeta - p_zeta_star, 0.0) / p_iso_star
+        )
+        alive = p_iso > 1e-16 * p_zeta
+        t_rs = np.where(alive & np.isfinite(corr), corr, growth)
 
     p_tens = 8.0 * t.norm * sig_t[:, 0, 0]
     n_s, n_t = _tilts(p_zeta, p_tens, t.ln_k)

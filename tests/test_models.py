@@ -336,3 +336,37 @@ def test_model_zoo_alpha_attractor():
     assert info["N_end"] > 60.0
     np.testing.assert_allclose(info["n_s"], 1.0 - 2.0 / 55.0, atol=0.002)
     np.testing.assert_allclose(info["r"], 12.0 / 55.0**2, rtol=0.05)
+
+
+def test_model_zoo_double_quadratic():
+    """Double-inflation zoo entry: two-stage background and genuine
+    super-horizon feeding of ζ — scales crossing during the heavy stage
+    gain power as the light field takes over.  The transport and δN
+    routes (independent formalisms) must agree through the feeding
+    region, the feeding must be substantial for early pivots and absent
+    for late ones, and the entropic mode must be dead at the end
+    (T_SS ≈ 0 — the growth-based T_RS fallback path)."""
+    import inflatox_tpu as inflatox
+    from inflatox_tpu import background, perturbations
+    from inflatox_tpu.models import double_quadratic
+
+    model, args = double_quadratic()
+    art = inflatox.Compiler(model, silent=True).compile()
+    rows, times = background.solve_eom(
+        art, args, 4000, [12.0, 12.0], [0.0, 0.0],
+        max_err=1e-9, solver="rkf", return_time=True,
+    )
+    kw = dict(pivots=5, N_margin_start=6.0, N_margin_end=8.0)
+    tr = perturbations.transport_spectrum(
+        art, args, rows, times, dense_steps=1200, tail_steps=500, **kw
+    )
+    dn = perturbations.delta_n_spectrum(art, args, rows, times,
+                                        steps=4000, **kw)
+    np.testing.assert_allclose(tr["P_zeta"], dn["P_zeta"], rtol=0.08)
+    feeding = tr["P_zeta"] / tr["P_zeta_star"]
+    assert np.all(feeding[:3] > 1.8), feeding       # heavy-stage pivots fed
+    np.testing.assert_allclose(feeding[-1], 1.0, atol=0.05)  # light stage
+    np.testing.assert_allclose(tr["T_SS"], 0.0, atol=1e-3)   # S decayed
+    assert np.all(np.isfinite(tr["T_RS"]))
+    assert np.all(tr["T_RS"][:3] > 0.5)             # growth-based transfer
+    np.testing.assert_allclose(tr["T_RS"][-1], 0.0, atol=0.2)

@@ -704,7 +704,9 @@ def mode_spectrum(
       through crossing alongside the scalars (8 × a canonically-normalized
       massless scalar), not the slow-roll ``2H²/π²`` snapshot — and ``n_t``
       is its centered-difference tilt (the consistency relation n_t = −r/8
-      only holds to first order in slow roll);
+      only holds to first order in slow roll); ``alpha_s`` is the scalar
+      running d n_s/d ln k (three-point second difference; NaN at the
+      ends);
     * ``P_iso`` — the primordial isocurvature spectrum: the G-orthogonal
       complement of Q along the adiabatic direction, normalized as
       S = (H/|χ|)·Q_s so ``P_iso/P_zeta`` is the isocurvature fraction;
@@ -768,7 +770,7 @@ def mode_spectrum(
 
     # exact tensor spectrum from the massless-mode integration
     p_tens = 8.0 * t.norm * (final_t[:, 0] ** 2 + final_t[:, 1] ** 2)
-    n_s, n_t = _tilts(p_zeta, p_tens, t.ln_k)
+    n_s, n_t, alpha_s = _tilts(p_zeta, p_tens, t.ln_k)
     return {
         "ln_k": t.ln_k,
         "N": t.n_pivots,
@@ -778,22 +780,31 @@ def mode_spectrum(
         "cos_delta": cos_delta,
         "n_s": n_s,
         "n_t": n_t,
+        "alpha_s": alpha_s,
         "r": p_tens / p_zeta,
         "H": t.h_star,
     }
 
 
 def _tilts(p_zeta, p_tens, ln_k):
-    """Centered-difference tilts (n_s, n_t); NaN at the ends."""
+    """Centered-difference tilts (n_s, n_t) and scalar running α_s
+    (three-point second difference, nonuniform-grid form); NaN at the
+    ends."""
     kk = len(ln_k)
     n_s = np.full(kk, np.nan)
     n_t = np.full(kk, np.nan)
+    alpha_s = np.full(kk, np.nan)
     if kk >= 3:
         ln_p = np.log(p_zeta)
         ln_pt = np.log(p_tens)
         n_s[1:-1] = 1.0 + (ln_p[2:] - ln_p[:-2]) / (ln_k[2:] - ln_k[:-2])
         n_t[1:-1] = (ln_pt[2:] - ln_pt[:-2]) / (ln_k[2:] - ln_k[:-2])
-    return n_s, n_t
+        dk0 = ln_k[1:-1] - ln_k[:-2]
+        dk1 = ln_k[2:] - ln_k[1:-1]
+        alpha_s[1:-1] = 2.0 * (
+            (ln_p[2:] - ln_p[1:-1]) / dk1 - (ln_p[1:-1] - ln_p[:-2]) / dk0
+        ) / (dk0 + dk1)
+    return n_s, n_t, alpha_s
 
 
 # ----------------------------------------------------------------------- #
@@ -989,7 +1000,7 @@ def transport_spectrum(
         t_rs = np.where(alive & np.isfinite(corr), corr, growth)
 
     p_tens = 8.0 * t.norm * sig_t[:, 0, 0]
-    n_s, n_t = _tilts(p_zeta, p_tens, t.ln_k)
+    n_s, n_t, alpha_s = _tilts(p_zeta, p_tens, t.ln_k)
     return {
         "ln_k": t.ln_k,
         "N": t.n_pivots,
@@ -999,6 +1010,7 @@ def transport_spectrum(
         "cos_delta": cos_delta,
         "n_s": n_s,
         "n_t": n_t,
+        "alpha_s": alpha_s,
         "r": p_tens / p_zeta,
         "H": t.h_star,
         "T_RS": t_rs,

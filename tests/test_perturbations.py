@@ -262,6 +262,13 @@ def test_transport_cross_validates_mode_flat(quadratic):
     np.testing.assert_allclose(tr["P_zeta"], tr["P_zeta_star"], rtol=0.03)
     # the heavy orthogonal direction decays: T_SS < 1
     assert np.all(tr["T_SS"] < 1.0)
+    # scalar running on φ²: α_s ≈ −32/φ⁴ — negative and small
+    inner = slice(1, -1)
+    assert np.all(tr["alpha_s"][inner] < 0.0)
+    assert np.all(np.abs(tr["alpha_s"][inner]) < 0.02)
+    np.testing.assert_allclose(
+        tr["alpha_s"][inner], ms["alpha_s"][inner], rtol=1e-2
+    )
 
 
 def test_transport_transfer_functions_curved(curved):

@@ -63,3 +63,21 @@ print("          P_iso/P_zeta:", np.array2string(ms["P_iso"] / ms["P_zeta"],
 # validated envelope (tests/test_perturbations.py)
 assert np.all(np.abs(rel) < 0.08), "the two formalisms disagree"
 print("two independent formalisms agree — spectrum is trustworthy")
+
+# ---- 4. survey: δN spectra for a batch of parameter sets ------------------ #
+# one launch solves every base trajectory, one launch every perturbed
+# trajectory of every set; on_failure="nan" keeps a pathological corner
+# from killing the scan (its row NaN-fills and `ok` flags it)
+grid_m2, grid_b = np.meshgrid([0.6e-5, 0.8e-5, 1.0e-5], [0.15, 0.25])
+pars = np.stack([
+    _args_by_symbol(artifact.model,
+                    {"m1": 1e-5, "m2": mm, "b": bb})
+    for mm, bb in zip(grid_m2.ravel(), grid_b.ravel())
+])
+sweep = perturbations.delta_n_sweep(
+    artifact, pars, [10.0, 1.5], [0.0, 0.0], steps=3000, pivots=6,
+    max_err=1e-10, N_margin_end=8.0, on_failure="nan",
+)
+print(f"survey: {int(sweep['ok'].sum())}/{len(pars)} sets ok; "
+      "P_zeta at the middle pivot per set:",
+      np.array2string(sweep["P_zeta"][:, 3], precision=3))

@@ -43,8 +43,15 @@ from jax import lax
 
 from . import background
 from .observables import _eps1_crossing, _trajectory_eps_h
+from .utils.errors import ShapeError
+from .utils.logging import log_warn
 
-__all__ = ["delta_n_spectrum", "mode_spectrum", "transport_spectrum"]
+__all__ = [
+    "delta_n_spectrum",
+    "delta_n_sweep",
+    "mode_spectrum",
+    "transport_spectrum",
+]
 
 
 def _base_quantities(artifact, args, rows, times):
@@ -57,6 +64,238 @@ def _base_quantities(artifact, args, rows, times):
     n_end = n_axis[i - 1] + frac * (n_axis[i] - n_axis[i - 1])
     h_ref = hubble[i - 1] + frac * (hubble[i] - hubble[i - 1])
     return rows, times, hubble, eps_h, n_axis, i, n_end, h_ref
+
+
+# ----------------------------------------------------------------------- #
+# δN machinery, shared by delta_n_spectrum and delta_n_sweep               #
+# ----------------------------------------------------------------------- #
+
+
+def _dn_pivot_efolds(n_axis, n_end, pivots, margin_start, margin_end):
+    """Pivot e-fold times, evenly spaced inside the requested margins."""
+    n_lo = n_axis[0] + float(margin_start)
+    n_hi = n_end - float(margin_end)
+    if not n_hi > n_lo:
+        raise ValueError(
+            f"trajectory spans only {n_end - n_axis[0]:.1f} e-folds — too "
+            "short for the requested pivot margins"
+        )
+    return np.linspace(n_lo, n_hi, int(pivots))
+
+
+def _dn_pivot_states(rows, hubble, n_axis, i, d, n_pivots):
+    """Pivot field/velocity/Hubble states interpolated in e-fold time."""
+    span = slice(0, i + 1)
+    x_star = np.stack([
+        np.interp(n_pivots, n_axis[span], rows[span, c]) for c in range(d)
+    ], axis=1)                                   # (pivots, d)
+    chi_star = np.stack([
+        np.interp(n_pivots, n_axis[span], rows[span, d + c]) for c in range(d)
+    ], axis=1)                                   # (pivots, d)
+    h_star = np.interp(n_pivots, n_axis[span], hubble[span])
+    return x_star, chi_star, h_star
+
+
+def _dn_stencil(x_star, chi_star, h, h2, order):
+    """Perturbed-initial-condition stencil around each pivot, flattened to
+    one trajectory batch.  Per pivot, in order: 2d first-order points at
+    ±h_a (for N_a), then with order=2: 1 base point, 2d points at ±h2_a
+    (diagonal N_aa) and 4·C(d,2) mixed points at (±h2_a, ±h2_b)
+    (off-diagonal N_ab).  Velocities are kept on the attractor."""
+    pivots, d = x_star.shape
+    h_a = h * np.maximum(1.0, np.abs(x_star))    # (pivots, d) per-field steps
+    h2_a = h2 * np.maximum(1.0, np.abs(x_star))
+    per_pivot = 2 * d + (1 + 2 * d + 2 * d * (d - 1)) * (order == 2)
+    f0 = []
+    for p in range(pivots):
+        for a in range(d):
+            for s in (+1.0, -1.0):
+                xp = x_star[p].copy()
+                xp[a] += s * h_a[p, a]
+                f0.append(xp)
+        if order == 2:
+            f0.append(x_star[p].copy())
+            for a in range(d):
+                for s in (+1.0, -1.0):
+                    xp = x_star[p].copy()
+                    xp[a] += s * h2_a[p, a]
+                    f0.append(xp)
+            for a in range(d):
+                for b in range(a + 1, d):
+                    for sa in (+1.0, -1.0):
+                        for sb in (+1.0, -1.0):
+                            xp = x_star[p].copy()
+                            xp[a] += sa * h2_a[p, a]
+                            xp[b] += sb * h2_a[p, b]
+                            f0.append(xp)
+    f0 = np.asarray(f0)                          # (pivots·per_pivot, d)
+    return f0, np.repeat(chi_star, per_pivot, axis=0), per_pivot, h_a, h2_a
+
+
+def _dn_surface(artifact, pars_b, rows_b, times_b, h_ref, steps, strict=True):
+    """E-folds from each perturbed start to its uniform-H final surface.
+
+    ``pars_b`` is (k,) shared or (B, k) per-trajectory (parameter entries
+    broadcast through the lowered functions); ``h_ref`` is a scalar or
+    (B,)-broadcastable per-trajectory surface value.  H decreases
+    monotonically (H' = −½G_ab χ^a χ^b < 0).  Second differences of N
+    amplify readout noise by 1/h2², so the crossing is resolved with the
+    cubic Hermite H(t) (values + Ḣ at the bracketing rows, Newton for
+    H(t*) = h_ref) and N(t*) by integrating that cubic — O(Δt⁴) instead of
+    the O(Δt²) linear-interpolation floor.
+
+    Returns ``(n_surface, ok)``: a trajectory that fails to bracket its
+    surface gets ``ok=False`` and NaN — or, with ``strict``, raises with
+    the actionable message."""
+    d = artifact.n_fields
+    rows_b = np.asarray(rows_b)
+    times_b = np.asarray(times_b)
+    pars_b = np.asarray(pars_b, dtype=float)
+    a_in = ([pars_b[:, j:j + 1] for j in range(pars_b.shape[1])]
+            if pars_b.ndim == 2 else pars_b)
+    hdot_b = np.asarray(-0.5 * artifact.inner_prod(
+        [rows_b[..., c] for c in range(d)], a_in,
+        [rows_b[..., d + c] for c in range(d)],
+        [rows_b[..., d + c] for c in range(d)],
+    ))                                           # Ḣ = −½|χ|², (B, steps)
+    n_b = background.efolds(rows_b, times_b, hdot=hdot_b)   # (B, steps)
+    hub_b = rows_b[..., -1]
+    h_ref = np.broadcast_to(np.asarray(h_ref, dtype=float), hub_b.shape[:1])
+
+    reached = hub_b.min(axis=1) <= h_ref
+    if strict and not reached.all():
+        bad = int(np.nonzero(~reached)[0][0])
+        raise ValueError(
+            f"perturbed trajectory {bad} never reaches the final surface "
+            f"H = {h_ref[bad]:.4g} within {steps} rows (min H "
+            f"{hub_b[bad].min():.4g}) — raise steps"
+        )
+    idx = np.argmax(hub_b <= h_ref[:, None], axis=1)  # first row past it
+    if strict and (idx == 0).any():
+        bad = int(np.nonzero(idx == 0)[0][0])
+        raise ValueError(
+            f"perturbed trajectory {bad} starts at or below the final "
+            f"surface H = {h_ref[bad]:.4g} — the pivot is too close to the "
+            "end of inflation; raise N_margin_end"
+        )
+    ok = reached & (idx != 0)
+    # clamp failed rows to a valid bracket so the vector math stays finite;
+    # their outputs are NaN-masked below
+    idx = np.where(ok, idx, 1)
+    rows_idx = np.arange(rows_b.shape[0])
+    h0 = hub_b[rows_idx, idx - 1]
+    h1 = hub_b[rows_idx, idx]
+    d0 = hdot_b[rows_idx, idx - 1]
+    d1 = hdot_b[rows_idx, idx]
+    dt = times_b[rows_idx, idx] - times_b[rows_idx, idx - 1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = (h0 - h_ref) / (h0 - h1)             # linear first guess
+        for _ in range(3):
+            val = (
+                (2 * s**3 - 3 * s**2 + 1) * h0
+                + (s**3 - 2 * s**2 + s) * dt * d0
+                + (-2 * s**3 + 3 * s**2) * h1
+                + (s**3 - s**2) * dt * d1
+                - h_ref
+            )
+            dval = (
+                (6 * s**2 - 6 * s) * h0
+                + (3 * s**2 - 4 * s + 1) * dt * d0
+                + (-6 * s**2 + 6 * s) * h1
+                + (3 * s**2 - 2 * s) * dt * d1
+            )
+            s = np.clip(s - val / np.where(dval == 0.0, 1.0, dval), 0.0, 1.0)
+        n_surface = n_b[rows_idx, idx - 1] + dt * (
+            (0.5 * s**4 - s**3 + s) * h0
+            + (0.25 * s**4 - (2.0 / 3.0) * s**3 + 0.5 * s**2) * dt * d0
+            + (-0.5 * s**4 + s**3) * h1
+            + (0.25 * s**4 - s**3 / 3.0) * dt * d1
+        )
+    return np.where(ok, n_surface, np.nan), ok
+
+
+def _dn_pivot_geometry(artifact, args, x_star, order):
+    """Metric (K, d, d) and, for order=2, Christoffels (d, d, d, K) at the
+    pivot points — one vectorized device call each (``args`` entries may be
+    per-sample arrays, which is how the sweep evaluates every set's pivots
+    in one launch)."""
+    pivots, d = x_star.shape
+    x_list = [x_star[:, c] for c in range(d)]
+    g = np.moveaxis(
+        _with_samples(artifact.metric(x_list, args), 2, pivots), -1, 0
+    )
+    gam = None
+    if order == 2:
+        gam = _with_samples(
+            artifact.geometry.christoffels(x_list, args), 3, pivots
+        )
+    return g, gam
+
+
+def _dn_assemble(g_piv, gam, x_star, h_star, n_pivots, n_surface, h_a, h2_a,
+                 order):
+    """Finite differences → N_a (and covariant N_{;ab}) → spectra for one
+    parameter set.  ``n_surface`` is (pivots, per_pivot) e-fold counts in
+    stencil order (:func:`_dn_stencil`); ``g_piv`` the metric at the pivots
+    (pivots, d, d); ``gam`` the Christoffels (d, d, d, pivots), required
+    for ``order=2``.  Pure host numpy — NaN trajectories (a non-strict
+    surface read-out) propagate to NaN pivots."""
+    pivots, d = x_star.shape
+    n_first = n_surface[:, : 2 * d].reshape(pivots, d, 2)
+    n_grad = (n_first[:, :, 0] - n_first[:, :, 1]) / (2.0 * h_a)
+
+    n_hess = None
+    if order == 2:
+        n_base = n_surface[:, 2 * d]                       # (pivots,)
+        n_diag = n_surface[:, 2 * d + 1 : 4 * d + 1].reshape(pivots, d, 2)
+        n_hess = np.zeros((pivots, d, d))
+        for a in range(d):
+            n_hess[:, a, a] = (
+                n_diag[:, a, 0] - 2.0 * n_base + n_diag[:, a, 1]
+            ) / h2_a[:, a] ** 2
+        k = 4 * d + 1
+        for a in range(d):
+            for b in range(a + 1, d):
+                pp, pm, mp, mm_ = (n_surface[:, k + j] for j in range(4))
+                k += 4
+                n_hess[:, a, b] = n_hess[:, b, a] = (pp - pm - mp + mm_) / (
+                    4.0 * h2_a[:, a] * h2_a[:, b]
+                )
+        # covariant Hessian: N_{;ab} = ∂_a∂_b N − Γ^c_ab N_c at the pivot
+        n_hess = n_hess - np.einsum("cabk,kc->kab", gam, n_grad)
+
+    # P_ζ = G^{ab} N_a N_b (H_*/2π)², f_NL = (5/6) N^aN^b N_{;ab}/(N·N)²
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ginv = np.linalg.inv(g_piv)
+        n_up = np.einsum("kab,kb->ka", ginv, n_grad)
+        nn = np.einsum("ka,ka->k", n_grad, n_up)
+        p_zeta = nn * (h_star / (2 * np.pi)) ** 2
+        f_nl = None
+        if order == 2:
+            f_nl = (5.0 / 6.0) * np.einsum(
+                "ka,kab,kb->k", n_up, n_hess, n_up
+            ) / nn**2
+
+        ln_k = n_pivots + np.log(h_star)
+        p_tens = 2.0 * h_star * h_star / np.pi**2
+        n_s = np.full(pivots, np.nan)
+        if pivots >= 3:
+            ln_p = np.log(p_zeta)
+            n_s[1:-1] = 1.0 + (ln_p[2:] - ln_p[:-2]) / (ln_k[2:] - ln_k[:-2])
+        out = {
+            "ln_k": ln_k,
+            "N": n_pivots,
+            "P_zeta": p_zeta,
+            "P_tensor": p_tens,
+            "n_s": n_s,
+            "r": p_tens / p_zeta,
+            "N_grad": n_grad,
+            "H": h_star,
+        }
+    if order == 2:
+        out["N_hess"] = n_hess
+        out["f_NL"] = f_nl
+    return out
 
 
 def delta_n_spectrum(
@@ -125,193 +364,232 @@ def delta_n_spectrum(
     f_NL.  Raise ``steps`` if a perturbed trajectory fails to reach the
     final surface (a ``ValueError`` says so).
     """
+    order = int(order)
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
     d = artifact.n_fields
     rows, times, hubble, eps_h, n_axis, i, n_end, h_ref = _base_quantities(
         artifact, args, rows, times
     )
-
-    n_lo = n_axis[0] + float(N_margin_start)
-    n_hi = n_end - float(N_margin_end)
-    if not n_hi > n_lo:
-        raise ValueError(
-            f"trajectory spans only {n_end - n_axis[0]:.1f} e-folds — too "
-            "short for the requested pivot margins"
-        )
-    n_pivots = np.linspace(n_lo, n_hi, int(pivots))
-
-    # pivot states interpolated in e-fold time
-    span = slice(0, i + 1)
-    x_star = np.stack([
-        np.interp(n_pivots, n_axis[span], rows[span, c]) for c in range(d)
-    ], axis=1)                                   # (pivots, d)
-    chi_star = np.stack([
-        np.interp(n_pivots, n_axis[span], rows[span, d + c]) for c in range(d)
-    ], axis=1)                                   # (pivots, d)
-    h_star = np.interp(n_pivots, n_axis[span], hubble[span])
-
-    # batch of perturbed initial conditions.  Per pivot, in order:
-    #   2d first-order points at ±h_a (for N_a), then with order=2:
-    #   1 base point, 2d points at ±h2_a (diagonal N_aa) and
-    #   4·C(d,2) mixed points at (±h2_a, ±h2_b) (off-diagonal N_ab).
-    order = int(order)
-    if order not in (1, 2):
-        raise ValueError(f"order must be 1 or 2, got {order}")
-    h_a = h * np.maximum(1.0, np.abs(x_star))    # (pivots, d) per-field steps
-    h2_a = h2 * np.maximum(1.0, np.abs(x_star))
-    per_pivot = 2 * d + (1 + 2 * d + 2 * d * (d - 1)) * (order == 2)
-    f0 = []
-    for p in range(int(pivots)):
-        for a in range(d):
-            for s in (+1.0, -1.0):
-                xp = x_star[p].copy()
-                xp[a] += s * h_a[p, a]
-                f0.append(xp)
-        if order == 2:
-            f0.append(x_star[p].copy())
-            for a in range(d):
-                for s in (+1.0, -1.0):
-                    xp = x_star[p].copy()
-                    xp[a] += s * h2_a[p, a]
-                    f0.append(xp)
-            for a in range(d):
-                for b in range(a + 1, d):
-                    for sa in (+1.0, -1.0):
-                        for sb in (+1.0, -1.0):
-                            xp = x_star[p].copy()
-                            xp[a] += sa * h2_a[p, a]
-                            xp[b] += sb * h2_a[p, b]
-                            f0.append(xp)
-    f0 = np.asarray(f0)                          # (B, d), B = pivots·per_pivot
-    chi0 = np.repeat(chi_star, per_pivot, axis=0)
-
+    n_pivots = _dn_pivot_efolds(
+        n_axis, n_end, pivots, N_margin_start, N_margin_end
+    )
+    x_star, chi_star, h_star = _dn_pivot_states(
+        rows, hubble, n_axis, i, d, n_pivots
+    )
+    f0, chi0, per_pivot, h_a, h2_a = _dn_stencil(x_star, chi_star, h, h2,
+                                                 order)
+    a_f = np.asarray(args, dtype=float)
     rows_b, times_b = background.solve_eom_batch(
-        artifact, np.asarray(args, dtype=float), int(steps), f0, chi0,
+        artifact, a_f, int(steps), f0, chi0,
         max_err=max_err, solver=solver, return_time=True,
         **({"mesh": mesh} if mesh is not None else {}),
     )
-    rows_b = np.asarray(rows_b)
-    times_b = np.asarray(times_b)
-    a_arr = np.asarray(args, dtype=float)
-    hdot_b = np.asarray(-0.5 * artifact.inner_prod(
-        [rows_b[..., c] for c in range(d)], a_arr,
-        [rows_b[..., d + c] for c in range(d)],
-        [rows_b[..., d + c] for c in range(d)],
-    ))                                           # Ḣ = −½|χ|², (B, steps)
-    n_b = background.efolds(rows_b, times_b, hdot=hdot_b)   # (B, steps)
-    hub_b = rows_b[..., -1]
-
-    # e-folds to the common uniform-H surface (H decreases monotonically:
-    # H' = -½G_ab χ^a χ^b < 0).  Second differences of N amplify readout
-    # noise by 1/h2², so the crossing is resolved with the cubic Hermite
-    # H(t) (values + Ḣ at the bracketing rows, Newton for H(t*) = h_ref)
-    # and N(t*) by integrating that cubic — O(Δt⁴) instead of the O(Δt²)
-    # linear-interpolation floor.
-    reached = hub_b.min(axis=1) <= h_ref
-    if not reached.all():
-        bad = int(np.nonzero(~reached)[0][0])
-        raise ValueError(
-            f"perturbed trajectory {bad} never reaches the final surface "
-            f"H = {h_ref:.4g} within {steps} rows (min H "
-            f"{hub_b[bad].min():.4g}) — raise steps"
-        )
-    idx = np.argmax(hub_b <= h_ref, axis=1)      # first row past the surface
-    if (idx == 0).any():
-        bad = int(np.nonzero(idx == 0)[0][0])
-        raise ValueError(
-            f"perturbed trajectory {bad} starts at or below the final "
-            f"surface H = {h_ref:.4g} — the pivot is too close to the end "
-            "of inflation; raise N_margin_end"
-        )
-    rows_idx = np.arange(rows_b.shape[0])
-    h0 = hub_b[rows_idx, idx - 1]
-    h1 = hub_b[rows_idx, idx]
-    d0 = hdot_b[rows_idx, idx - 1]
-    d1 = hdot_b[rows_idx, idx]
-    dt = times_b[rows_idx, idx] - times_b[rows_idx, idx - 1]
-    s = (h0 - h_ref) / (h0 - h1)                 # linear first guess
-    for _ in range(3):
-        val = (
-            (2 * s**3 - 3 * s**2 + 1) * h0
-            + (s**3 - 2 * s**2 + s) * dt * d0
-            + (-2 * s**3 + 3 * s**2) * h1
-            + (s**3 - s**2) * dt * d1
-            - h_ref
-        )
-        dval = (
-            (6 * s**2 - 6 * s) * h0
-            + (3 * s**2 - 4 * s + 1) * dt * d0
-            + (-6 * s**2 + 6 * s) * h1
-            + (3 * s**2 - 2 * s) * dt * d1
-        )
-        s = np.clip(s - val / np.where(dval == 0.0, 1.0, dval), 0.0, 1.0)
-    n_surface = n_b[rows_idx, idx - 1] + dt * (
-        (0.5 * s**4 - s**3 + s) * h0
-        + (0.25 * s**4 - (2.0 / 3.0) * s**3 + 0.5 * s**2) * dt * d0
-        + (-0.5 * s**4 + s**3) * h1
-        + (0.25 * s**4 - s**3 / 3.0) * dt * d1
+    n_surface, _ = _dn_surface(artifact, a_f, rows_b, times_b, h_ref, steps)
+    g_piv, gam = _dn_pivot_geometry(artifact, a_f, x_star, order)
+    return _dn_assemble(
+        g_piv, gam, x_star, h_star, n_pivots,
+        n_surface.reshape(int(pivots), per_pivot), h_a, h2_a, order,
     )
 
-    n_surface = n_surface.reshape(int(pivots), per_pivot)
-    n_first = n_surface[:, : 2 * d].reshape(int(pivots), d, 2)
-    n_grad = (n_first[:, :, 0] - n_first[:, :, 1]) / (2.0 * h_a)
 
-    n_hess = None
-    if order == 2:
-        n_base = n_surface[:, 2 * d]                       # (pivots,)
-        n_diag = n_surface[:, 2 * d + 1 : 4 * d + 1].reshape(int(pivots), d, 2)
-        n_hess = np.zeros((int(pivots), d, d))
-        for a in range(d):
-            n_hess[:, a, a] = (
-                n_diag[:, a, 0] - 2.0 * n_base + n_diag[:, a, 1]
-            ) / h2_a[:, a] ** 2
-        k = 4 * d + 1
-        for a in range(d):
-            for b in range(a + 1, d):
-                pp, pm, mp, mm_ = (n_surface[:, k + j] for j in range(4))
-                k += 4
-                n_hess[:, a, b] = n_hess[:, b, a] = (pp - pm - mp + mm_) / (
-                    4.0 * h2_a[:, a] * h2_a[:, b]
+def delta_n_sweep(
+    artifact,
+    pars,
+    fields_init,
+    derivatives_init,
+    *,
+    steps: int = 4000,
+    pivots: int = 12,
+    N_margin_start: float = 2.0,
+    N_margin_end: float = 5.0,
+    h: float = 1e-4,
+    h2: float = 2e-3,
+    order: int = 1,
+    max_err: float = 1e-8,
+    solver: str = "rkf",
+    mesh=None,
+    on_failure: str = "raise",
+) -> dict:
+    """δN spectra for a batch of parameter sets — the survey tool.
+
+    For every parameter set in ``pars`` ((S, k); initial conditions (d,)
+    shared or (S, d) per-set) the sweep solves the base background, places
+    ``pivots`` horizon-crossing points, and computes the full δN spectrum
+    (same rules, stencils and read-out as :func:`delta_n_spectrum`,
+    including ``order=2`` → f_NL) — with ALL device work batched across
+    the sweep: one launch integrates every base trajectory and a second
+    launch integrates every perturbed trajectory of every set
+    (S·pivots·(2d [+ second-order stencil]) solves ride the batched
+    solver / Pallas DF kernel together, with per-trajectory parameters;
+    ``mesh=`` shards both launches across chips with zero collectives).
+    The per-pivot geometry read-back is likewise one vectorized call over
+    all S·pivots points, so host↔device round-trips stay O(1) in S.
+
+    Per-set failures — a base trajectory that never inflates or ends too
+    early for the pivot margins, or a perturbed solve that misses the
+    final uniform-H surface — raise by default with the set index in the
+    message; ``on_failure="nan"`` instead NaN-fills the affected outputs,
+    clears that set's flag in the returned ``ok`` mask, records the reason
+    in ``failures``, and logs one warning (parameter scans hit
+    pathological corners, and one bad set must not kill a pod-scale
+    sweep).  A set whose base solve succeeds but loses individual
+    perturbed trajectories keeps its finite pivots and NaNs only the
+    affected ones.
+
+    Returns a dict of stacked arrays: ``ln_k``/``N``/``P_zeta``/
+    ``P_tensor``/``n_s``/``r``/``H`` (S, pivots), ``N_grad``
+    (S, pivots, d), ``ok`` (S,) bool, ``failures`` (length-S list of
+    ``None`` or the failure reason) [+ ``N_hess`` (S, pivots, d, d),
+    ``f_NL`` (S, pivots) with ``order=2``].
+
+    No reference equivalent: the reference's solver integrates one
+    trajectory per call (background_solver.rs:283-295) and exposes no
+    spectra at all.
+    """
+    if on_failure not in ("raise", "nan"):
+        raise ValueError(
+            f"on_failure must be 'raise' or 'nan', got {on_failure!r}"
+        )
+    order = int(order)
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
+    d = artifact.n_fields
+    pars = np.asarray(pars, dtype=float)
+    if pars.ndim == 1:
+        pars = pars[None]
+    if pars.ndim != 2 or pars.shape[1] != artifact.n_parameters:
+        raise ShapeError(
+            (-1, artifact.n_parameters), pars.shape,
+            "sweep parameters must be (S, n_parameters)",
+        )
+    S = pars.shape[0]
+    f0b = np.broadcast_to(np.asarray(fields_init, dtype=float), (S, d))
+    chi0b = np.broadcast_to(np.asarray(derivatives_init, dtype=float), (S, d))
+    mesh_kw = {"mesh": mesh} if mesh is not None else {}
+
+    # every base trajectory in one launch, then the shared along-trajectory
+    # quantities (ε_H, e-fold axis) vectorized over the whole batch
+    rows_base, times_base = background.solve_eom_batch(
+        artifact, pars, int(steps), f0b, chi0b,
+        max_err=max_err, solver=solver, return_time=True, **mesh_kw,
+    )
+    rows_base = np.asarray(rows_base)
+    times_base = np.asarray(times_base)
+    a_cols = [pars[:, j:j + 1] for j in range(pars.shape[1])]
+    chi_sq = np.asarray(artifact.inner_prod(
+        [rows_base[..., c] for c in range(d)], a_cols,
+        [rows_base[..., d + c] for c in range(d)],
+        [rows_base[..., d + c] for c in range(d)],
+    ))
+    hub_base = rows_base[..., -1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        eps_base = 0.5 * chi_sq / (hub_base * hub_base)
+    n_base = background.efolds(rows_base, times_base, hdot=-0.5 * chi_sq)
+
+    # host-side per-set analysis: end-of-inflation crossing, pivot states,
+    # stencil construction (pure numpy — no device calls in this loop)
+    per_pivot = 2 * d + (1 + 2 * d + 2 * d * (d - 1)) * (order == 2)
+    b_set = int(pivots) * per_pivot
+    sets = [None] * S
+    failures = [None] * S
+    for s_i in range(S):
+        try:
+            i, frac = _eps1_crossing(eps_base[s_i])
+            n_end = n_base[s_i, i - 1] + frac * (
+                n_base[s_i, i] - n_base[s_i, i - 1]
+            )
+            h_ref = hub_base[s_i, i - 1] + frac * (
+                hub_base[s_i, i] - hub_base[s_i, i - 1]
+            )
+            n_piv = _dn_pivot_efolds(
+                n_base[s_i], n_end, pivots, N_margin_start, N_margin_end
+            )
+        except ValueError as e:
+            if on_failure == "raise":
+                raise ValueError(f"parameter set {s_i}: {e}") from e
+            failures[s_i] = str(e)
+            continue
+        x_star, chi_star, h_star = _dn_pivot_states(
+            rows_base[s_i], hub_base[s_i], n_base[s_i], i, d, n_piv
+        )
+        f0, chi0, _, h_a, h2_a = _dn_stencil(x_star, chi_star, h, h2, order)
+        sets[s_i] = (n_piv, x_star, h_star, h_a, h2_a, h_ref, f0, chi0)
+
+    valid = [s_i for s_i in range(S) if sets[s_i] is not None]
+    outs = [None] * S
+    if valid:
+        # every perturbed trajectory of every set in ONE launch,
+        # per-trajectory parameters riding the batch
+        pars_all = np.repeat(pars[valid], b_set, axis=0)
+        rows_b, times_b = background.solve_eom_batch(
+            artifact, pars_all, int(steps),
+            np.concatenate([sets[s_i][6] for s_i in valid]),
+            np.concatenate([sets[s_i][7] for s_i in valid]),
+            max_err=max_err, solver=solver, return_time=True, **mesh_kw,
+        )
+        n_surf, ok_traj = _dn_surface(
+            artifact, pars_all, rows_b, times_b,
+            np.repeat(np.array([sets[s_i][5] for s_i in valid]), b_set),
+            steps, strict=False,
+        )
+        if on_failure == "raise" and not ok_traj.all():
+            bad = int(np.nonzero(~ok_traj)[0][0])
+            raise ValueError(
+                f"parameter set {valid[bad // b_set]}: perturbed trajectory "
+                f"{bad % b_set} fails to bracket the final uniform-H "
+                "surface — raise steps (it never reaches H_ref) or "
+                "N_margin_end (its pivot starts at or below H_ref)"
+            )
+        # pivot geometry for every valid set in one vectorized call
+        x_all = np.concatenate([sets[s_i][1] for s_i in valid])
+        a_geo = [np.repeat(pars[valid, j], int(pivots))
+                 for j in range(pars.shape[1])]
+        g_all, gam_all = _dn_pivot_geometry(artifact, a_geo, x_all, order)
+
+        for v, s_i in enumerate(valid):
+            n_piv, x_star, h_star, h_a, h2_a = sets[s_i][:5]
+            sl = slice(v * b_set, (v + 1) * b_set)
+            if not ok_traj[sl].all():
+                failures[s_i] = (
+                    f"{int((~ok_traj[sl]).sum())} perturbed trajectories "
+                    "fail to bracket the final uniform-H surface — their "
+                    "pivots are NaN (raise steps or N_margin_end)"
                 )
-        # covariant Hessian: N_{;ab} = ∂_a∂_b N − Γ^c_ab N_c at the pivot
-        gam = _with_samples(
-            artifact.geometry.christoffels(
-                [x_star[:, c] for c in range(d)], np.asarray(args, float)
-            ),
-            3, int(pivots),
-        )                                                  # (c, a, b, K)
-        n_hess = n_hess - np.einsum("cabk,kc->kab", gam, n_grad)
+            gl = slice(v * int(pivots), (v + 1) * int(pivots))
+            outs[s_i] = _dn_assemble(
+                g_all[gl],
+                gam_all[..., gl] if gam_all is not None else None,
+                x_star, h_star, n_piv,
+                n_surf[sl].reshape(int(pivots), per_pivot),
+                h_a, h2_a, order,
+            )
 
-    # P_ζ = G^{ab} N_a N_b (H_*/2π)², f_NL = (5/6) N^aN^b N_{;ab}/(N·N)²
-    p_zeta = np.empty(int(pivots))
-    f_nl = np.empty(int(pivots)) if order == 2 else None
-    for p in range(int(pivots)):
-        g = np.asarray(artifact.metric(x_star[p], np.asarray(args, float)))
-        ginv = np.linalg.inv(g)
-        n_up = ginv @ n_grad[p]
-        nn = n_grad[p] @ n_up
-        p_zeta[p] = nn * (h_star[p] / (2 * np.pi)) ** 2
-        if order == 2:
-            f_nl[p] = (5.0 / 6.0) * (n_up @ n_hess[p] @ n_up) / nn**2
-
-    ln_k = n_pivots + np.log(h_star)
-    p_tens = 2.0 * h_star * h_star / np.pi**2
-    n_s = np.full(int(pivots), np.nan)
-    if int(pivots) >= 3:
-        ln_p = np.log(p_zeta)
-        n_s[1:-1] = 1.0 + (ln_p[2:] - ln_p[:-2]) / (ln_k[2:] - ln_k[:-2])
-    out = {
-        "ln_k": ln_k,
-        "N": n_pivots,
-        "P_zeta": p_zeta,
-        "P_tensor": p_tens,
-        "n_s": n_s,
-        "r": p_tens / p_zeta,
-        "N_grad": n_grad,
-        "H": h_star,
-    }
+    keys = {"ln_k": (int(pivots),), "N": (int(pivots),),
+            "P_zeta": (int(pivots),), "P_tensor": (int(pivots),),
+            "n_s": (int(pivots),), "r": (int(pivots),),
+            "H": (int(pivots),), "N_grad": (int(pivots), d)}
     if order == 2:
-        out["N_hess"] = n_hess
-        out["f_NL"] = f_nl
+        keys["N_hess"] = (int(pivots), d, d)
+        keys["f_NL"] = (int(pivots),)
+    out = {
+        key: np.stack([
+            outs[s_i][key] if outs[s_i] is not None else np.full(shape, np.nan)
+            for s_i in range(S)
+        ])
+        for key, shape in keys.items()
+    }
+    out["ok"] = np.array([
+        failures[s_i] is None and outs[s_i] is not None for s_i in range(S)
+    ])
+    out["failures"] = failures
+    n_fail = int(S - out["ok"].sum())
+    if n_fail:
+        first = int(np.nonzero(~out["ok"])[0][0])
+        log_warn(
+            f"delta_n_sweep: {n_fail}/{S} parameter sets failed and were "
+            f"NaN-filled — first: set {first}: {failures[first]}"
+        )
     return out
 
 

@@ -225,6 +225,78 @@ def test_spectra_sharded_match_single_device(quadratic):
     np.testing.assert_allclose(ms1["P_iso"], ms0["P_iso"], rtol=1e-8, atol=1e-25)
 
 
+def test_delta_n_sweep_batches_parameter_sets(quadratic):
+    """delta_n_sweep must reproduce delta_n_spectrum per set, and the φ²
+    scaling law pins the per-set parameter routing: along the φ₁ axis the
+    e-fold background is independent of m₁ (m only sets the time scale),
+    so N_grad is identical across sets and P_ζ scales exactly as m₁²."""
+    art, m, rows, times = quadratic
+    pars = np.array([[1.0, 1.0], [1.05, 1.0], [0.95, 1.2]])
+    kw = dict(pivots=4, N_margin_start=5.0, N_margin_end=8.0, steps=2000,
+              max_err=1e-9)
+    sw = perturbations.delta_n_sweep(art, pars, [12.0, 0.0], [0.0, 0.0], **kw)
+    assert sw["P_zeta"].shape == (3, 4)
+    assert sw["ok"].all() and sw["failures"] == [None] * 3
+    # set 0 equals the single-spectrum route on the same model/settings
+    # (base launch shapes differ → solver noise at controller precision)
+    one = perturbations.delta_n_spectrum(art, m, rows, times, **kw)
+    np.testing.assert_allclose(sw["ln_k"][0], one["ln_k"], atol=1e-6)
+    np.testing.assert_allclose(sw["P_zeta"][0], one["P_zeta"], rtol=1e-3)
+    np.testing.assert_allclose(sw["N_grad"][0], one["N_grad"], atol=1e-4)
+    # parameter routing: m-scaling law across sets
+    np.testing.assert_allclose(sw["N_grad"][1, :, 0], sw["N_grad"][0, :, 0],
+                               rtol=1e-4)
+    np.testing.assert_allclose(sw["P_zeta"][1] / sw["P_zeta"][0],
+                               1.05**2, rtol=1e-3)
+    np.testing.assert_allclose(sw["P_zeta"][2] / sw["P_zeta"][0],
+                               0.95**2, rtol=1e-3)
+    np.testing.assert_allclose(sw["ln_k"][1] - sw["ln_k"][0],
+                               np.log(1.05), atol=1e-3)
+
+
+def test_delta_n_sweep_failure_isolation(quadratic):
+    """One pathological parameter set must not kill the sweep: a start at
+    φ = 1 leaves slow roll within a fraction of an e-fold (too short for
+    any pivot margin), so with on_failure='nan' its outputs NaN-fill while
+    the healthy set stays finite; the default raises with the set index."""
+    art, m, rows, times = quadratic
+    pars = np.array([[1.0, 1.0], [1.0, 1.0]])
+    f0 = np.array([[12.0, 0.0], [1.0, 0.0]])
+    kw = dict(pivots=3, N_margin_start=5.0, N_margin_end=8.0, steps=2000)
+    sw = perturbations.delta_n_sweep(
+        art, pars, f0, [0.0, 0.0], order=2, on_failure="nan", **kw
+    )
+    np.testing.assert_array_equal(sw["ok"], [True, False])
+    assert np.isfinite(sw["P_zeta"][0]).all()
+    assert np.isfinite(sw["f_NL"][0]).all()
+    assert np.isnan(sw["P_zeta"][1]).all()
+    assert np.isnan(sw["N_hess"][1]).all()
+    assert "too short" in sw["failures"][1]
+    with pytest.raises(ValueError, match="parameter set 1"):
+        perturbations.delta_n_sweep(art, pars, f0, [0.0, 0.0], **kw)
+
+
+def test_delta_n_sweep_sharded_matches_single_device(quadratic):
+    """The sweep's two batched launches shard over the mesh with zero
+    collectives; results must match the unsharded sweep to solver
+    precision (launch shapes differ per device count)."""
+    import jax
+
+    from inflatox_tpu.parallel import make_mesh
+
+    art, m, rows, times = quadratic
+    mesh = make_mesh(axis_names=("solve",), devices=jax.devices())
+    pars = np.array([[1.0, 1.0], [1.05, 1.0]])
+    kw = dict(pivots=4, N_margin_start=5.0, N_margin_end=8.0, steps=2000)
+    sw0 = perturbations.delta_n_sweep(art, pars, [12.0, 0.0], [0.0, 0.0], **kw)
+    sw1 = perturbations.delta_n_sweep(
+        art, pars, [12.0, 0.0], [0.0, 0.0], mesh=mesh, **kw
+    )
+    assert sw1["ok"].all()
+    np.testing.assert_allclose(sw1["P_zeta"], sw0["P_zeta"], rtol=1e-6)
+    np.testing.assert_allclose(sw1["N_grad"], sw0["N_grad"], atol=1e-5)
+
+
 def test_spectra_error_paths(quadratic):
     art, m, rows, times = quadratic
     with pytest.raises(ValueError, match="does not end"):

@@ -50,6 +50,7 @@ __all__ = [
     "delta_n_spectrum",
     "delta_n_sweep",
     "mode_spectrum",
+    "mode_sweep",
     "transport_spectrum",
 ]
 
@@ -1006,30 +1007,15 @@ def mode_spectrum(
     )
     shard = _pivot_shard(mesh, pivots, pivot_axis)
 
-    per_step = (
-        jnp.asarray(t.gam_n[:, :-1]), jnp.asarray(t.c_n[:, :-1]),
-        jnp.asarray(t.fric_n[:, :-1, None, None]),
-        jnp.asarray(t.y2_n[:, :-1, None, None]),
-        jnp.asarray(t.gam_m), jnp.asarray(t.c_m),
-        jnp.asarray(t.fric_m[:, :, None, None]),
-        jnp.asarray(t.y2_m[:, :, None, None]),
-        jnp.asarray(t.gam_n[:, 1:]), jnp.asarray(t.c_n[:, 1:]),
-        jnp.asarray(t.fric_n[:, 1:, None, None]),
-        jnp.asarray(t.y2_n[:, 1:, None, None]),
-        jnp.asarray(t.dts[:, :, None, None, None]),
-    )
+    per_step, per_step_t = _ms_streams(t)
+    per_step = tuple(jnp.asarray(a) for a in per_step)
     final = np.asarray(
         _MS_INTEGRATE(shard(jnp.asarray(t.state0)), shard(per_step))
     )[: int(pivots)]                                        # (K, 4, i, a)
 
     # tensor modes: each polarization is a canonically-normalized massless
     # scalar (no Γ, no mass matrix), P_T = 8 · P_massless
-    per_step_t = (
-        jnp.asarray(t.fric_n[:, :-1]), jnp.asarray(t.y2_n[:, :-1]),
-        jnp.asarray(t.fric_m), jnp.asarray(t.y2_m),
-        jnp.asarray(t.fric_n[:, 1:]), jnp.asarray(t.y2_n[:, 1:]),
-        jnp.asarray(t.dts),
-    )
+    per_step_t = tuple(jnp.asarray(a) for a in per_step_t)
     final_t = np.asarray(
         _MS_INTEGRATE_T(shard(jnp.asarray(t.state0_t)), shard(per_step_t))
     )[: int(pivots)]                                        # (K, 4)
@@ -1062,6 +1048,193 @@ def mode_spectrum(
         "r": p_tens / p_zeta,
         "H": t.h_star,
     }
+
+
+def _ms_streams(t):
+    """The scalar- and tensor-mode per-step coefficient streams of one
+    :func:`_pivot_setup` result, in the argument order of
+    :func:`_ms_integrate` / :func:`_ms_integrate_t` (host numpy; the
+    caller jnp.asarray's them — the sweep concatenates several setups'
+    streams along the pivot axis first)."""
+    per_step = (
+        t.gam_n[:, :-1], t.c_n[:, :-1],
+        t.fric_n[:, :-1, None, None], t.y2_n[:, :-1, None, None],
+        t.gam_m, t.c_m,
+        t.fric_m[:, :, None, None], t.y2_m[:, :, None, None],
+        t.gam_n[:, 1:], t.c_n[:, 1:],
+        t.fric_n[:, 1:, None, None], t.y2_n[:, 1:, None, None],
+        t.dts[:, :, None, None, None],
+    )
+    per_step_t = (
+        t.fric_n[:, :-1], t.y2_n[:, :-1],
+        t.fric_m, t.y2_m,
+        t.fric_n[:, 1:], t.y2_n[:, 1:],
+        t.dts,
+    )
+    return per_step, per_step_t
+
+
+def mode_sweep(
+    artifact,
+    pars,
+    fields_init,
+    derivatives_init,
+    *,
+    steps: int = 4000,
+    max_err: float = 1e-8,
+    solver: str = "rkf",
+    pivots: int = 12,
+    N_margin_start: float = 5.0,
+    N_margin_end: float = 5.0,
+    N_sub: float = 4.0,
+    N_dense: float = 2.0,
+    dense_steps: int = 4000,
+    tail_steps: int = 1500,
+    mesh=None,
+    pivot_axis: str | None = None,
+    on_failure: str = "raise",
+) -> dict:
+    """Mukhanov-Sasaki spectra for a batch of parameter sets.
+
+    The linear-theory counterpart of :func:`delta_n_sweep` (run both for
+    a cross-validated survey — the mode route is authoritative near the
+    end of inflation): for every parameter set in ``pars`` ((S, k);
+    initial conditions (d,) shared or (S, d) per-set) the sweep solves
+    the base background — ALL sets in one batched launch — then
+    integrates the coupled scalar modes and the massless tensor modes of
+    EVERY pivot of EVERY set in one jitted ``vmap(lax.scan)`` launch
+    each (the per-set coefficient streams concatenate along the vmapped
+    pivot axis; ``mesh=`` shards that axis across chips with zero
+    collectives).
+
+    Same per-set failure semantics as :func:`delta_n_sweep`
+    (``on_failure="raise"`` names the set; ``"nan"`` NaN-fills it, flags
+    it in ``ok``/``failures``, and warns once).  Returns the
+    :func:`mode_spectrum` dict with a leading S axis plus ``ok`` and
+    ``failures``.
+    """
+    if on_failure not in ("raise", "nan"):
+        raise ValueError(
+            f"on_failure must be 'raise' or 'nan', got {on_failure!r}"
+        )
+    # configuration-level constraints raise regardless of on_failure (they
+    # would otherwise NaN-fill every set of a misconfigured sweep)
+    if float(N_margin_start) < float(N_sub) + 0.25:
+        raise ValueError(
+            f"N_margin_start ({N_margin_start}) must be at least "
+            f"N_sub + 0.25 ({float(N_sub) + 0.25}) so the Bunch-Davies "
+            "initialization has tabulated background before the first pivot"
+        )
+    if float(N_margin_end) < float(N_dense) + 0.25:
+        raise ValueError(
+            f"N_margin_end ({N_margin_end}) must be at least "
+            f"N_dense + 0.25 ({float(N_dense) + 0.25}) so every pivot's "
+            "dense phase ends before the ζ read-out surface"
+        )
+    d = artifact.n_fields
+    pars = np.asarray(pars, dtype=float)
+    if pars.ndim == 1:
+        pars = pars[None]
+    if pars.ndim != 2 or pars.shape[1] != artifact.n_parameters:
+        raise ShapeError(
+            (-1, artifact.n_parameters), pars.shape,
+            "sweep parameters must be (S, n_parameters)",
+        )
+    S = pars.shape[0]
+    f0b = np.broadcast_to(np.asarray(fields_init, dtype=float), (S, d))
+    chi0b = np.broadcast_to(np.asarray(derivatives_init, dtype=float), (S, d))
+    mesh_kw = {"mesh": mesh} if mesh is not None else {}
+
+    rows_base, times_base = background.solve_eom_batch(
+        artifact, pars, int(steps), f0b, chi0b,
+        max_err=max_err, solver=solver, return_time=True, **mesh_kw,
+    )
+    rows_base = np.asarray(rows_base)
+    times_base = np.asarray(times_base)
+
+    setups = [None] * S
+    failures = [None] * S
+    for s_i in range(S):
+        try:
+            setups[s_i] = _pivot_setup(
+                artifact, pars[s_i], rows_base[s_i], times_base[s_i],
+                pivots, N_margin_start, N_margin_end,
+                N_sub, N_dense, dense_steps, tail_steps,
+            )
+        except ValueError as e:
+            if on_failure == "raise":
+                raise ValueError(f"parameter set {s_i}: {e}") from e
+            failures[s_i] = str(e)
+
+    valid = [s_i for s_i in range(S) if setups[s_i] is not None]
+    outs = [None] * S
+    if valid:
+        # one scalar-mode launch and one tensor-mode launch for the whole
+        # sweep: per-set streams concatenate along the vmapped pivot axis
+        streams = [_ms_streams(setups[s_i]) for s_i in valid]
+        per_step = tuple(
+            jnp.asarray(np.concatenate(parts, axis=0))
+            for parts in zip(*[st[0] for st in streams])
+        )
+        per_step_t = tuple(
+            jnp.asarray(np.concatenate(parts, axis=0))
+            for parts in zip(*[st[1] for st in streams])
+        )
+        total_k = len(valid) * int(pivots)
+        shard = _pivot_shard(mesh, total_k, pivot_axis)
+        final = np.asarray(_MS_INTEGRATE(
+            shard(jnp.asarray(np.concatenate(
+                [setups[s_i].state0 for s_i in valid], axis=0))),
+            shard(per_step),
+        ))[:total_k]                                        # (ΣK, 4, i, a)
+        final_t = np.asarray(_MS_INTEGRATE_T(
+            shard(jnp.asarray(np.concatenate(
+                [setups[s_i].state0_t for s_i in valid], axis=0))),
+            shard(per_step_t),
+        ))[:total_k]                                        # (ΣK, 4)
+
+        for v, s_i in enumerate(valid):
+            t = setups[s_i]
+            sl = slice(v * int(pivots), (v + 1) * int(pivots))
+            f_s = final[sl]
+            sigma_qq = (
+                np.einsum("kia,kib->kab", f_s[:, 0], f_s[:, 0])
+                + np.einsum("kia,kib->kab", f_s[:, 1], f_s[:, 1])
+            )
+            g_f, chi_f, h_f, eps_f = t.surface(t.grids[:, -1])
+            p_zeta, p_iso, cos_delta, _ = _sigma_readout(
+                sigma_qq, g_f, chi_f, h_f, eps_f, t.norm
+            )
+            ft_s = final_t[sl]
+            p_tens = 8.0 * t.norm * (ft_s[:, 0] ** 2 + ft_s[:, 1] ** 2)
+            n_s, n_t, alpha_s = _tilts(p_zeta, p_tens, t.ln_k)
+            outs[s_i] = {
+                "ln_k": t.ln_k, "N": t.n_pivots, "P_zeta": p_zeta,
+                "P_tensor": p_tens, "P_iso": p_iso, "cos_delta": cos_delta,
+                "n_s": n_s, "n_t": n_t, "alpha_s": alpha_s,
+                "r": p_tens / p_zeta, "H": t.h_star,
+            }
+
+    kk = (int(pivots),)
+    keys = ["ln_k", "N", "P_zeta", "P_tensor", "P_iso", "cos_delta",
+            "n_s", "n_t", "alpha_s", "r", "H"]
+    out = {
+        key: np.stack([
+            outs[s_i][key] if outs[s_i] is not None else np.full(kk, np.nan)
+            for s_i in range(S)
+        ])
+        for key in keys
+    }
+    out["ok"] = np.array([outs[s_i] is not None for s_i in range(S)])
+    out["failures"] = failures
+    n_fail = int(S - out["ok"].sum())
+    if n_fail:
+        first = int(np.nonzero(~out["ok"])[0][0])
+        log_warn(
+            f"mode_sweep: {n_fail}/{S} parameter sets failed and were "
+            f"NaN-filled — first: set {first}: {failures[first]}"
+        )
+    return out
 
 
 def _tilts(p_zeta, p_tens, ln_k):

@@ -297,6 +297,72 @@ def test_delta_n_sweep_sharded_matches_single_device(quadratic):
     np.testing.assert_allclose(sw1["N_grad"], sw0["N_grad"], atol=1e-5)
 
 
+def test_mode_sweep_batches_parameter_sets(quadratic):
+    """mode_sweep must reproduce mode_spectrum per set; the φ² m-scaling
+    law (coefficient streams m-independent, norm ∝ H_*² ∝ m²) pins the
+    per-set routing on the exact linear-theory spectra too."""
+    art, m, rows, times = quadratic
+    pars = np.array([[1.0, 1.0], [1.05, 1.0]])
+    kw = dict(pivots=3, N_margin_start=5.0, N_margin_end=8.0,
+              dense_steps=1200, tail_steps=500)
+    sw = perturbations.mode_sweep(
+        art, pars, [12.0, 0.0], [0.0, 0.0], steps=2000, max_err=1e-9, **kw
+    )
+    assert sw["ok"].all() and sw["P_zeta"].shape == (2, 3)
+    one = perturbations.mode_spectrum(art, m, rows, times, **kw)
+    np.testing.assert_allclose(sw["ln_k"][0], one["ln_k"], atol=1e-6)
+    np.testing.assert_allclose(sw["P_zeta"][0], one["P_zeta"], rtol=1e-3)
+    np.testing.assert_allclose(sw["P_tensor"][0], one["P_tensor"], rtol=1e-3)
+    np.testing.assert_allclose(sw["P_zeta"][1] / sw["P_zeta"][0],
+                               1.05**2, rtol=1e-3)
+    np.testing.assert_allclose(sw["P_tensor"][1] / sw["P_tensor"][0],
+                               1.05**2, rtol=1e-3)
+
+
+def test_mode_sweep_failure_isolation_and_config_errors(quadratic):
+    art, m, rows, times = quadratic
+    pars = np.array([[1.0, 1.0], [1.0, 1.0]])
+    f0 = np.array([[12.0, 0.0], [1.0, 0.0]])
+    kw = dict(pivots=3, N_margin_start=5.0, N_margin_end=8.0,
+              dense_steps=800, tail_steps=300, steps=2000)
+    sw = perturbations.mode_sweep(art, pars, f0, [0.0, 0.0],
+                                  on_failure="nan", **kw)
+    np.testing.assert_array_equal(sw["ok"], [True, False])
+    assert np.isfinite(sw["P_zeta"][0]).all()
+    assert np.isnan(sw["P_zeta"][1]).all()
+    assert "too short" in sw["failures"][1]
+    with pytest.raises(ValueError, match="parameter set 1"):
+        perturbations.mode_sweep(art, pars, f0, [0.0, 0.0], **kw)
+    # configuration-level constraint violations raise even with
+    # on_failure="nan" (they would NaN every set otherwise)
+    with pytest.raises(ValueError, match="N_sub"):
+        perturbations.mode_sweep(
+            art, pars, f0, [0.0, 0.0], on_failure="nan",
+            pivots=3, N_margin_start=2.0, N_sub=4.0,
+        )
+
+
+def test_mode_sweep_sharded_matches_single_device(quadratic):
+    import jax
+
+    from inflatox_tpu.parallel import make_mesh
+
+    art, m, rows, times = quadratic
+    mesh = make_mesh(axis_names=("solve",), devices=jax.devices())
+    pars = np.array([[1.0, 1.0], [1.05, 1.0]])
+    kw = dict(pivots=3, N_margin_start=5.0, N_margin_end=8.0,
+              dense_steps=800, tail_steps=300, steps=2000)
+    sw0 = perturbations.mode_sweep(art, pars, [12.0, 0.0], [0.0, 0.0], **kw)
+    sw1 = perturbations.mode_sweep(
+        art, pars, [12.0, 0.0], [0.0, 0.0], mesh=mesh, **kw
+    )
+    assert sw1["ok"].all()
+    # the mode integrations shard the concatenated pivot axis (identical
+    # math, GSPMD partitioning only); the base solves shard the batch
+    np.testing.assert_allclose(sw1["P_zeta"], sw0["P_zeta"], rtol=1e-6)
+    np.testing.assert_allclose(sw1["P_tensor"], sw0["P_tensor"], rtol=1e-6)
+
+
 def test_spectra_error_paths(quadratic):
     art, m, rows, times = quadratic
     with pytest.raises(ValueError, match="does not end"):

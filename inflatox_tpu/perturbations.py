@@ -52,6 +52,7 @@ __all__ = [
     "mode_spectrum",
     "mode_sweep",
     "transport_spectrum",
+    "transport_sweep",
 ]
 
 
@@ -1074,6 +1075,100 @@ def _ms_streams(t):
     return per_step, per_step_t
 
 
+def _sweep_validate(on_failure, N_margin_start, N_margin_end, N_sub,
+                    N_dense):
+    """Configuration-level validation shared by mode_sweep and
+    transport_sweep — these raise regardless of ``on_failure`` (they would
+    otherwise NaN-fill every set of a misconfigured sweep)."""
+    if on_failure not in ("raise", "nan"):
+        raise ValueError(
+            f"on_failure must be 'raise' or 'nan', got {on_failure!r}"
+        )
+    if float(N_margin_start) < float(N_sub) + 0.25:
+        raise ValueError(
+            f"N_margin_start ({N_margin_start}) must be at least "
+            f"N_sub + 0.25 ({float(N_sub) + 0.25}) so the Bunch-Davies "
+            "initialization has tabulated background before the first pivot"
+        )
+    if float(N_margin_end) < float(N_dense) + 0.25:
+        raise ValueError(
+            f"N_margin_end ({N_margin_end}) must be at least "
+            f"N_dense + 0.25 ({float(N_dense) + 0.25}) so every pivot's "
+            "dense phase ends before the ζ read-out surface"
+        )
+
+
+def _sweep_base_setups(
+    artifact, pars, fields_init, derivatives_init, *,
+    steps, max_err, solver, mesh_kw, on_failure,
+    pivots, N_margin_start, N_margin_end, N_sub, N_dense,
+    dense_steps, tail_steps,
+):
+    """Shared sweep preamble of mode_sweep/transport_sweep: validate the
+    parameter batch, solve every base trajectory in ONE batched launch,
+    and run :func:`_pivot_setup` per set with failure isolation.  Returns
+    ``(pars, setups, failures)`` — a failed set has ``setups[s] = None``
+    and its reason in ``failures[s]`` (or raised, under
+    ``on_failure="raise"``, with the set index in the message)."""
+    d = artifact.n_fields
+    pars = np.asarray(pars, dtype=float)
+    if pars.ndim == 1:
+        pars = pars[None]
+    if pars.ndim != 2 or pars.shape[1] != artifact.n_parameters:
+        raise ShapeError(
+            (-1, artifact.n_parameters), pars.shape,
+            "sweep parameters must be (S, n_parameters)",
+        )
+    S = pars.shape[0]
+    f0b = np.broadcast_to(np.asarray(fields_init, dtype=float), (S, d))
+    chi0b = np.broadcast_to(np.asarray(derivatives_init, dtype=float), (S, d))
+    rows_base, times_base = background.solve_eom_batch(
+        artifact, pars, int(steps), f0b, chi0b,
+        max_err=max_err, solver=solver, return_time=True, **mesh_kw,
+    )
+    rows_base = np.asarray(rows_base)
+    times_base = np.asarray(times_base)
+
+    setups = [None] * S
+    failures = [None] * S
+    for s_i in range(S):
+        try:
+            setups[s_i] = _pivot_setup(
+                artifact, pars[s_i], rows_base[s_i], times_base[s_i],
+                pivots, N_margin_start, N_margin_end,
+                N_sub, N_dense, dense_steps, tail_steps,
+            )
+        except ValueError as e:
+            if on_failure == "raise":
+                raise ValueError(f"parameter set {s_i}: {e}") from e
+            failures[s_i] = str(e)
+    return pars, setups, failures
+
+
+def _sweep_stack(outs, failures, keys, pivots, name):
+    """Stack per-set result dicts into (S, pivots) arrays with NaN rows for
+    failed sets, the ``ok`` mask, and the one-shot warning."""
+    S = len(outs)
+    out = {
+        key: np.stack([
+            outs[s_i][key] if outs[s_i] is not None
+            else np.full((int(pivots),), np.nan)
+            for s_i in range(S)
+        ])
+        for key in keys
+    }
+    out["ok"] = np.array([outs[s_i] is not None for s_i in range(S)])
+    out["failures"] = failures
+    n_fail = int(S - out["ok"].sum())
+    if n_fail:
+        first = int(np.nonzero(~out["ok"])[0][0])
+        log_warn(
+            f"{name}: {n_fail}/{S} parameter sets failed and were "
+            f"NaN-filled — first: set {first}: {failures[first]}"
+        )
+    return out
+
+
 def mode_sweep(
     artifact,
     pars,
@@ -1113,59 +1208,17 @@ def mode_sweep(
     :func:`mode_spectrum` dict with a leading S axis plus ``ok`` and
     ``failures``.
     """
-    if on_failure not in ("raise", "nan"):
-        raise ValueError(
-            f"on_failure must be 'raise' or 'nan', got {on_failure!r}"
-        )
-    # configuration-level constraints raise regardless of on_failure (they
-    # would otherwise NaN-fill every set of a misconfigured sweep)
-    if float(N_margin_start) < float(N_sub) + 0.25:
-        raise ValueError(
-            f"N_margin_start ({N_margin_start}) must be at least "
-            f"N_sub + 0.25 ({float(N_sub) + 0.25}) so the Bunch-Davies "
-            "initialization has tabulated background before the first pivot"
-        )
-    if float(N_margin_end) < float(N_dense) + 0.25:
-        raise ValueError(
-            f"N_margin_end ({N_margin_end}) must be at least "
-            f"N_dense + 0.25 ({float(N_dense) + 0.25}) so every pivot's "
-            "dense phase ends before the ζ read-out surface"
-        )
-    d = artifact.n_fields
-    pars = np.asarray(pars, dtype=float)
-    if pars.ndim == 1:
-        pars = pars[None]
-    if pars.ndim != 2 or pars.shape[1] != artifact.n_parameters:
-        raise ShapeError(
-            (-1, artifact.n_parameters), pars.shape,
-            "sweep parameters must be (S, n_parameters)",
-        )
-    S = pars.shape[0]
-    f0b = np.broadcast_to(np.asarray(fields_init, dtype=float), (S, d))
-    chi0b = np.broadcast_to(np.asarray(derivatives_init, dtype=float), (S, d))
-    mesh_kw = {"mesh": mesh} if mesh is not None else {}
-
-    rows_base, times_base = background.solve_eom_batch(
-        artifact, pars, int(steps), f0b, chi0b,
-        max_err=max_err, solver=solver, return_time=True, **mesh_kw,
+    _sweep_validate(on_failure, N_margin_start, N_margin_end, N_sub, N_dense)
+    pars, setups, failures = _sweep_base_setups(
+        artifact, pars, fields_init, derivatives_init,
+        steps=steps, max_err=max_err, solver=solver,
+        mesh_kw={"mesh": mesh} if mesh is not None else {},
+        on_failure=on_failure, pivots=pivots,
+        N_margin_start=N_margin_start, N_margin_end=N_margin_end,
+        N_sub=N_sub, N_dense=N_dense,
+        dense_steps=dense_steps, tail_steps=tail_steps,
     )
-    rows_base = np.asarray(rows_base)
-    times_base = np.asarray(times_base)
-
-    setups = [None] * S
-    failures = [None] * S
-    for s_i in range(S):
-        try:
-            setups[s_i] = _pivot_setup(
-                artifact, pars[s_i], rows_base[s_i], times_base[s_i],
-                pivots, N_margin_start, N_margin_end,
-                N_sub, N_dense, dense_steps, tail_steps,
-            )
-        except ValueError as e:
-            if on_failure == "raise":
-                raise ValueError(f"parameter set {s_i}: {e}") from e
-            failures[s_i] = str(e)
-
+    S = pars.shape[0]
     valid = [s_i for s_i in range(S) if setups[s_i] is not None]
     outs = [None] * S
     if valid:
@@ -1215,26 +1268,9 @@ def mode_sweep(
                 "r": p_tens / p_zeta, "H": t.h_star,
             }
 
-    kk = (int(pivots),)
     keys = ["ln_k", "N", "P_zeta", "P_tensor", "P_iso", "cos_delta",
             "n_s", "n_t", "alpha_s", "r", "H"]
-    out = {
-        key: np.stack([
-            outs[s_i][key] if outs[s_i] is not None else np.full(kk, np.nan)
-            for s_i in range(S)
-        ])
-        for key in keys
-    }
-    out["ok"] = np.array([outs[s_i] is not None for s_i in range(S)])
-    out["failures"] = failures
-    n_fail = int(S - out["ok"].sum())
-    if n_fail:
-        first = int(np.nonzero(~out["ok"])[0][0])
-        log_warn(
-            f"mode_sweep: {n_fail}/{S} parameter sets failed and were "
-            f"NaN-filled — first: set {first}: {failures[first]}"
-        )
-    return out
+    return _sweep_stack(outs, failures, keys, pivots, "mode_sweep")
 
 
 def _tilts(p_zeta, p_tens, ln_k):
@@ -1306,6 +1342,126 @@ def _tr_integrate(sig0, per_step):
 _TR_INTEGRATE = jax.jit(jax.vmap(_tr_integrate))
 
 
+def _tr_streams(t):
+    """Transport u-matrices of one :func:`_pivot_setup` result: the scalar
+    phase-space u at step start-nodes / midpoints / end-nodes
+    ((K, S, 2d, 2d)) and the massless tensor-block u's ((K, S, 2, 2))."""
+    u_start = _u_matrix(t.gam_n[:, :-1], t.c_n[:, :-1],
+                        t.fric_n[:, :-1], t.y2_n[:, :-1])
+    u_mid = _u_matrix(t.gam_m, t.c_m, t.fric_m, t.y2_m)
+    u_end = _u_matrix(t.gam_n[:, 1:], t.c_n[:, 1:],
+                      t.fric_n[:, 1:], t.y2_n[:, 1:])
+    zeros1 = np.zeros(t.fric_n.shape + (1, 1))
+    u_t_start = _u_matrix(zeros1[:, :-1], zeros1[:, :-1],
+                          t.fric_n[:, :-1], t.y2_n[:, :-1])
+    u_t_mid = _u_matrix(zeros1[:, :-1], zeros1[:, :-1],
+                        t.fric_m, t.y2_m)
+    u_t_end = _u_matrix(zeros1[:, 1:], zeros1[:, 1:],
+                        t.fric_n[:, 1:], t.y2_n[:, 1:])
+    return u_start, u_mid, u_end, u_t_start, u_t_mid, u_t_end
+
+
+def _tr_sigma0(t):
+    """Σ(N₀) for the scalar and tensor transport from the same
+    unit-amplitude BD mode matrix (state0 = (K, 4, i, a) → X columns)."""
+    x_r = np.concatenate([t.state0[:, 0], t.state0[:, 2]], axis=-1)
+    x_i = np.concatenate([t.state0[:, 1], t.state0[:, 3]], axis=-1)
+    sig0 = (
+        np.einsum("kiA,kiB->kAB", x_r, x_r)
+        + np.einsum("kiA,kiB->kAB", x_i, x_i)
+    )                                                      # (K, 2d, 2d)
+    xt_r = np.stack([t.state0_t[:, 0], t.state0_t[:, 2]], axis=-1)[:, None]
+    xt_i = np.stack([t.state0_t[:, 1], t.state0_t[:, 3]], axis=-1)[:, None]
+    sig0_t = (
+        np.einsum("kiA,kiB->kAB", xt_r, xt_r)
+        + np.einsum("kiA,kiB->kAB", xt_i, xt_i)
+    )                                                      # (K, 2, 2)
+    return sig0, sig0_t
+
+
+def _tr_integrate_all(shard, total_k, ds, dts, u_start, u_mid, u_end,
+                      u_t_start, u_t_mid, u_t_end, sig0, sig0_t):
+    """The transport route's three device launches: the scalar Σ over the
+    dense segment (→ crossing surface), its continuation over the tail
+    (→ end surface), and the massless tensor block.  All arrays carry the
+    (possibly sweep-concatenated) pivot axis leading; ``shard`` pads it to
+    the mesh and the ``[:total_k]`` trims take it back."""
+    def seg(a, b):
+        return (
+            jnp.asarray(u_start[:, a:b]), jnp.asarray(u_mid[:, a:b]),
+            jnp.asarray(u_end[:, a:b]),
+            jnp.asarray(dts[:, a:b, None, None]),
+        )
+
+    # dense segment → Σ at the crossing surface; tail segment → Σ at end
+    sig_star = _TR_INTEGRATE(shard(jnp.asarray(sig0)), shard(seg(0, ds)))
+    sig_end = np.asarray(
+        _TR_INTEGRATE(sig_star, shard(seg(ds, u_start.shape[1])))
+    )[:total_k]
+    sig_star = np.asarray(sig_star)[:total_k]
+
+    # tensor modes: massless scalar transport (d=1 blocks, no Γ, no mass)
+    per_step_t = (
+        jnp.asarray(u_t_start), jnp.asarray(u_t_mid), jnp.asarray(u_t_end),
+        jnp.asarray(dts[:, :, None, None]),
+    )
+    sig_t = np.asarray(
+        _TR_INTEGRATE(shard(jnp.asarray(sig0_t)), shard(per_step_t))
+    )[:total_k]
+    return sig_star, sig_end, sig_t
+
+
+def _transport_readout(t, sig_star, sig_end, sig_t, d, ds):
+    """Spectra + Wands transfer functions from the integrated Σ blocks of
+    one parameter set (``t`` its pivot setup; ``sig_star``/``sig_end`` the
+    scalar Σ on the crossing/end surfaces, ``sig_t`` the tensor Σ)."""
+    qq_end = sig_end[:, :d, :d]
+    g_f, chi_f, h_f, eps_f = t.surface(t.grids[:, -1])
+    p_zeta, p_iso, cos_delta, c_zs_end = _sigma_readout(
+        qq_end, g_f, chi_f, h_f, eps_f, t.norm
+    )
+    qq_star = sig_star[:, :d, :d]
+    g_s, chi_s, h_s, eps_s = t.surface(t.grids[:, ds])
+    p_zeta_star, p_iso_star, _, _ = _sigma_readout(
+        qq_star, g_s, chi_s, h_s, eps_s, t.norm
+    )
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t_ss = np.sqrt(p_iso / p_iso_star)
+        # correlation-based T_RS = C_ζS(end)/(T_SS·P_S*) where the entropic
+        # mode survives to the end surface; where it has fully decayed
+        # (double-inflation-style transitions: T_SS → 0 makes the ratio
+        # 0/0) fall back to the growth-based magnitude
+        # √((P_ζ(end) − P_ζ*)/P_S*) — the sign is unobservable once S has
+        # died (only T_RS² enters P_ζ), reported positive
+        corr = c_zs_end / (t_ss * p_iso_star)
+        growth = np.sqrt(
+            np.maximum(p_zeta - p_zeta_star, 0.0) / p_iso_star
+        )
+        alive = p_iso > 1e-16 * p_zeta
+        t_rs = np.where(alive & np.isfinite(corr), corr, growth)
+
+    p_tens = 8.0 * t.norm * sig_t[:, 0, 0]
+    n_s, n_t, alpha_s = _tilts(p_zeta, p_tens, t.ln_k)
+    return {
+        "ln_k": t.ln_k,
+        "N": t.n_pivots,
+        "P_zeta": p_zeta,
+        "P_tensor": p_tens,
+        "P_iso": p_iso,
+        "cos_delta": cos_delta,
+        "n_s": n_s,
+        "n_t": n_t,
+        "alpha_s": alpha_s,
+        "r": p_tens / p_zeta,
+        "H": t.h_star,
+        "T_RS": t_rs,
+        "T_SS": t_ss,
+        "P_zeta_star": p_zeta_star,
+        "P_iso_star": p_iso_star,
+    }
+
+
 def transport_spectrum(
     artifact,
     args,
@@ -1370,102 +1526,87 @@ def transport_spectrum(
     d = t.state0.shape[-1]
     ds = int(dense_steps)
 
-    # u at step start-nodes / midpoints / end-nodes, (K, S, 2d, 2d)
-    u_start = _u_matrix(t.gam_n[:, :-1], t.c_n[:, :-1],
-                        t.fric_n[:, :-1], t.y2_n[:, :-1])
-    u_mid = _u_matrix(t.gam_m, t.c_m, t.fric_m, t.y2_m)
-    u_end = _u_matrix(t.gam_n[:, 1:], t.c_n[:, 1:],
-                      t.fric_n[:, 1:], t.y2_n[:, 1:])
+    u_start, u_mid, u_end, u_t_start, u_t_mid, u_t_end = _tr_streams(t)
+    sig0, sig0_t = _tr_sigma0(t)
+    sig_star, sig_end, sig_t = _tr_integrate_all(
+        shard, int(pivots), ds, t.dts,
+        u_start, u_mid, u_end, u_t_start, u_t_mid, u_t_end, sig0, sig0_t,
+    )
+    return _transport_readout(t, sig_star, sig_end, sig_t, d, ds)
 
-    # Σ(N₀) from the same unit-amplitude BD mode matrix: X^A_i columns
-    # (state0 = (K, 4, i, a) → X_r/X_i (K, i, 2d))
-    x_r = np.concatenate([t.state0[:, 0], t.state0[:, 2]], axis=-1)
-    x_i = np.concatenate([t.state0[:, 1], t.state0[:, 3]], axis=-1)
-    sig0 = (
-        np.einsum("kiA,kiB->kAB", x_r, x_r)
-        + np.einsum("kiA,kiB->kAB", x_i, x_i)
-    )                                                      # (K, 2d, 2d)
 
-    def seg(a, b):
-        return (
-            jnp.asarray(u_start[:, a:b]), jnp.asarray(u_mid[:, a:b]),
-            jnp.asarray(u_end[:, a:b]),
-            jnp.asarray(t.dts[:, a:b, None, None]),
+def transport_sweep(
+    artifact,
+    pars,
+    fields_init,
+    derivatives_init,
+    *,
+    steps: int = 4000,
+    max_err: float = 1e-8,
+    solver: str = "rkf",
+    pivots: int = 12,
+    N_margin_start: float = 5.0,
+    N_margin_end: float = 5.0,
+    N_sub: float = 4.0,
+    N_dense: float = 2.0,
+    dense_steps: int = 4000,
+    tail_steps: int = 1500,
+    mesh=None,
+    pivot_axis: str | None = None,
+    on_failure: str = "raise",
+) -> dict:
+    """Moment-transport spectra + Wands transfer functions for a batch of
+    parameter sets.
+
+    The survey form of :func:`transport_spectrum`, with the same batching
+    plan as :func:`mode_sweep`: every base background solves in one
+    batched launch, then the whole sweep's Σ evolution runs in three
+    device launches total (scalar dense segment, scalar tail segment,
+    tensor block — per-set u-matrix streams concatenated along the
+    vmapped pivot axis, which ``mesh=`` shards with zero collectives).
+    Same per-set failure isolation as :func:`delta_n_sweep`.  Returns the
+    :func:`transport_spectrum` dict (including ``T_RS``/``T_SS``/
+    ``P_zeta_star``/``P_iso_star``) with a leading S axis plus ``ok`` and
+    ``failures``.
+    """
+    _sweep_validate(on_failure, N_margin_start, N_margin_end, N_sub, N_dense)
+    pars, setups, failures = _sweep_base_setups(
+        artifact, pars, fields_init, derivatives_init,
+        steps=steps, max_err=max_err, solver=solver,
+        mesh_kw={"mesh": mesh} if mesh is not None else {},
+        on_failure=on_failure, pivots=pivots,
+        N_margin_start=N_margin_start, N_margin_end=N_margin_end,
+        N_sub=N_sub, N_dense=N_dense,
+        dense_steps=dense_steps, tail_steps=tail_steps,
+    )
+    S = pars.shape[0]
+    valid = [s_i for s_i in range(S) if setups[s_i] is not None]
+    outs = [None] * S
+    if valid:
+        d = artifact.n_fields
+        ds = int(dense_steps)
+        streams = [_tr_streams(setups[s_i]) for s_i in valid]
+        u_start, u_mid, u_end, u_t_start, u_t_mid, u_t_end = (
+            np.concatenate(parts, axis=0) for parts in zip(*streams)
         )
-
-    # dense segment → Σ at the crossing surface; tail segment → Σ at end
-    sig_star = _TR_INTEGRATE(shard(jnp.asarray(sig0)), shard(seg(0, ds)))
-    sig_end = np.asarray(
-        _TR_INTEGRATE(sig_star, shard(seg(ds, u_start.shape[1])))
-    )[: int(pivots)]
-    sig_star = np.asarray(sig_star)[: int(pivots)]
-
-    # tensor modes: massless scalar transport (d=1 blocks, no Γ, no mass)
-    zeros1 = np.zeros(t.fric_n.shape + (1, 1))
-    u_t_start = _u_matrix(zeros1[:, :-1], zeros1[:, :-1],
-                          t.fric_n[:, :-1], t.y2_n[:, :-1])
-    u_t_mid = _u_matrix(zeros1[:, :-1] * 0.0, zeros1[:, :-1] * 0.0,
-                        t.fric_m, t.y2_m)
-    u_t_end = _u_matrix(zeros1[:, 1:], zeros1[:, 1:],
-                        t.fric_n[:, 1:], t.y2_n[:, 1:])
-    xt_r = np.stack([t.state0_t[:, 0], t.state0_t[:, 2]], axis=-1)[:, None]
-    xt_i = np.stack([t.state0_t[:, 1], t.state0_t[:, 3]], axis=-1)[:, None]
-    sig0_t = (
-        np.einsum("kiA,kiB->kAB", xt_r, xt_r)
-        + np.einsum("kiA,kiB->kAB", xt_i, xt_i)
-    )                                                      # (K, 2, 2)
-    per_step_t = (
-        jnp.asarray(u_t_start), jnp.asarray(u_t_mid), jnp.asarray(u_t_end),
-        jnp.asarray(t.dts[:, :, None, None]),
-    )
-    sig_t = np.asarray(
-        _TR_INTEGRATE(shard(jnp.asarray(sig0_t)), shard(per_step_t))
-    )[: int(pivots)]
-
-    # read-outs: end surface (the spectra) and crossing surface (for the
-    # transfer functions)
-    qq_end = sig_end[:, :d, :d]
-    g_f, chi_f, h_f, eps_f = t.surface(t.grids[:, -1])
-    p_zeta, p_iso, cos_delta, c_zs_end = _sigma_readout(
-        qq_end, g_f, chi_f, h_f, eps_f, t.norm
-    )
-    qq_star = sig_star[:, :d, :d]
-    g_s, chi_s, h_s, eps_s = t.surface(t.grids[:, ds])
-    p_zeta_star, p_iso_star, _, _ = _sigma_readout(
-        qq_star, g_s, chi_s, h_s, eps_s, t.norm
-    )
-
-    with np.errstate(invalid="ignore", divide="ignore"):
-        t_ss = np.sqrt(p_iso / p_iso_star)
-        # correlation-based T_RS = C_ζS(end)/(T_SS·P_S*) where the entropic
-        # mode survives to the end surface; where it has fully decayed
-        # (double-inflation-style transitions: T_SS → 0 makes the ratio
-        # 0/0) fall back to the growth-based magnitude
-        # √((P_ζ(end) − P_ζ*)/P_S*) — the sign is unobservable once S has
-        # died (only T_RS² enters P_ζ), reported positive
-        corr = c_zs_end / (t_ss * p_iso_star)
-        growth = np.sqrt(
-            np.maximum(p_zeta - p_zeta_star, 0.0) / p_iso_star
+        sig0s = [_tr_sigma0(setups[s_i]) for s_i in valid]
+        sig0 = np.concatenate([a for a, _ in sig0s], axis=0)
+        sig0_t = np.concatenate([b for _, b in sig0s], axis=0)
+        dts = np.concatenate([setups[s_i].dts for s_i in valid], axis=0)
+        total_k = len(valid) * int(pivots)
+        shard = _pivot_shard(mesh, total_k, pivot_axis)
+        sig_star, sig_end, sig_t = _tr_integrate_all(
+            shard, total_k, ds, dts,
+            u_start, u_mid, u_end, u_t_start, u_t_mid, u_t_end,
+            sig0, sig0_t,
         )
-        alive = p_iso > 1e-16 * p_zeta
-        t_rs = np.where(alive & np.isfinite(corr), corr, growth)
+        for v, s_i in enumerate(valid):
+            sl = slice(v * int(pivots), (v + 1) * int(pivots))
+            outs[s_i] = _transport_readout(
+                setups[s_i], sig_star[sl], sig_end[sl], sig_t[sl], d, ds
+            )
 
-    p_tens = 8.0 * t.norm * sig_t[:, 0, 0]
-    n_s, n_t, alpha_s = _tilts(p_zeta, p_tens, t.ln_k)
-    return {
-        "ln_k": t.ln_k,
-        "N": t.n_pivots,
-        "P_zeta": p_zeta,
-        "P_tensor": p_tens,
-        "P_iso": p_iso,
-        "cos_delta": cos_delta,
-        "n_s": n_s,
-        "n_t": n_t,
-        "alpha_s": alpha_s,
-        "r": p_tens / p_zeta,
-        "H": t.h_star,
-        "T_RS": t_rs,
-        "T_SS": t_ss,
-        "P_zeta_star": p_zeta_star,
-        "P_iso_star": p_iso_star,
-    }
+    keys = ["ln_k", "N", "P_zeta", "P_tensor", "P_iso", "cos_delta",
+            "n_s", "n_t", "alpha_s", "r", "H",
+            "T_RS", "T_SS", "P_zeta_star", "P_iso_star"]
+    return _sweep_stack(outs, failures, keys, pivots, "transport_sweep")

@@ -363,6 +363,40 @@ def test_mode_sweep_sharded_matches_single_device(quadratic):
     np.testing.assert_allclose(sw1["P_tensor"], sw0["P_tensor"], rtol=1e-6)
 
 
+def test_transport_sweep_batches_parameter_sets(quadratic):
+    """transport_sweep must reproduce transport_spectrum per set (incl.
+    the Wands transfer functions) and honor the global m-scaling law:
+    rescaling BOTH masses rescales H (so P ∝ m²) but leaves the e-fold
+    dynamics — and hence the transfer functions — invariant (scaling m₁
+    alone would change m₂/H and the entropic decay rate)."""
+    art, m, rows, times = quadratic
+    pars = np.array([[1.0, 1.0], [1.05, 1.05]])
+    kw = dict(pivots=3, N_margin_start=5.0, N_margin_end=8.0,
+              dense_steps=1200, tail_steps=500)
+    sw = perturbations.transport_sweep(
+        art, pars, [12.0, 0.0], [0.0, 0.0], steps=2000, max_err=1e-9, **kw
+    )
+    assert sw["ok"].all() and sw["T_RS"].shape == (2, 3)
+    one = perturbations.transport_spectrum(art, m, rows, times, **kw)
+    np.testing.assert_allclose(sw["P_zeta"][0], one["P_zeta"], rtol=1e-3)
+    np.testing.assert_allclose(sw["P_tensor"][0], one["P_tensor"], rtol=1e-3)
+    np.testing.assert_allclose(sw["T_SS"][0], one["T_SS"], rtol=1e-3)
+    np.testing.assert_allclose(sw["P_zeta"][1] / sw["P_zeta"][0],
+                               1.05**2, rtol=1e-3)
+    # transfer functions are amplitude ratios — m-independent
+    np.testing.assert_allclose(sw["T_SS"][1], sw["T_SS"][0], rtol=1e-3)
+    # failure isolation shares the mode_sweep machinery; spot-check it
+    f0 = np.array([[12.0, 0.0], [1.0, 0.0]])
+    sw2 = perturbations.transport_sweep(
+        art, pars, f0, [0.0, 0.0], on_failure="nan", steps=2000,
+        pivots=3, N_margin_start=5.0, N_margin_end=8.0,
+        dense_steps=800, tail_steps=300,
+    )
+    np.testing.assert_array_equal(sw2["ok"], [True, False])
+    assert np.isnan(sw2["T_RS"][1]).all()
+    assert np.isfinite(sw2["P_zeta"][0]).all()
+
+
 def test_spectra_error_paths(quadratic):
     art, m, rows, times = quadratic
     with pytest.raises(ValueError, match="does not end"):

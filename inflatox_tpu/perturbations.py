@@ -73,8 +73,13 @@ def _base_quantities(artifact, args, rows, times):
 # ----------------------------------------------------------------------- #
 
 
-def _dn_pivot_efolds(n_axis, n_end, pivots, margin_start, margin_end):
-    """Pivot e-fold times, evenly spaced inside the requested margins."""
+def _dn_pivot_efolds(n_axis, n_end, pivots, margin_start, margin_end,
+                     n_before_end=None):
+    """Pivot e-fold times: evenly spaced inside the requested margins, or —
+    when ``n_before_end`` is given — at the requested e-fold distances
+    before the end of inflation (the CMB convention: N_* = 50–60).  The
+    margins still bound the placement (they guarantee the attractor has
+    settled / the final surface is clear of the pivot)."""
     n_lo = n_axis[0] + float(margin_start)
     n_hi = n_end - float(margin_end)
     if not n_hi > n_lo:
@@ -82,7 +87,19 @@ def _dn_pivot_efolds(n_axis, n_end, pivots, margin_start, margin_end):
             f"trajectory spans only {n_end - n_axis[0]:.1f} e-folds — too "
             "short for the requested pivot margins"
         )
-    return np.linspace(n_lo, n_hi, int(pivots))
+    if n_before_end is None:
+        return np.linspace(n_lo, n_hi, int(pivots))
+    nb = np.sort(np.atleast_1d(np.asarray(n_before_end, dtype=float)))[::-1]
+    n_piv = n_end - nb                       # ascending in N (and in ln k)
+    if n_piv[0] < n_lo or n_piv[-1] > n_hi:
+        raise ValueError(
+            f"pivot_N_before_end requests pivots {nb[0]:.1f}–{nb[-1]:.1f} "
+            f"e-folds before the end, outside the valid window "
+            f"[{n_end - n_hi:.1f}, {n_end - n_lo:.1f}] set by the margins "
+            f"(trajectory: {n_end - n_axis[0]:.1f} e-folds) — integrate "
+            "longer or relax the margins"
+        )
+    return n_piv
 
 
 def _dn_pivot_states(rows, hubble, n_axis, i, d, n_pivots):
@@ -316,6 +333,7 @@ def delta_n_spectrum(
     mesh=None,
     order: int = 1,
     h2: float = 2e-3,
+    pivot_N_before_end=None,
 ) -> dict:
     """Scalar power spectrum from the δN formalism along a solved trajectory.
 
@@ -323,7 +341,11 @@ def delta_n_spectrum(
     (:func:`~inflatox_tpu.background.solve_eom` with ``return_time=True``)
     that reaches the end of inflation (ε_H = 1).  ``pivots`` horizon-crossing
     points are placed evenly in e-fold time between ``N_margin_start`` after
-    the start and ``N_margin_end`` before the end; for each pivot, each
+    the start and ``N_margin_end`` before the end — or, when
+    ``pivot_N_before_end`` is given (a sequence of e-fold distances before
+    the end of inflation, the CMB convention N_* = 50–60), at exactly those
+    points, overriding ``pivots`` (all six spectrum routes accept this
+    kwarg); for each pivot, each
     field coordinate is perturbed by ±h·max(1, |φ^a_*|) (velocities kept on
     the attractor) and ALL 2·d·pivots perturbed backgrounds are integrated
     in one :func:`~inflatox_tpu.background.solve_eom_batch` launch
@@ -374,8 +396,10 @@ def delta_n_spectrum(
         artifact, args, rows, times
     )
     n_pivots = _dn_pivot_efolds(
-        n_axis, n_end, pivots, N_margin_start, N_margin_end
+        n_axis, n_end, pivots, N_margin_start, N_margin_end,
+        pivot_N_before_end,
     )
+    pivots = len(n_pivots)
     x_star, chi_star, h_star = _dn_pivot_states(
         rows, hubble, n_axis, i, d, n_pivots
     )
@@ -412,6 +436,7 @@ def delta_n_sweep(
     solver: str = "rkf",
     mesh=None,
     on_failure: str = "raise",
+    pivot_N_before_end=None,
 ) -> dict:
     """δN spectra for a batch of parameter sets — the survey tool.
 
@@ -456,6 +481,8 @@ def delta_n_sweep(
     order = int(order)
     if order not in (1, 2):
         raise ValueError(f"order must be 1 or 2, got {order}")
+    if pivot_N_before_end is not None:
+        pivots = len(np.atleast_1d(pivot_N_before_end))
     d = artifact.n_fields
     pars = np.asarray(pars, dtype=float)
     if pars.ndim == 1:
@@ -505,7 +532,8 @@ def delta_n_sweep(
                 hub_base[s_i, i] - hub_base[s_i, i - 1]
             )
             n_piv = _dn_pivot_efolds(
-                n_base[s_i], n_end, pivots, N_margin_start, N_margin_end
+                n_base[s_i], n_end, pivots, N_margin_start, N_margin_end,
+                pivot_N_before_end,
             )
         except ValueError as e:
             if on_failure == "raise":
@@ -726,7 +754,7 @@ def _gamma_u(artifact, args, x_pts, u_pts):
 
 def _pivot_setup(
     artifact, args, rows, times, pivots, N_margin_start, N_margin_end,
-    N_sub, N_dense, dense_steps, tail_steps,
+    N_sub, N_dense, dense_steps, tail_steps, n_before_end=None,
 ):
     """Shared linear-perturbation setup for the mode and transport routes.
 
@@ -758,14 +786,10 @@ def _pivot_setup(
             "dense phase ends before the ζ read-out surface (np.interp "
             "would silently clamp the ODE coefficients past the table)"
         )
-    n_lo = n_axis[0] + float(N_margin_start)
-    n_hi = n_end - float(N_margin_end)
-    if not n_hi > n_lo:
-        raise ValueError(
-            f"trajectory spans only {n_end - n_axis[0]:.1f} e-folds — too "
-            "short for the requested pivot margins"
-        )
-    n_pivots = np.linspace(n_lo, n_hi, int(pivots))
+    n_pivots = _dn_pivot_efolds(
+        n_axis, n_end, pivots, N_margin_start, N_margin_end, n_before_end
+    )
+    pivots = len(n_pivots)
     n_stop = n_end - 0.25  # common final surface (ζ read-out)
 
     def interp(col, targets):
@@ -949,6 +973,7 @@ def mode_spectrum(
     tail_steps: int = 1500,
     mesh=None,
     pivot_axis: str | None = None,
+    pivot_N_before_end=None,
 ) -> dict:
     """Scalar power spectrum by direct Mukhanov-Sasaki mode integration.
 
@@ -1005,7 +1030,9 @@ def mode_spectrum(
     t = _pivot_setup(
         artifact, args, rows, times, pivots, N_margin_start, N_margin_end,
         N_sub, N_dense, dense_steps, tail_steps,
+        n_before_end=pivot_N_before_end,
     )
+    pivots = len(t.n_pivots)
     shard = _pivot_shard(mesh, pivots, pivot_axis)
 
     per_step, per_step_t = _ms_streams(t)
@@ -1102,7 +1129,7 @@ def _sweep_base_setups(
     artifact, pars, fields_init, derivatives_init, *,
     steps, max_err, solver, mesh_kw, on_failure,
     pivots, N_margin_start, N_margin_end, N_sub, N_dense,
-    dense_steps, tail_steps,
+    dense_steps, tail_steps, n_before_end=None,
 ):
     """Shared sweep preamble of mode_sweep/transport_sweep: validate the
     parameter batch, solve every base trajectory in ONE batched launch,
@@ -1137,6 +1164,7 @@ def _sweep_base_setups(
                 artifact, pars[s_i], rows_base[s_i], times_base[s_i],
                 pivots, N_margin_start, N_margin_end,
                 N_sub, N_dense, dense_steps, tail_steps,
+                n_before_end=n_before_end,
             )
         except ValueError as e:
             if on_failure == "raise":
@@ -1188,6 +1216,7 @@ def mode_sweep(
     mesh=None,
     pivot_axis: str | None = None,
     on_failure: str = "raise",
+    pivot_N_before_end=None,
 ) -> dict:
     """Mukhanov-Sasaki spectra for a batch of parameter sets.
 
@@ -1209,6 +1238,8 @@ def mode_sweep(
     ``failures``.
     """
     _sweep_validate(on_failure, N_margin_start, N_margin_end, N_sub, N_dense)
+    if pivot_N_before_end is not None:
+        pivots = len(np.atleast_1d(pivot_N_before_end))
     pars, setups, failures = _sweep_base_setups(
         artifact, pars, fields_init, derivatives_init,
         steps=steps, max_err=max_err, solver=solver,
@@ -1217,6 +1248,7 @@ def mode_sweep(
         N_margin_start=N_margin_start, N_margin_end=N_margin_end,
         N_sub=N_sub, N_dense=N_dense,
         dense_steps=dense_steps, tail_steps=tail_steps,
+        n_before_end=pivot_N_before_end,
     )
     S = pars.shape[0]
     valid = [s_i for s_i in range(S) if setups[s_i] is not None]
@@ -1477,6 +1509,7 @@ def transport_spectrum(
     tail_steps: int = 1500,
     mesh=None,
     pivot_axis: str | None = None,
+    pivot_N_before_end=None,
 ) -> dict:
     """Scalar/tensor spectra by moment transport (the PyTransport-style
     third route): instead of integrating mode realizations, evolve the full
@@ -1521,7 +1554,9 @@ def transport_spectrum(
     t = _pivot_setup(
         artifact, args, rows, times, pivots, N_margin_start, N_margin_end,
         N_sub, N_dense, dense_steps, tail_steps,
+        n_before_end=pivot_N_before_end,
     )
+    pivots = len(t.n_pivots)
     shard = _pivot_shard(mesh, pivots, pivot_axis)
     d = t.state0.shape[-1]
     ds = int(dense_steps)
@@ -1554,6 +1589,7 @@ def transport_sweep(
     mesh=None,
     pivot_axis: str | None = None,
     on_failure: str = "raise",
+    pivot_N_before_end=None,
 ) -> dict:
     """Moment-transport spectra + Wands transfer functions for a batch of
     parameter sets.
@@ -1570,6 +1606,8 @@ def transport_sweep(
     ``failures``.
     """
     _sweep_validate(on_failure, N_margin_start, N_margin_end, N_sub, N_dense)
+    if pivot_N_before_end is not None:
+        pivots = len(np.atleast_1d(pivot_N_before_end))
     pars, setups, failures = _sweep_base_setups(
         artifact, pars, fields_init, derivatives_init,
         steps=steps, max_err=max_err, solver=solver,
@@ -1578,6 +1616,7 @@ def transport_sweep(
         N_margin_start=N_margin_start, N_margin_end=N_margin_end,
         N_sub=N_sub, N_dense=N_dense,
         dense_steps=dense_steps, tail_steps=tail_steps,
+        n_before_end=pivot_N_before_end,
     )
     S = pars.shape[0]
     valid = [s_i for s_i in range(S) if setups[s_i] is not None]

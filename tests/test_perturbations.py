@@ -397,6 +397,44 @@ def test_transport_sweep_batches_parameter_sets(quadratic):
     assert np.isfinite(sw2["P_zeta"][0]).all()
 
 
+def test_pivot_placement_by_N_before_end(quadratic):
+    """pivot_N_before_end places pivots at CMB-style e-fold distances
+    before the end of inflation on every route, overriding pivots=."""
+    art, m, rows, times = quadratic
+    spec = perturbations.delta_n_spectrum(
+        art, m, rows, times, pivot_N_before_end=[25.0, 20.0, 15.0],
+        N_margin_start=5.0, N_margin_end=8.0, steps=2000,
+    )
+    assert spec["P_zeta"].shape == (3,)
+    # ascending in N, spaced exactly as requested
+    np.testing.assert_allclose(np.diff(spec["N"]), [5.0, 5.0], atol=1e-9)
+    ms = perturbations.mode_spectrum(
+        art, m, rows, times, pivot_N_before_end=[20.0, 15.0],
+        N_margin_start=5.0, N_margin_end=8.0,
+        dense_steps=800, tail_steps=300,
+    )
+    np.testing.assert_allclose(np.diff(ms["N"]), [5.0], atol=1e-9)
+    assert np.isfinite(ms["P_zeta"]).all()
+    # δN and mode pivots at the same N-before-end see the same k
+    np.testing.assert_allclose(ms["ln_k"], spec["ln_k"][1:], atol=1e-9)
+    # sweeps: same placement per set; m-invariant dynamics → same N_grad
+    sw = perturbations.delta_n_sweep(
+        art, np.array([[1.0, 1.0], [1.05, 1.05]]), [12.0, 0.0], [0.0, 0.0],
+        steps=2000, pivot_N_before_end=[20.0, 15.0],
+        N_margin_start=5.0, N_margin_end=8.0,
+    )
+    assert sw["ok"].all() and sw["P_zeta"].shape == (2, 2)
+    # the per-set end-of-inflation crossing is resolved to solver
+    # precision, shifting the pivot (and hence N_grad) at the ~1e-4 level
+    np.testing.assert_allclose(sw["N_grad"][1], sw["N_grad"][0],
+                               rtol=1e-4, atol=1e-6)
+    # a pivot outside the margin-bounded window is rejected with the window
+    with pytest.raises(ValueError, match="valid window"):
+        perturbations.delta_n_spectrum(
+            art, m, rows, times, pivot_N_before_end=[2.0]
+        )
+
+
 def test_spectra_error_paths(quadratic):
     art, m, rows, times = quadratic
     with pytest.raises(ValueError, match="does not end"):

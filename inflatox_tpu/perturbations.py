@@ -51,6 +51,7 @@ __all__ = [
     "delta_n_sweep",
     "mode_spectrum",
     "mode_sweep",
+    "squeezed_fnl",
     "transport_spectrum",
     "transport_sweep",
 ]
@@ -621,6 +622,216 @@ def delta_n_sweep(
             f"NaN-filled — first: set {first}: {failures[first]}"
         )
     return out
+
+
+# ----------------------------------------------------------------------- #
+# Squeezed-limit bispectrum (separate-universe response route)             #
+# ----------------------------------------------------------------------- #
+
+
+def _n_from_ln_k(n_axis, hubble, i, targets):
+    """Invert ln(aH)(N) = target on the inflating span of a trajectory
+    (monotone while ε_H < 1: d ln(aH)/dN = 1 − ε; ``i`` is the first row
+    past the ε_H = 1 crossing)."""
+    lnah = n_axis[: i + 1] + np.log(hubble[: i + 1])
+    return np.interp(targets, lnah, n_axis[: i + 1])
+
+
+def squeezed_fnl(
+    artifact,
+    args,
+    rows,
+    times,
+    *,
+    N_long_before_end: float = 55.0,
+    N_short_before_end=(50.0, 45.0),
+    h: float = 2e-3,
+    h_short: float = 1e-4,
+    steps: int = 4000,
+    max_err: float = 1e-8,
+    solver: str = "rkf",
+    mesh=None,
+    N_margin_start: float = 2.0,
+    N_margin_end: float = 5.0,
+) -> dict:
+    """Squeezed-limit bispectrum amplitude f_NL(k_L; k_S) by the
+    separate-universe response route.
+
+    In the squeezed limit k_L ≪ k_S the bispectrum is exactly the response
+    of the short-mode power spectrum to the long mode's background
+    modulation (Maldacena's argument, multi-field form):
+
+        lim_{k_L→0} B_ζ(k_L, k_S, k_S)
+            = Σ_a ⟨ζ_{k_L} δφ^a_{k_L}⟩ · ∂𝒫_ζ(k_S)/∂φ^a|_*L ,
+
+    i.e. with the standard normalization B = (6/5) f_NL [P P + perms],
+
+        f_NL^sq = (5/12) · (N^a ∂_a ln 𝒫_ζ(k_S)) / (N_b N^b),
+
+    where N_a is the δN gradient at the long pivot (so
+    ⟨ζ δφ^a⟩/P_ζ = N^a/(N·N) at leading order in slow roll) and the
+    response derivative ∂_a ln 𝒫(k_S) is evaluated **at fixed physical
+    k_S** on perturbed separate-universe backgrounds: each of the 2d
+    stencil trajectories of the long pivot (which double as the N_a finite
+    differences — one batched launch serves both) is treated as its own
+    universe, its short-mode spectrum read at the common anchored
+    ln k_S (the pivot-frame target ln k_S − N_L; all stencil universes
+    share the scale factor of the flat slice at the long crossing), and
+    central differences over ±h·max(1, |φ^a|) give the derivative.
+
+    Unlike the δN local amplitude (:func:`delta_n_spectrum` ``order=2``),
+    the fixed-k anchoring captures the **dilation** contribution: for
+    single-field models this function reproduces the full Maldacena
+    consistency relation f_NL^sq = (5/12)(1 − n_s) (asserted in the
+    suite), which the N_{;ab} term alone misses by a factor ~2.  The
+    residual error is O(slow-roll²) from the leading-order ⟨ζ δφ⟩
+    correlation and O((k_L/k_S)²) squeezedness corrections.
+
+    The short spectra are the δN 𝒫 = G^{ab} N_a N_b (H_*/2π)² of each
+    perturbed universe, computed against that universe's **own** final
+    uniform-H surface, with all 4d²·len(k_S) short-stencil trajectories in
+    ONE batched launch (``mesh=`` shards both launches across chips).
+
+    Returns a dict: ``f_NL_sq`` (n_S,), ``response`` ((d, n_S) — the
+    ∂_a ln 𝒫(k_S) derivatives), ``N_grad_long`` (d,), ``ln_k_long``/
+    ``N_long``/``P_zeta_long``/``H_long`` scalars and ``ln_k_short``/
+    ``N_short``/``P_zeta_short`` (n_S,) in the base trajectory's frame
+    (``P_zeta_short`` is the ± average over the stencil universes — the
+    base value up to O(h²)).
+
+    No reference equivalent (the reference computes no spectra at all);
+    the route needs the batched per-trajectory solver and vectorized
+    geometry surfaces end to end.
+    """
+    d = artifact.n_fields
+    a_f = np.asarray(args, dtype=float)
+    mesh_kw = {"mesh": mesh} if mesh is not None else {}
+    rows, times, hubble, eps_h, n_axis, i, n_end, h_ref = _base_quantities(
+        artifact, a_f, rows, times
+    )
+    nb_long = float(N_long_before_end)
+    nb_short = np.atleast_1d(np.asarray(N_short_before_end, dtype=float))
+    if not (nb_short < nb_long).all():
+        raise ValueError(
+            "every short mode must cross after the long mode "
+            f"(N_short_before_end < N_long_before_end = {nb_long}); the "
+            "squeezed limit needs k_L ≪ k_S — tens of e-folds of separation"
+        )
+    # validates long + short pivots against the usual margins
+    _dn_pivot_efolds(
+        n_axis, n_end, 0, N_margin_start, N_margin_end,
+        np.concatenate([[nb_long], nb_short]),
+    )
+    n_long = n_end - nb_long
+    n_short = np.sort(n_end - nb_short)              # ascending in N / ln k
+    n_s_count = len(n_short)
+
+    x_l, chi_l, h_l = _dn_pivot_states(
+        rows, hubble, n_axis, i, d, np.array([n_long])
+    )
+    h_l = float(h_l[0])
+    h_s_base = np.interp(n_short, n_axis[: i + 1], hubble[: i + 1])
+    ln_ks_base = n_short + np.log(h_s_base)
+    # anchored short-mode targets in the stencil universes' common frame
+    # (N = 0 on the flat slice at the long crossing, a continuous there)
+    ln_ks_piv = ln_ks_base - n_long
+    ln_kl = n_long + np.log(h_l)
+
+    # ONE stencil of 2d trajectories around the long pivot: their e-fold
+    # counts to the base final surface give N_a, and the trajectories ARE
+    # the perturbed separate-universe backgrounds for the short response
+    f0, chi0, per_pivot, h_a, _ = _dn_stencil(x_l, chi_l, h, h, order=1)
+    rows_b, times_b = background.solve_eom_batch(
+        artifact, a_f, int(steps), f0, chi0,
+        max_err=max_err, solver=solver, return_time=True, **mesh_kw,
+    )
+    rows_b = np.asarray(rows_b)
+    times_b = np.asarray(times_b)
+    n_surf, _ = _dn_surface(artifact, a_f, rows_b, times_b, h_ref, steps)
+    g_l, _ = _dn_pivot_geometry(artifact, a_f, x_l, 1)
+    long_out = _dn_assemble(
+        g_l, None, x_l, np.array([h_l]), np.array([n_long]),
+        n_surf.reshape(1, per_pivot), h_a, h_a, 1,
+    )
+    n_grad = long_out["N_grad"][0]                   # (d,)
+    n_up = np.linalg.solve(g_l[0], n_grad)           # N^a
+    nn = float(n_grad @ n_up)
+    p_zeta_long = float(long_out["P_zeta"][0])
+
+    # per-universe trajectory analysis (host): ε_H, its own end-of-inflation
+    # surface, and fixed-ln-k short-pivot placement in the common frame
+    B = 2 * d
+    chi_sq = np.asarray(artifact.inner_prod(
+        [rows_b[..., c] for c in range(d)], a_f,
+        [rows_b[..., d + c] for c in range(d)],
+        [rows_b[..., d + c] for c in range(d)],
+    ))
+    hub_b = rows_b[..., -1]
+    n_b = background.efolds(rows_b, times_b, hdot=-0.5 * chi_sq)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        eps_b = 0.5 * chi_sq / (hub_b * hub_b)
+
+    f0_s, chi0_s, href_s, x_short, h_short_star = [], [], [], [], []
+    for b in range(B):
+        ib, frac = _eps1_crossing(eps_b[b])
+        n_end_b = n_b[b, ib - 1] + frac * (n_b[b, ib] - n_b[b, ib - 1])
+        href_b = hub_b[b, ib - 1] + frac * (hub_b[b, ib] - hub_b[b, ib - 1])
+        n_s_b = _n_from_ln_k(n_b[b], hub_b[b], ib, ln_ks_piv)
+        if (n_s_b > n_end_b - float(N_margin_end)).any():
+            raise ValueError(
+                f"stencil universe {b}: the anchored short pivot lands "
+                f"within N_margin_end = {N_margin_end} of its end of "
+                "inflation — lower N_short_before_end or the margin"
+            )
+        x_s, c_s, h_s = _dn_pivot_states(
+            rows_b[b], hub_b[b], n_b[b], ib, d, n_s_b
+        )
+        f0b, c0b, pp_s, _, _ = _dn_stencil(x_s, c_s, h_short, h_short, 1)
+        f0_s.append(f0b)
+        chi0_s.append(c0b)
+        href_s.append(np.full(len(f0b), href_b))
+        x_short.append(x_s)
+        h_short_star.append(h_s)
+
+    # every short-stencil trajectory of every universe in ONE launch
+    rows_s, times_s = background.solve_eom_batch(
+        artifact, a_f, int(steps), np.concatenate(f0_s),
+        np.concatenate(chi0_s),
+        max_err=max_err, solver=solver, return_time=True, **mesh_kw,
+    )
+    n_surf_s, _ = _dn_surface(
+        artifact, a_f, np.asarray(rows_s), np.asarray(times_s),
+        np.concatenate(href_s), steps,
+    )
+    x_all = np.concatenate(x_short)                  # (B·n_S, d)
+    g_all, _ = _dn_pivot_geometry(artifact, a_f, x_all, 1)
+
+    # δN read-out per universe → ln 𝒫(k_S) → central-difference response
+    n_first = n_surf_s.reshape(B, n_s_count, d, 2)
+    hh = h_short * np.maximum(1.0, np.abs(x_all)).reshape(B, n_s_count, d)
+    ng_s = (n_first[..., 0] - n_first[..., 1]) / (2.0 * hh)
+    g_bs = g_all.reshape(B, n_s_count, d, d)
+    nup_s = np.linalg.solve(g_bs, ng_s[..., None])[..., 0]
+    h_star_s = np.stack(h_short_star)                # (B, n_S)
+    p_s = np.einsum("bsa,bsa->bs", ng_s, nup_s) * (
+        h_star_s / (2.0 * np.pi)
+    ) ** 2
+    ln_p = np.log(p_s).reshape(d, 2, n_s_count)      # stencil: a-major, +/−
+    response = (ln_p[:, 0] - ln_p[:, 1]) / (2.0 * h_a[0][:, None])
+
+    f_nl_sq = (5.0 / 12.0) * (n_up @ response) / nn
+    return {
+        "f_NL_sq": f_nl_sq,
+        "response": response,
+        "N_grad_long": n_grad,
+        "ln_k_long": ln_kl,
+        "ln_k_short": ln_ks_base,
+        "N_long": n_long,
+        "N_short": n_short,
+        "P_zeta_long": p_zeta_long,
+        "P_zeta_short": np.exp(ln_p).mean(axis=(0, 1)),
+        "H_long": h_l,
+    }
 
 
 # ----------------------------------------------------------------------- #

@@ -435,6 +435,71 @@ def test_pivot_placement_by_N_before_end(quadratic):
         )
 
 
+def test_squeezed_fnl_maldacena_consistency(quadratic):
+    """The separate-universe response route must reproduce the FULL
+    Maldacena consistency relation f_NL^sq = (5/12)(1 − n_s) on a
+    single-field background — including the dilation contribution that the
+    δN local amplitude (order=2 N_{;ab}) misses by a factor ~2."""
+    art, m, rows, times = quadratic
+    kw = dict(steps=2000, max_err=1e-9, N_margin_start=2.0, N_margin_end=5.0)
+    sq = perturbations.squeezed_fnl(
+        art, m, rows, times, N_long_before_end=28.0,
+        N_short_before_end=(18.0, 12.0), **kw,
+    )
+    assert sq["f_NL_sq"].shape == (2,)
+    # n_s measured from the same δN machinery (3-point stencil per short
+    # pivot) — the consistency relation against the MEASURED tilt holds to
+    # ~0.2%; the analytic slow-roll tilt only to ~5%
+    dn = perturbations.delta_n_spectrum(
+        art, m, rows, times,
+        pivot_N_before_end=[19.0, 18.0, 17.0, 13.0, 12.0, 11.0], **kw,
+    )
+    maldacena = (5.0 / 12.0) * (1.0 - dn["n_s"][[1, 4]])
+    np.testing.assert_allclose(sq["f_NL_sq"], maldacena, rtol=0.02)
+    # the short pivots are anchored at the same physical k as the base run
+    np.testing.assert_allclose(sq["ln_k_short"], dn["ln_k"][[1, 4]],
+                               atol=1e-9)
+    # spectator direction: no response on the single-field axis
+    np.testing.assert_allclose(sq["response"][1], 0.0, atol=1e-4)
+    # the ± average short spectrum is the base spectrum up to O(h²)
+    np.testing.assert_allclose(sq["P_zeta_short"], dn["P_zeta"][[1, 4]],
+                               rtol=1e-3)
+    # error paths: shorts must cross after the long mode; window respected
+    with pytest.raises(ValueError, match="squeezed limit"):
+        perturbations.squeezed_fnl(
+            art, m, rows, times, N_long_before_end=15.0,
+            N_short_before_end=(18.0,), **kw,
+        )
+    with pytest.raises(ValueError, match="valid window"):
+        perturbations.squeezed_fnl(
+            art, m, rows, times, N_long_before_end=200.0,
+            N_short_before_end=(18.0,), **kw,
+        )
+
+
+def test_squeezed_fnl_multifield_dilation_split(curved):
+    """On the turning curved-field-space background the response route's
+    f_NL^sq sits at the adiabatic consistency value (the background is
+    adiabatic-dominated there), while the δN local amplitude carries only
+    the non-dilation part — the physically expected split."""
+    art, args, rows, times = curved
+    kw = dict(steps=3000, max_err=1e-9, N_margin_start=2.0, N_margin_end=5.0)
+    sq = perturbations.squeezed_fnl(
+        art, args, rows, times, N_long_before_end=22.0,
+        N_short_before_end=(14.0,), **kw,
+    )
+    dn = perturbations.delta_n_spectrum(
+        art, args, rows, times, pivot_N_before_end=[15.0, 14.0, 13.0],
+        order=2, **kw,
+    )
+    consistency = (5.0 / 12.0) * (1.0 - dn["n_s"][1])
+    np.testing.assert_allclose(sq["f_NL_sq"][0], consistency, rtol=0.05)
+    # both field directions respond on a genuinely two-field background
+    assert np.all(np.abs(sq["response"][:, 0]) > 1e-3)
+    # the δN local part alone is materially below the full squeezed value
+    assert dn["f_NL"][1] < 0.7 * sq["f_NL_sq"][0]
+
+
 def test_spectra_error_paths(quadratic):
     art, m, rows, times = quadratic
     with pytest.raises(ValueError, match="does not end"):

@@ -58,6 +58,7 @@ __all__ = [
     "horizon_exit",
     "power_spectrum",
     "cobe_normalize",
+    "n_star_matching",
     "observable_jacobian",
     "fisher_matrix",
     "solve_eom_fixed",
@@ -462,6 +463,151 @@ def cobe_normalize(
         "N_exit": float(n_exit),
         "N_end": info["N_end"],
     }
+
+
+# physical constants for the horizon-matching equation, in reduced Planck
+# units (M_Pl = 2.435e18 GeV)
+_MPL_GEV = 2.435e18
+_GEV_PER_INV_MPC = 1.9733e-14 / 3.0857e24   # ħc [GeV·cm] / Mpc [cm]
+_T0_GEV = 2.349e-13                          # T_CMB = 2.7255 K
+_GS0 = 3.91                                  # entropy d.o.f. today (γ + ν)
+
+
+def n_star_matching(
+    artifact: CompiledModel,
+    args,
+    rows,
+    times,
+    *,
+    k_mpc: float = 0.05,
+    w_reh: float = 0.0,
+    T_reh_gev: float | None = None,
+    g_reh: float = 106.75,
+    g_s_reh: float | None = None,
+    A_s: float | None = None,
+) -> dict:
+    """Self-consistent N_* for a physical pivot scale (horizon matching).
+
+    Solves the standard matching equation (Liddle & Leach 2003 form) for
+    the number of e-folds before the end of inflation at which the comoving
+    scale ``k_mpc`` [Mpc⁻¹] left the horizon — tracing k = a_*H_* through
+    the post-inflation expansion history (reheating with equation of state
+    ``w_reh`` down to ``T_reh_gev``, then radiation/matter with entropy
+    conservation to today):
+
+        N_* = ln(H_*/k) + ln(T₀/T_reh) + (1/3) ln(g_{s,0}/g_{s,reh})
+              − [3(1+w_reh)]⁻¹ ln(ρ_end/ρ_reh),
+
+    everything in reduced Planck units (M_Pl = 2.435·10¹⁸ GeV,
+    T₀ = 2.7255 K, g_{s,0} = 3.91), with ρ_end = 3H²_end read off the
+    trajectory's ε_H = 1 crossing and ρ_reh = (π²/30) g_reh T_reh⁴.
+    ``T_reh_gev=None`` means instant reheating (ρ_reh = ρ_end, the w_reh
+    value is then irrelevant).  Because H_* itself sits N_* before the
+    end, the equation is a fixed point — iterated on the trajectory's
+    H(N) table (contraction rate d ln H/dN = −ε_H, converges in a few
+    steps).
+
+    The model must carry physical units for the answer to mean anything:
+    COBE-normalize first (:func:`cobe_normalize`) so H_* is the real
+    inflationary scale — or pass ``A_s`` to apply the normalization
+    internally (the matching is evaluated with H² rescaled by the
+    :func:`cobe_normalize` factor at the self-consistent pivot, iterated
+    alongside N_*; the returned ``scale`` then belongs to an overall
+    potential-normalization parameter exactly as in
+    :func:`cobe_normalize`).
+
+    Consistency properties pinned in the suite: for ``w_reh = 1/3`` the
+    result is exactly independent of ``T_reh_gev`` (a radiation-like
+    reheating epoch is indistinguishable from the radiation era), and for
+    ``w_reh < 1/3`` lower reheating temperatures shift N_* down.  A
+    COBE-normalized m²φ² model gives the textbook N_*(0.05/Mpc) ≈ 57.5
+    under instant reheating.
+
+    Returns ``{"N_star", "ln_k", "H_star", "N_end", "T_reh_gev",
+    "rho_end", "rho_reh", "residual"[, "scale"]}`` — ``ln_k`` in the
+    trajectory frame (N from the supplied trajectory's start + ln H),
+    ready for ``pivot_N_before_end=[N_star]`` on the spectrum routes and
+    :func:`horizon_exit`'s ``N_before_end``.
+
+    No reference equivalent (needs e-fold counts the reference's solver
+    discards, background_solver.rs:283-295).
+    """
+    rows, times, hubble, eps_h, n_efold = _trajectory_eps_h(
+        artifact, rows, times, args
+    )
+    i, frac = _eps1_crossing(eps_h)
+    n_end = n_efold[i - 1] + frac * (n_efold[i] - n_efold[i - 1])
+    h_end = hubble[i - 1] + frac * (hubble[i] - hubble[i - 1])
+
+    scale = 1.0
+    if A_s is not None:
+        # overall V rescaling: H² scales, the e-fold trajectory shape does
+        # not (see cobe_normalize) — normalize at the self-consistent pivot
+        p_unscaled = hubble[: i + 1] ** 2 / (
+            8.0 * np.pi**2 * np.maximum(eps_h[: i + 1], 1e-300)
+        )
+
+    w = float(w_reh)
+    if not -1.0 < w <= 1.0:
+        raise ValueError(f"w_reh must be in (−1, 1], got {w}")
+    rho_end = 3.0 * h_end * h_end    # unscaled; A_s scaling applied in-loop
+    k_pl = float(k_mpc) * _GEV_PER_INV_MPC / _MPL_GEV
+    t0 = _T0_GEV / _MPL_GEV
+    g_s_reh = float(g_reh if g_s_reh is None else g_s_reh)
+
+    # fixed point: N ↦ matching(H_*(N)) on the trajectory's H(N) table
+    span = slice(0, i + 1)
+    n_star = 55.0
+    for _ in range(64):
+        rho_end_s = rho_end * scale
+        if T_reh_gev is None:
+            rho_reh = rho_end_s
+            t_reh = (30.0 * rho_reh / (np.pi**2 * float(g_reh))) ** 0.25
+        else:
+            t_reh = float(T_reh_gev) / _MPL_GEV
+            rho_reh = (np.pi**2 / 30.0) * float(g_reh) * t_reh**4
+            if rho_reh > rho_end_s:
+                raise ValueError(
+                    f"T_reh_gev = {T_reh_gev:.4g} GeV implies ρ_reh = "
+                    f"{rho_reh:.4g} M_Pl⁴ above the end-of-inflation "
+                    f"energy density {rho_end_s:.4g} — reheating cannot "
+                    "outheat the inflaton; lower T_reh_gev"
+                )
+        n_pivot = n_end - n_star
+        if n_pivot < n_efold[0]:
+            raise ValueError(
+                f"the matching equation wants N_* ≈ {n_star:.1f}, but the "
+                f"trajectory spans only {n_end - n_efold[0]:.1f} e-folds "
+                "before the end of inflation — start deeper in the "
+                "inflating region"
+            )
+        h_star = np.interp(n_pivot, n_efold[span], hubble[span])
+        if A_s is not None:
+            p_now = float(np.interp(n_pivot, n_efold[span], p_unscaled))
+            scale = float(A_s) / p_now
+        n_new = (
+            np.log(h_star * np.sqrt(scale) / k_pl)
+            + np.log(t0 / t_reh)
+            + np.log(_GS0 / g_s_reh) / 3.0
+            - np.log(rho_end_s / rho_reh) / (3.0 * (1.0 + w))
+        )
+        delta = abs(float(n_new) - n_star)
+        n_star = float(n_new)
+        if delta < 1e-12:
+            break
+    out = {
+        "N_star": n_star,
+        "ln_k": (n_end - n_star) + np.log(h_star * np.sqrt(scale)),
+        "H_star": float(h_star * np.sqrt(scale)),
+        "N_end": float(n_end),
+        "T_reh_gev": float(t_reh * _MPL_GEV),
+        "rho_end": float(rho_end * scale),
+        "rho_reh": float(rho_reh),
+        "residual": delta,
+    }
+    if A_s is not None:
+        out["scale"] = scale
+    return out
 
 
 # ----------------------------------------------------------------------- #

@@ -406,3 +406,68 @@ def test_cobe_normalize_round_trip():
     res2 = observables.cobe_normalize(art, rows2, times2, args2)
     np.testing.assert_allclose(res2["P_zeta"], 2.1e-9, rtol=1e-4)
     np.testing.assert_allclose(res2["scale"], 1.0, rtol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def long_quadratic(trivial_artifact):
+    """φ² axis trajectory long enough (~64 e-folds) for CMB-scale N_*."""
+    m = np.array([1.0, 1.0])
+    rows, times = background.solve_eom(
+        trivial_artifact, m, 3000, [16.0, 0.0], [0.0, 0.0],
+        max_err=1e-9, solver="rkf", return_time=True,
+    )
+    return trivial_artifact, m, rows, times
+
+
+def test_n_star_matching_textbook_value(long_quadratic):
+    """COBE-normalized m²φ² with instant reheating at k = 0.05/Mpc is the
+    textbook N_* ≈ 57.5; the fixed point must close to ~1e-12 and the
+    internal A_s normalization must agree with normalizing externally."""
+    art, m, rows, times = long_quadratic
+    out = observables.n_star_matching(art, m, rows, times, A_s=2.1e-9)
+    assert 56.5 < out["N_star"] < 58.5
+    assert out["residual"] < 1e-10
+    # GUT-scale instant reheating for a COBE-normalized large-field model
+    assert 1e15 < out["T_reh_gev"] < 1e16
+    # external normalization: V = (mφ)² is linear in m², so m √scale
+    mn = m * np.sqrt(out["scale"])
+    rows2, times2 = background.solve_eom(
+        art, mn, 3000, [16.0, 0.0], [0.0, 0.0],
+        max_err=1e-9, solver="rkf", return_time=True,
+    )
+    o2 = observables.n_star_matching(art, mn, rows2, times2)
+    np.testing.assert_allclose(o2["N_star"], out["N_star"], atol=1e-3)
+
+
+def test_n_star_matching_reheating_physics(long_quadratic):
+    """w_reh = 1/3 must make N_* exactly independent of T_reh (a
+    radiation-like reheating epoch is indistinguishable from the radiation
+    era); for w_reh < 1/3 lower reheating temperatures shift N_* down."""
+    art, m, rows, times = long_quadratic
+    kw = dict(A_s=2.1e-9)
+    o1 = observables.n_star_matching(
+        art, m, rows, times, w_reh=1 / 3, T_reh_gev=1e10, **kw)
+    o2 = observables.n_star_matching(
+        art, m, rows, times, w_reh=1 / 3, T_reh_gev=1e4, **kw)
+    np.testing.assert_allclose(o1["N_star"], o2["N_star"], atol=1e-9)
+    o3 = observables.n_star_matching(
+        art, m, rows, times, w_reh=0.0, T_reh_gev=1e10, **kw)
+    o4 = observables.n_star_matching(
+        art, m, rows, times, w_reh=0.0, T_reh_gev=1e4, **kw)
+    assert o1["N_star"] > o3["N_star"] > o4["N_star"]
+
+
+def test_n_star_matching_error_paths(long_quadratic):
+    art, m, rows, times = long_quadratic
+    with pytest.raises(ValueError, match="outheat"):
+        observables.n_star_matching(
+            art, m, rows, times, T_reh_gev=1e19, A_s=2.1e-9)
+    with pytest.raises(ValueError, match="w_reh"):
+        observables.n_star_matching(art, m, rows, times, w_reh=-1.0)
+    # a 36-e-fold trajectory cannot hold a CMB-scale pivot
+    rows_s, times_s = background.solve_eom(
+        art, m, 2000, [12.0, 0.0], [0.0, 0.0],
+        max_err=1e-9, solver="rkf", return_time=True,
+    )
+    with pytest.raises(ValueError, match="start deeper"):
+        observables.n_star_matching(art, m, rows_s, times_s, A_s=2.1e-9)

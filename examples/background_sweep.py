@@ -16,6 +16,15 @@ Demonstrates the trajectory pipeline around
 4. feeding the solved trajectories to the on-trajectory consistency scans.
 """
 
+
+try:  # installed wheel, or repo checkout (axon forbids PYTHONPATH)
+    import inflatox_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import sympy
 

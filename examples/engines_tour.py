@@ -8,6 +8,15 @@ kernels; on CPU the compensated engines run their EFT-safe eager fallbacks
 See docs/manual.md ("Engines and precision") for when to use which.
 """
 
+
+try:  # installed wheel, or repo checkout (axon forbids PYTHONPATH)
+    import inflatox_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import time
 
 import numpy as np

@@ -21,6 +21,15 @@ is a few hundred compiled optimizer steps in one `lax.scan` launch:
    `lax.scan`) to show trajectory-level losses work too.
 """
 
+
+try:  # installed wheel, or repo checkout (axon forbids PYTHONPATH)
+    import inflatox_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import sympy
 

@@ -17,6 +17,15 @@ This chains every layer of the framework the way a real analysis does:
    output, background_solver.rs:283-295).
 """
 
+
+try:  # installed wheel, or repo checkout (axon forbids PYTHONPATH)
+    import inflatox_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import sympy
 
@@ -54,8 +63,15 @@ rows, times = background.solve_eom(
 print(f"normalize: M⁴ × {res['scale']:.4g} → P_ζ(k*) = 2.1e-9")
 
 # ---- 5. predictions -------------------------------------------------------- #
-info = observables.horizon_exit(artifact, rows, times, args, N_before_end=55.0)
-print(f"exit (N* = N_end − 55): n_s = {info['n_s']:.4f}, r = {info['r']:.4g}")
+# the pivot is not a convention here: solve the horizon-matching equation
+# for the self-consistent N_* of k = 0.05/Mpc (instant reheating)
+match = observables.n_star_matching(artifact, args, rows, times, k_mpc=0.05)
+print(f"matching: N_*(0.05/Mpc) = {match['N_star']:.2f} "
+      f"(T_reh = {match['T_reh_gev']:.3g} GeV, instant reheating)")
+info = observables.horizon_exit(artifact, rows, times, args,
+                                N_before_end=match["N_star"])
+print(f"exit (N* = N_end − {match['N_star']:.1f}): "
+      f"n_s = {info['n_s']:.4f}, r = {info['r']:.4g}")
 
 dn = perturbations.delta_n_spectrum(
     artifact, args, rows, times, pivots=6, order=2, N_margin_end=10.0,
@@ -70,10 +86,21 @@ print("MS       : P_zeta =", np.array2string(ms["P_zeta"], precision=3))
 print("           P_iso/P_zeta =",
       np.array2string(ms["P_iso"] / ms["P_zeta"], precision=3))
 
+# squeezed-limit non-Gaussianity at the matched pivot: the long mode at
+# N_* correlated with shorter CMB scales (the full amplitude including
+# the dilation term the local delta-N f_NL misses)
+sq = perturbations.squeezed_fnl(
+    artifact, args, rows, times, N_long_before_end=match["N_star"],
+    N_short_before_end=(match["N_star"] - 6.0, match["N_star"] - 10.0),
+    max_err=1e-10,
+)
+print("squeezed : f_NL(k_L; k_S) =",
+      np.array2string(sq["f_NL_sq"], precision=4))
+
 # sanity: at the CMB pivot the normalized spectrum sits on A_s and the two
 # routes agree within the slow-roll envelope
 p_at_pivot = np.interp(info["N_exit"], dn["N"], dn["P_zeta"])
 assert abs(p_at_pivot / 2.1e-9 - 1) < 0.05, "normalization drifted"
 rel = ms["P_zeta"] / np.interp(ms["ln_k"], dn["ln_k"], dn["P_zeta"]) - 1
 assert np.all(np.abs(rel[:3]) < 0.08), "formalisms disagree deep in slow roll"
-print("pipeline complete: normalized, cross-validated, Planck-consistent")
+print("pipeline complete: normalized, matched, cross-validated")

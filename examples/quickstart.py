@@ -5,6 +5,15 @@ the reference README example (hyperinflation) and then goes beyond it:
 engine selection, background trajectories, multi-chip scans, sweeps.
 """
 
+
+try:  # installed wheel, or repo checkout (axon forbids PYTHONPATH)
+    import inflatox_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import sympy
 

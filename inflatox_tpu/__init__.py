@@ -44,9 +44,11 @@ from .version import __version__
 from . import background
 from . import consistency_conditions
 from . import geometry
+from . import inference
 from . import models
 from . import observables
 from . import parallel
+from . import perturbations
 
 __all__ = [
     "CompilationArtifact",
@@ -57,9 +59,11 @@ __all__ = [
     "consistency_conditions",
     "background",
     "geometry",
+    "inference",
     "models",
     "observables",
     "parallel",
+    "perturbations",
     "log_info",
     "log_warn",
     "__version__",

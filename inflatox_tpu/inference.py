@@ -43,6 +43,7 @@ from .utils.logging import log_warn
 __all__ = [
     "observable_log_posterior",
     "sample_posterior",
+    "log_evidence_laplace",
     "r_hat",
     "effective_sample_size",
 ]
@@ -90,35 +91,40 @@ def observable_log_posterior(
 # ----------------------------------------------------------------------- #
 
 
-def _leapfrog(grad_fn, q, p, eps, inv_mass, steps):
-    """``steps`` leapfrog steps of H = −logp(q) + ½ pᵀ M⁻¹ p."""
-    def body(_, qp):
-        q, p = qp
-        p = p + 0.5 * eps * grad_fn(q)
-        q = q + eps * inv_mass * p
-        p = p + 0.5 * eps * grad_fn(q)
-        return (q, p)
+def _hmc_kernel(logp_and_grad, steps):
+    """One HMC transition: (q, logp, ∇logp, key, eps, inv_mass) → accept.
 
-    return lax.fori_loop(0, steps, body, (q, p))
-
-
-def _hmc_kernel(logp_and_grad, grad_fn, steps):
-    """One HMC transition: (q, logp, key, eps, inv_mass) → accept step.
+    The chain state carries ∇logp(q), so a transition of L leapfrog steps
+    costs exactly L gradient evaluations (adjacent half-kicks fused into
+    full kicks; the final half-kick's value_and_grad supplies both the
+    acceptance logp and the next state's gradient — the naive
+    half-kick/half-kick loop costs 2L+1).
 
     The leapfrog count is jittered uniformly in [⌈steps/2⌉, steps] per
     transition — fixed-length HMC resonates on near-Gaussian targets
     (after mass adaptation a harmonic mode rotates ~ε per step, so a
     fixed ε·L near a multiple of 2π barely moves; measured as a 10×
     ESS collapse on the correlated-Gaussian test before the jitter)."""
-    def kernel(q, lp, key, eps, inv_mass):
+    def kernel(q, lp, g, key, eps, inv_mass):
         k1, k2, k3, key = jax.random.split(key, 4)
         n_steps = jax.random.randint(
             k3, (), max(1, (int(steps) + 1) // 2), int(steps) + 1
         )
         p = jax.random.normal(k1, q.shape) / jnp.sqrt(inv_mass)
-        q_new, p_new = _leapfrog(grad_fn, q, p, eps, inv_mass, n_steps)
-        lp_new, _ = logp_and_grad(q_new)
         h_old = -lp + 0.5 * jnp.sum(inv_mass * p * p)
+
+        def body(_, qp):
+            q, p = qp
+            q = q + eps * inv_mass * p
+            p = p + eps * logp_and_grad(q)[1]
+            return (q, p)
+
+        p_new = p + 0.5 * eps * g
+        q_new, p_new = lax.fori_loop(0, n_steps - 1, body, (q, p_new))
+        q_new = q_new + eps * inv_mass * p_new
+        lp_new, g_new = logp_and_grad(q_new)
+        p_new = p_new + 0.5 * eps * g_new
+
         h_new = -lp_new + 0.5 * jnp.sum(inv_mass * p_new * p_new)
         # NaN-safe: a diverged trajectory is always rejected
         log_accept = jnp.where(
@@ -127,7 +133,8 @@ def _hmc_kernel(logp_and_grad, grad_fn, steps):
         accept = jnp.log(jax.random.uniform(k2)) < log_accept
         q = jnp.where(accept, q_new, q)
         lp = jnp.where(accept, lp_new, lp)
-        return q, lp, key, jnp.exp(log_accept)
+        g = jnp.where(accept, g_new, g)
+        return q, lp, g, key, jnp.exp(log_accept)
 
     return kernel
 
@@ -155,12 +162,16 @@ def sample_posterior(
     inside).  ``x0`` ((d,) or (num_chains, d)) seeds the chains; with one
     row, chains start at ``x0`` plus N(0, ``jitter``²) scatter.
 
-    Warmup adapts the step size by dual averaging (Hoffman & Gelman 2014,
-    target acceptance ``target_accept``) and estimates a diagonal mass
-    matrix (inverse posterior variances) from the second half of warmup;
-    both phases compile to one ``lax.scan`` each with all chains vmapped.
-    ``mesh=`` shards the chain axis across devices (zero collectives) —
-    pad ``num_chains`` to a multiple of the mesh size.
+    Warmup (``num_warmup`` transitions total, split 3:1) adapts the step
+    size by dual averaging (Hoffman & Gelman 2014, target acceptance
+    ``target_accept``) under unit mass, estimates a diagonal mass matrix
+    (inverse posterior variances) from that window's second half, then
+    re-adapts the step size under the estimated mass; warmup and sampling
+    each compile to one ``lax.scan`` with all chains vmapped.  A
+    transition of L jittered leapfrog steps costs exactly L gradient
+    evaluations (the state carries ∇logp).  ``mesh=`` shards the chain
+    axis across all mesh axes (zero collectives in the kernel) — pad
+    ``num_chains`` to a multiple of the mesh size.
 
     Returns ``{"samples" (num_chains, num_samples, d), "log_prob"
     (num_chains, num_samples), "accept_rate" (num_chains,), "step_size",
@@ -183,26 +194,23 @@ def sample_posterior(
         )
 
     logp_and_grad = jax.value_and_grad(logp)
+    kernel = _hmc_kernel(logp_and_grad, int(num_leapfrog))
 
-    def lp_pair(q):
-        v, g = logp_and_grad(q)
-        return v, g
-
-    grad_fn = lambda q: logp_and_grad(q)[1]  # noqa: E731
-    kernel = _hmc_kernel(lp_pair, grad_fn, int(num_leapfrog))
-
-    # dual-averaging constants (Hoffman & Gelman 2014, §3.2)
+    # dual-averaging constants (Hoffman & Gelman 2014, §3.2); warmup budget
+    # splits 3:1 between the unit-mass window (mass estimated from its
+    # second half) and the re-adaptation window under the estimated mass
     gamma, t0, kappa = 0.05, 10.0, 0.75
-    w_half = int(num_warmup) // 2
+    p2 = max(1, int(num_warmup) // 4)
+    p1 = int(num_warmup) - p2
 
     def warmup_step(inv_mass, mu):
         def step(state, i):
-            q, lp, key, log_eps, log_eps_bar, h_bar = state
+            q, lp, g, key, log_eps, log_eps_bar, h_bar = state
             key, sub = jax.random.split(key)
             subs = jax.random.split(sub, q.shape[0])
-            q, lp, _, acc = jax.vmap(
-                kernel, in_axes=(0, 0, 0, None, None)
-            )(q, lp, subs, jnp.exp(log_eps), inv_mass)
+            q, lp, g, _, acc = jax.vmap(
+                kernel, in_axes=(0, 0, 0, 0, None, None)
+            )(q, lp, g, subs, jnp.exp(log_eps), inv_mass)
             # dual averaging on the chain-mean acceptance
             a = jnp.mean(acc)
             t = i + 1.0
@@ -212,75 +220,77 @@ def sample_posterior(
             log_eps = mu - jnp.sqrt(t) / gamma * h_bar
             w = t ** (-kappa)
             log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-            return (q, lp, key, log_eps, log_eps_bar, h_bar), (a, q)
+            return (q, lp, g, key, log_eps, log_eps_bar, h_bar), (a, q)
 
         return step
 
-    lp0 = jax.vmap(logp)(x0)
+    lp0, g0 = jax.vmap(logp_and_grad)(x0)
 
     @jax.jit
-    def run_warmup(q, lp, key):
+    def run_warmup(q, lp, g, key):
         # phase 1: dual-average the step size under unit mass, estimate the
         # diagonal mass from the second half; phase 2: re-adapt the step
         # size under the estimated mass (a step size tuned to one metric is
         # miscalibrated for another — Stan's windowed adaptation, two
-        # windows)
-        state = (q, lp, key, jnp.log(float(initial_step_size)),
+        # windows).  Total transitions = num_warmup exactly.
+        state = (q, lp, g, key, jnp.log(float(initial_step_size)),
                  jnp.log(float(initial_step_size)), 0.0)
         state, (accs1, qs) = lax.scan(
             warmup_step(jnp.ones(d), jnp.log(10.0 * float(initial_step_size))),
-            state, jnp.arange(float(num_warmup)),
+            state, jnp.arange(float(p1)),
         )
-        q, lp, key, _, log_eps_bar, _ = state
+        q, lp, g, key, _, log_eps_bar, _ = state
+        # floored — a parameter phase 1 never moved must not give a 0 mass
         var = jnp.maximum(
-            jnp.var(qs[w_half:].reshape(-1, q.shape[-1]), axis=0), 1e-12
+            jnp.var(qs[p1 // 2:].reshape(-1, q.shape[-1]), axis=0), 1e-12
         )
         eps1 = jnp.exp(log_eps_bar)
         # rescale the phase-1 step into the new metric as the starting
         # guess: proposal scale in q-space is ~ eps·√(inv_mass)
         eps_guess = eps1 / jnp.sqrt(jnp.max(var))
-        state = (q, lp, key, jnp.log(eps_guess), jnp.log(eps_guess), 0.0)
+        state = (q, lp, g, key, jnp.log(eps_guess), jnp.log(eps_guess), 0.0)
         state, (accs2, _) = lax.scan(
             warmup_step(var, jnp.log(10.0 * eps_guess)),
-            state, jnp.arange(float(w_half)),
+            state, jnp.arange(float(p2)),
         )
-        q, lp, key, _, log_eps_bar, _ = state
-        return q, lp, key, jnp.exp(log_eps_bar), var, \
+        q, lp, g, key, _, log_eps_bar, _ = state
+        return q, lp, g, key, jnp.exp(log_eps_bar), var, \
             jnp.concatenate([accs1, accs2])
 
     @jax.jit
-    def run_sampling(q, lp, key, eps, inv_mass):
+    def run_sampling(q, lp, g, key, eps, inv_mass):
         def step(state, _):
-            q, lp, key = state
+            q, lp, g, key = state
             key, sub = jax.random.split(key)
             subs = jax.random.split(sub, q.shape[0])
-            q, lp, _, acc = jax.vmap(
-                kernel, in_axes=(0, 0, 0, None, None)
-            )(q, lp, subs, eps, inv_mass)
-            return (q, lp, key), (q, lp, acc)
+            q, lp, g, _, acc = jax.vmap(
+                kernel, in_axes=(0, 0, 0, 0, None, None)
+            )(q, lp, g, subs, eps, inv_mass)
+            return (q, lp, g, key), (q, lp, acc)
 
-        (_, _, _), (qs, lps, accs) = lax.scan(
-            step, (q, lp, key), None, length=int(num_samples)
+        (_, _, _, _), (qs, lps, accs) = lax.scan(
+            step, (q, lp, g, key), None, length=int(num_samples)
         )
         return qs, lps, accs
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
-        axis = mesh.axis_names[0]
         if x0.shape[0] % mesh.devices.size:
             raise ValueError(
                 f"num_chains = {x0.shape[0]} must be a multiple of the "
                 f"mesh size {mesh.devices.size}"
             )
-        sh = NamedSharding(mesh, PartitionSpec(axis))
+        # shard the chain axis over EVERY mesh axis jointly — with a
+        # multi-axis mesh a single-name spec leaves the array fully
+        # replicated on the other axes (measured), defeating the sharding
+        sh = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names)))
         x0 = jax.device_put(x0, sh)
         lp0 = jax.device_put(lp0, sh)
+        g0 = jax.device_put(g0, sh)
 
-    q, lp, key, eps, var, w_accs = run_warmup(x0, lp0, key)
-    # floored — a parameter the warmup never moved must not give a 0 mass
-    inv_mass = jnp.asarray(np.maximum(np.asarray(var), 1e-12))
-    qs, lps, accs = run_sampling(q, lp, key, eps, inv_mass)
+    q, lp, g, key, eps, inv_mass, w_accs = run_warmup(x0, lp0, g0, key)
+    qs, lps, accs = run_sampling(q, lp, g, key, eps, inv_mass)
 
     samples = np.moveaxis(np.asarray(qs), 0, 1)      # (chains, draws, d)
     log_prob = np.asarray(lps).T
@@ -308,6 +318,35 @@ def sample_posterior(
         "r_hat": rh,
         "ess": ess,
     }
+
+
+def log_evidence_laplace(logp: Callable, samples) -> float:
+    """Laplace-approximation log-evidence ln Z from posterior samples.
+
+    Fits a Gaussian to the samples (pooled mean μ and covariance Σ) and
+    evaluates
+
+        ln Z ≈ logp(μ) + (d/2) ln 2π + ½ ln det Σ,
+
+    exact when the posterior is Gaussian (asserted against the closed-form
+    conjugate-Gaussian evidence in the suite) and the standard O(1/N)
+    approximation otherwise — enough for Bayes-factor comparisons between
+    inflationary models whose posteriors HMC has already mapped.  ``logp``
+    must be the SAME (unnormalized) log-density that was sampled;
+    ``samples`` is (chains, draws, d) from :func:`sample_posterior` (or
+    any (N, d) array)."""
+    s = np.asarray(samples, dtype=float).reshape(-1, np.shape(samples)[-1])
+    mu = s.mean(axis=0)
+    cov = np.atleast_2d(np.cov(s.T))
+    d = s.shape[1]
+    sign, logdet = np.linalg.slogdet(cov)
+    if sign <= 0:
+        raise ValueError(
+            "posterior sample covariance is not positive definite — the "
+            "chains have not explored (or a parameter is exactly pinned)"
+        )
+    lp_mu = float(jnp.asarray(logp(jnp.asarray(mu))))
+    return lp_mu + 0.5 * d * np.log(2.0 * np.pi) + 0.5 * logdet
 
 
 # ----------------------------------------------------------------------- #

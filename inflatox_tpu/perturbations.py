@@ -152,7 +152,24 @@ def _dn_stencil(x_star, chi_star, h, h2, order):
     return f0, np.repeat(chi_star, per_pivot, axis=0), per_pivot, h_a, h2_a
 
 
-def _dn_surface(artifact, pars_b, rows_b, times_b, h_ref, steps, strict=True):
+def _batch_hdot_efolds(artifact, pars_b, rows_b, times_b):
+    """Ḣ = −½|χ|²_G and the e-fold axis for a batch of solved trajectories
+    (one vectorized inner-product call; ``pars_b`` (k,) shared or (B, k)
+    per-trajectory)."""
+    d = artifact.n_fields
+    pars_b = np.asarray(pars_b, dtype=float)
+    a_in = ([pars_b[:, j:j + 1] for j in range(pars_b.shape[1])]
+            if pars_b.ndim == 2 else pars_b)
+    hdot_b = np.asarray(-0.5 * artifact.inner_prod(
+        [rows_b[..., c] for c in range(d)], a_in,
+        [rows_b[..., d + c] for c in range(d)],
+        [rows_b[..., d + c] for c in range(d)],
+    ))                                           # (B, steps)
+    return hdot_b, background.efolds(rows_b, times_b, hdot=hdot_b)
+
+
+def _dn_surface(artifact, pars_b, rows_b, times_b, h_ref, steps, strict=True,
+                aux=None):
     """E-folds from each perturbed start to its uniform-H final surface.
 
     ``pars_b`` is (k,) shared or (B, k) per-trajectory (parameter entries
@@ -164,21 +181,17 @@ def _dn_surface(artifact, pars_b, rows_b, times_b, h_ref, steps, strict=True):
     H(t*) = h_ref) and N(t*) by integrating that cubic — O(Δt⁴) instead of
     the O(Δt²) linear-interpolation floor.
 
+    ``aux`` accepts a precomputed ``(hdot_b, n_b)`` pair from
+    :func:`_batch_hdot_efolds` when the caller also needs those arrays.
+
     Returns ``(n_surface, ok)``: a trajectory that fails to bracket its
     surface gets ``ok=False`` and NaN — or, with ``strict``, raises with
     the actionable message."""
-    d = artifact.n_fields
     rows_b = np.asarray(rows_b)
     times_b = np.asarray(times_b)
-    pars_b = np.asarray(pars_b, dtype=float)
-    a_in = ([pars_b[:, j:j + 1] for j in range(pars_b.shape[1])]
-            if pars_b.ndim == 2 else pars_b)
-    hdot_b = np.asarray(-0.5 * artifact.inner_prod(
-        [rows_b[..., c] for c in range(d)], a_in,
-        [rows_b[..., d + c] for c in range(d)],
-        [rows_b[..., d + c] for c in range(d)],
-    ))                                           # Ḣ = −½|χ|², (B, steps)
-    n_b = background.efolds(rows_b, times_b, hdot=hdot_b)   # (B, steps)
+    hdot_b, n_b = aux if aux is not None else _batch_hdot_efolds(
+        artifact, pars_b, rows_b, times_b
+    )
     hub_b = rows_b[..., -1]
     h_ref = np.broadcast_to(np.asarray(h_ref, dtype=float), hub_b.shape[:1])
 
@@ -711,11 +724,16 @@ def squeezed_fnl(
     )
     nb_long = float(N_long_before_end)
     nb_short = np.atleast_1d(np.asarray(N_short_before_end, dtype=float))
-    if not (nb_short < nb_long).all():
+    sep_floor = max(float(N_margin_start), 2.0)
+    if not (nb_short <= nb_long - sep_floor).all():
         raise ValueError(
-            "every short mode must cross after the long mode "
-            f"(N_short_before_end < N_long_before_end = {nb_long}); the "
-            "squeezed limit needs k_L ≪ k_S — tens of e-folds of separation"
+            "every short mode must cross at least "
+            f"max(N_margin_start, 2) = {sep_floor:.1f} e-folds after the "
+            f"long mode (N_short_before_end ≤ N_long_before_end − "
+            f"{sep_floor:.1f} = {nb_long - sep_floor:.1f}): the response is "
+            "read on universes branched at the long crossing, which need "
+            "the separation to settle onto their own attractors — and the "
+            "squeezed limit itself assumes k_L ≪ k_S (tens of e-folds)"
         )
     # validates long + short pivots against the usual margins
     _dn_pivot_efolds(
@@ -747,7 +765,9 @@ def squeezed_fnl(
     )
     rows_b = np.asarray(rows_b)
     times_b = np.asarray(times_b)
-    n_surf, _ = _dn_surface(artifact, a_f, rows_b, times_b, h_ref, steps)
+    hdot_b, n_b = _batch_hdot_efolds(artifact, a_f, rows_b, times_b)
+    n_surf, _ = _dn_surface(artifact, a_f, rows_b, times_b, h_ref, steps,
+                            aux=(hdot_b, n_b))
     g_l, _ = _dn_pivot_geometry(artifact, a_f, x_l, 1)
     long_out = _dn_assemble(
         g_l, None, x_l, np.array([h_l]), np.array([n_long]),
@@ -760,16 +780,11 @@ def squeezed_fnl(
 
     # per-universe trajectory analysis (host): ε_H, its own end-of-inflation
     # surface, and fixed-ln-k short-pivot placement in the common frame
+    # (Ḣ/e-fold arrays shared with the surface read-out above)
     B = 2 * d
-    chi_sq = np.asarray(artifact.inner_prod(
-        [rows_b[..., c] for c in range(d)], a_f,
-        [rows_b[..., d + c] for c in range(d)],
-        [rows_b[..., d + c] for c in range(d)],
-    ))
     hub_b = rows_b[..., -1]
-    n_b = background.efolds(rows_b, times_b, hdot=-0.5 * chi_sq)
     with np.errstate(invalid="ignore", divide="ignore"):
-        eps_b = 0.5 * chi_sq / (hub_b * hub_b)
+        eps_b = -hdot_b / (hub_b * hub_b)
 
     f0_s, chi0_s, href_s, x_short, h_short_star = [], [], [], [], []
     for b in range(B):

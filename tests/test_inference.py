@@ -111,6 +111,32 @@ def test_inference_error_paths(trivial_artifact):
         )
 
 
+def test_log_evidence_laplace_exact_on_gaussian():
+    """For a Gaussian likelihood N(data; θ, σ²) with prior N(θ; 0, τ²)
+    the evidence is the closed-form convolution N(data; 0, σ² + τ²) —
+    Laplace is exact there, so the sampled estimate must land on it."""
+    data, sig, tau = 0.7, 0.3, 1.5
+
+    def logp(q):
+        return (
+            -0.5 * ((data - q[0]) / sig) ** 2
+            - np.log(sig * np.sqrt(2 * np.pi))
+            - 0.5 * (q[0] / tau) ** 2
+            - np.log(tau * np.sqrt(2 * np.pi))
+        )
+
+    out = inference.sample_posterior(
+        logp, np.zeros(1), num_samples=4000, num_warmup=600,
+        num_chains=4, num_leapfrog=8, seed=5,
+    )
+    ln_z = inference.log_evidence_laplace(logp, out["samples"])
+    v = sig**2 + tau**2
+    ln_z_exact = -0.5 * data**2 / v - 0.5 * np.log(2 * np.pi * v)
+    np.testing.assert_allclose(ln_z, ln_z_exact, atol=0.02)
+    with pytest.raises(ValueError, match="positive definite"):
+        inference.log_evidence_laplace(logp, np.zeros((2, 10, 1)))
+
+
 def test_diagnostics_shapes():
     rng = np.random.default_rng(0)
     s = rng.normal(size=(4, 400, 3))

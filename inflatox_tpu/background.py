@@ -55,7 +55,8 @@ from jax import lax
 from .compiler import CompiledModel
 from .utils.errors import ShapeError
 
-__all__ = ["solve_eom", "solve_eom_batch", "efolds"]
+__all__ = ["solve_eom", "solve_eom_batch", "survey_initial_conditions",
+           "efolds"]
 
 
 # ----------------------------------------------------------------------- #
@@ -339,6 +340,185 @@ def solve_eom_batch(
     if return_time:
         return out, times
     return out
+
+
+def _solve_batch_device(artifact, pars, steps, fields_init, derivatives_init,
+                        max_err, solver):
+    """Batched solve returning (rows, times) WITHOUT forcing a host fetch —
+    device arrays feed on-device reductions (the CPU while-loop path is
+    host-resident anyway).  Inputs must be pre-validated."""
+    if solver == "rkf_pallas":
+        from .ops.pallas_solver import solve_eom_batch_pallas  # noqa: PLC0415
+
+        return solve_eom_batch_pallas(
+            artifact, pars, steps, fields_init, derivatives_init,
+            max_err=max_err, combine="device",
+        )
+    mode = "shared" if np.asarray(pars).ndim == 1 else "per_traj"
+    cache = _model_cache(artifact)
+    bkey = ("batch", solver, int(steps), float(max_err), mode)
+    batched = cache.get(bkey)
+    if batched is None:
+        run, _ = _get_solver(artifact, solver, int(steps), jnp.float64, max_err)
+        in_axes = (0, 0, None) if mode == "shared" else (0, 0, 0)
+        batched = jax.jit(jax.vmap(run, in_axes=in_axes))
+        cache[bkey] = batched
+    rows = batched(fields_init, derivatives_init, pars)
+    return rows[:, :, :-1], rows[:, :, -1]
+
+
+def _survey_reduce(artifact, mode):
+    """Jitted per-trajectory summary of a batch of solved backgrounds:
+    e-fold count through inflation (ε_H = 1 crossing, interpolated like
+    :func:`~inflatox_tpu.observables._eps1_crossing`), the crossing's H and
+    field point, and the integrated span — (B,) outputs from (B, steps)
+    inputs, so the trajectories themselves never leave the device."""
+    d = artifact.n_fields
+
+    @jax.jit
+    def reduce(rows, times, pars):
+        x = [rows[..., c] for c in range(d)]
+        chi = [rows[..., d + c] for c in range(d)]
+        hub = rows[..., 2 * d]
+        a_in = (pars if mode == "shared"
+                else [pars[:, j:j + 1] for j in range(pars.shape[1])])
+        chi_sq = artifact.inner_prod(x, a_in, chi, chi)
+        hdot = -0.5 * chi_sq
+        eps = -hdot / (hub * hub)
+        dt = times[:, 1:] - times[:, :-1]
+        seg = 0.5 * (hub[:, 1:] + hub[:, :-1]) * dt \
+            + (dt * dt / 12.0) * (hdot[:, :-1] - hdot[:, 1:])
+        n = jnp.concatenate(
+            [jnp.zeros_like(times[:, :1]), jnp.cumsum(seg, axis=1)], axis=1
+        )
+        finite = jnp.isfinite(eps) & (hub > 0.0)
+        below = finite & (eps < 1.0)
+        inflated = jnp.any(below, axis=1)
+        start = jnp.argmax(below, axis=1)          # first inflating row
+        idxs = jnp.arange(times.shape[1])[None, :]
+        crossing = (idxs > start[:, None]) & finite & (eps >= 1.0)
+        ended = inflated & jnp.any(crossing, axis=1)
+        i = jnp.maximum(jnp.argmax(crossing, axis=1), 1)
+
+        def pair(arr):
+            lo = jnp.take_along_axis(arr, (i - 1)[:, None], axis=1)[:, 0]
+            hi = jnp.take_along_axis(arr, i[:, None], axis=1)[:, 0]
+            return lo, hi
+
+        e0, e1 = pair(eps)
+        frac = jnp.where(e1 != e0, (1.0 - e0) / (e1 - e0), 0.0)
+
+        def interp(arr):
+            a0, a1 = pair(arr)
+            return a0 + frac * (a1 - a0)
+
+        n_start = jnp.take_along_axis(n, start[:, None], axis=1)[:, 0]
+        nan = jnp.full_like(n_start, jnp.nan)
+        n_inf = jnp.where(ended, interp(n) - n_start, nan)
+        h_end = jnp.where(ended, interp(hub), nan)
+        x_end = jnp.where(
+            ended[:, None],
+            jnp.stack([interp(xc) for xc in x], axis=1), jnp.nan,
+        )
+        return n_inf, ended, h_end, x_end, n[:, -1]
+
+    return reduce
+
+
+def survey_initial_conditions(
+    artifact: CompiledModel,
+    pars,
+    steps: int,
+    fields_init,
+    derivatives_init,
+    *,
+    max_err: float = 1e-6,
+    solver: str | None = None,
+    chunk: int = 8192,
+    mesh=None,
+) -> dict:
+    """Map the inflationary outcome over a batch of initial conditions.
+
+    For every row of ``fields_init``/``derivatives_init`` ((B, n); either
+    may broadcast from (n,)), integrates the background and reduces the
+    trajectory ON DEVICE to a per-IC summary — how many e-folds of
+    inflation the initial condition produces (ε_H < 1 → ε_H = 1 crossing,
+    interpolated), whether inflation ends inside the integrated span, and
+    the crossing's H and field point.  ``pars`` is (k,) shared or (B, k)
+    per-trajectory, so the same call surveys initial conditions, parameter
+    sets, or both jointly.
+
+    This is the basin-of-attraction companion to the consistency-condition
+    maps: a 512² grid of initial conditions is ~262k trajectories — ~5 s
+    on one chip with the default ``solver`` (the Pallas DF kernel at
+    ~50k traj/s) — and the (B, steps) trajectories never cross the
+    host↔device link; only the (B,) summary maps do (the batch runs in
+    ``chunk``-sized launches to bound device memory).  ``mesh=`` shards
+    each launch across chips (zero collectives).
+
+    Returns a dict of (B,) numpy arrays: ``N_inflation`` (e-folds from
+    the first inflating row to the ε_H = 1 crossing; NaN where inflation
+    never happens or never ends), ``ended`` (bool), ``H_end``, ``x_end``
+    ((B, n) field point at the crossing), ``N_span`` (e-folds integrated
+    over the whole trajectory, ended or not).  Reshape to your grid for
+    maps: ``out["N_inflation"].reshape(ny, nx)``.
+
+    No reference equivalent — its solver integrates one trajectory per
+    call and returns rows of unknown time spacing
+    (background_solver.rs:283-295), making both the batching and the
+    e-fold counting impossible on its output.
+    """
+    n = artifact.n_fields
+    fields_init = np.atleast_2d(np.asarray(fields_init, dtype=float))
+    derivatives_init = np.asarray(derivatives_init, dtype=float)
+    B = fields_init.shape[0]
+    derivatives_init = np.broadcast_to(derivatives_init, (B, n)).copy()
+    pars = np.asarray(pars, dtype=float)
+    if fields_init.shape[1] != n:
+        raise ShapeError((-1, n), fields_init.shape,
+                         "initial conditions must be (B, n_fields)")
+    if pars.ndim == 2 and pars.shape != (B, artifact.n_parameters):
+        raise ShapeError((B, artifact.n_parameters), pars.shape,
+                         "per-trajectory parameters must be (B, n_parameters)")
+    if pars.ndim == 1 and pars.shape != (artifact.n_parameters,):
+        raise ShapeError((artifact.n_parameters,), pars.shape,
+                         "shared parameters must be (n_parameters,)")
+    if solver is None:
+        solver = "rkf_pallas" if jax.default_backend() == "tpu" else "rkf"
+    mode = "shared" if pars.ndim == 1 else "per_traj"
+    cache = _model_cache(artifact)
+    rkey = ("survey_reduce", mode)
+    reduce = cache.get(rkey)
+    if reduce is None:
+        reduce = _survey_reduce(artifact, mode)
+        cache[rkey] = reduce
+
+    outs = []
+    for c0 in range(0, B, int(chunk)):
+        sl = slice(c0, min(B, c0 + int(chunk)))
+        p_c = pars if mode == "shared" else pars[sl]
+        if mesh is not None:
+            rows, times = solve_eom_batch(
+                artifact, p_c, int(steps), fields_init[sl],
+                derivatives_init[sl], max_err=max_err, solver=solver,
+                return_time=True, mesh=mesh,
+            )
+        else:
+            rows, times = _solve_batch_device(
+                artifact, p_c, int(steps), fields_init[sl],
+                derivatives_init[sl], max_err, solver,
+            )
+        outs.append([np.asarray(v) for v in reduce(rows, times, p_c)])
+    n_inf, ended, h_end, x_end, n_span = (
+        np.concatenate([o[j] for o in outs]) for j in range(5)
+    )
+    return {
+        "N_inflation": n_inf,
+        "ended": ended.astype(bool),
+        "H_end": h_end,
+        "x_end": x_end,
+        "N_span": n_span,
+    }
 
 
 def efolds(rows, times, hdot=None):

@@ -372,6 +372,24 @@ def _combine_outputs(outs, nf, steps, B, return_time):
     return rows
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _combine_outputs_device(outs, nf, steps, B):
+    """Device-resident variant of :func:`_combine_outputs` for pipelines
+    that reduce the trajectories on device (e.g.
+    :func:`~inflatox_tpu.background.survey_initial_conditions`) — the
+    (B, steps) maps never cross the tunnel.  Each (hi, lo) f32 pair sums
+    exactly into the TPU's double-word f64 (|lo| ≤ ulp(hi)/2, so the pair
+    IS the result's representation)."""
+    ns = 2 * nf + 1
+    comps = []
+    for k in range(ns + 1):
+        v = (outs[2 * k].astype(jnp.float64)
+             + outs[2 * k + 1].astype(jnp.float64))
+        v = v.reshape(v.shape[0], -1)[: steps, : B]
+        comps.append(v.T)
+    return jnp.stack(comps[:ns], axis=2), comps[ns]
+
+
 def solve_eom_batch_pallas(
     artifact,
     pars,
@@ -381,6 +399,7 @@ def solve_eom_batch_pallas(
     max_err: float = 1e-6,
     return_time: bool = False,
     interpret: bool | None = None,
+    combine: str = "host",
 ):
     """Batched RKF45 background solves on the Pallas DF engine (any field
     count — the state [φ_a..., χ_a..., H] rides 2n+1 DF plane pairs).
@@ -388,7 +407,12 @@ def solve_eom_batch_pallas(
     parameters ride (8, 128) DF planes alongside the state, so a parameter
     sweep of background evolutions is one kernel launch).  Same output
     contract as :func:`inflatox_tpu.background.solve_eom_batch`:
-    (B, steps, 2n+1) [+ (B, steps) times]."""
+    (B, steps, 2n+1) [+ (B, steps) times].
+
+    ``combine="device"`` keeps the combined rows on device (jnp arrays,
+    always with times) for pipelines that reduce there — the off-TPU
+    fallback returns the while-loop solver's host arrays, which feed the
+    same jitted reductions."""
     from ..utils.errors import ShapeError  # noqa: PLC0415
 
     fields_init = np.asarray(fields_init, dtype=float)
@@ -428,7 +452,8 @@ def solve_eom_batch_pallas(
 
         return background.solve_eom_batch(
             artifact, pars, steps, fields_init, derivs_init,
-            max_err=max_err, solver="rkf", return_time=return_time,
+            max_err=max_err, solver="rkf",
+            return_time=return_time or combine == "device",
         )
     if interpret is None:
         interpret = False
@@ -436,4 +461,6 @@ def solve_eom_batch_pallas(
     outs = _launch_solver(scalars, tuple(planes), artifact, int(steps),
                           n_blocks, bool(interpret), float(max_err),
                           per_traj=per_traj)
+    if combine == "device":
+        return _combine_outputs_device(tuple(outs), nf, int(steps), int(B))
     return _combine_outputs(outs, nf, steps, B, return_time)

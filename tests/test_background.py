@@ -411,3 +411,85 @@ def test_solve_eom_batch_reuses_compiled_wrapper(doc_model_artifact):
     fn_before = cache[key]
     background.solve_eom_batch(doc_model_artifact, np.array([1.0]), 11, f0, d0)
     assert cache[key] is fn_before
+
+
+def test_survey_initial_conditions_matches_sequential(trivial):
+    """The on-device survey reduction must reproduce the sequential
+    solve + _eps1_crossing analysis per initial condition, stay invariant
+    under chunking, and classify never-ending / never-inflating ICs."""
+    from inflatox_tpu import observables
+
+    m = np.array([1.0, 0.7])
+    gx, gy = np.meshgrid(np.linspace(3.0, 12.0, 4), np.linspace(0.0, 6.0, 3))
+    f0 = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    out = background.survey_initial_conditions(
+        trivial, m, 1500, f0, [0.0, 0.0], max_err=1e-8
+    )
+    assert out["ended"].all()
+    for idx in [0, 5, 11]:
+        rows, times = background.solve_eom(
+            trivial, m, 1500, f0[idx], [0.0, 0.0],
+            max_err=1e-8, solver="rkf", return_time=True,
+        )
+        _, _, hub, eps_h, n_ax = observables._trajectory_eps_h(
+            trivial, rows, times, m
+        )
+        i, frac = observables._eps1_crossing(eps_h)
+        n_end = n_ax[i - 1] + frac * (n_ax[i] - n_ax[i - 1])
+        n_start = n_ax[np.nonzero(eps_h < 1.0)[0][0]]
+        np.testing.assert_allclose(
+            out["N_inflation"][idx], n_end - n_start, atol=1e-8
+        )
+        h_end = hub[i - 1] + frac * (hub[i] - hub[i - 1])
+        np.testing.assert_allclose(out["H_end"][idx], h_end, rtol=1e-8)
+    # chunking must not change anything
+    out2 = background.survey_initial_conditions(
+        trivial, m, 1500, f0, [0.0, 0.0], max_err=1e-8, chunk=5
+    )
+    np.testing.assert_allclose(
+        out2["N_inflation"], out["N_inflation"], equal_nan=True
+    )
+    # a too-short integration span → ended False, NaN e-folds; an at-rest
+    # IC at the minimum starts with ε_H = 0 (χ = 0), so by the ε_H
+    # convention it "inflates" for a fraction of an e-fold and ends — the
+    # same classification _eps1_crossing gives it
+    short = background.survey_initial_conditions(
+        trivial, m, 60, np.array([[25.0, 0.0], [0.05, 0.0]]), [0.0, 0.0],
+        max_err=1e-6,
+    )
+    assert not short["ended"][0]
+    assert np.isnan(short["N_inflation"][0])
+    assert short["ended"][1] and short["N_inflation"][1] < 1.0
+    assert np.isfinite(short["N_span"]).all()
+
+
+def test_survey_initial_conditions_per_traj_and_mesh(trivial):
+    """Global m-rescaling leaves e-fold dynamics invariant (per-trajectory
+    parameter plumbing), and the mesh path matches the single-device one."""
+    from inflatox_tpu.parallel import make_mesh
+
+    f0 = np.broadcast_to(np.array([9.0, 2.0]), (16, 2)).copy()
+    pars = np.stack([np.array([1.0, 0.7]) * (1.0 + 0.02 * i)
+                     for i in range(16)])
+    out = background.survey_initial_conditions(
+        trivial, pars, 1200, f0, [0.0, 0.0], max_err=1e-8
+    )
+    assert out["ended"].all()
+    # invariance holds to the solver's discretization: each m draws its
+    # own adaptive step sequence in physical time (~5e-5 at these settings)
+    np.testing.assert_allclose(
+        out["N_inflation"], out["N_inflation"][0], rtol=2e-4
+    )
+    mesh = make_mesh(axis_names=("solve",))
+    out_m = background.survey_initial_conditions(
+        trivial, pars, 1200, f0, [0.0, 0.0], max_err=1e-8, mesh=mesh
+    )
+    np.testing.assert_allclose(
+        out_m["N_inflation"], out["N_inflation"], rtol=1e-10
+    )
+    from inflatox_tpu.utils.errors import ShapeError
+
+    with pytest.raises(ShapeError, match="initial conditions"):
+        background.survey_initial_conditions(
+            trivial, pars[0], 100, np.zeros((4, 3)), [0.0, 0.0]
+        )

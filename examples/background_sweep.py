@@ -93,3 +93,15 @@ trajectory = rows[0, :, :2]  # (steps, 2) field-space path
 ot = al.complete_analysis_ot(np.array([1.0]), trajectory)
 print(f"on-trajectory maps: {len(ot)} quantities × {ot[0].shape} points; "
       f"consistency range {np.nanmin(ot[0]):.3e}..{np.nanmax(ot[0]):.3e}")
+
+# ---- 5. basin survey: which initial conditions inflate, and how much ----- #
+# the trajectories are reduced ON DEVICE (eps_H = 1 crossing, e-fold
+# count); only the per-IC summary maps come back over the host link
+gx, gy = np.meshgrid(np.linspace(1.6, 2.6, 32), np.linspace(1.5, 2.5, 32))
+basin = background.survey_initial_conditions(
+    artifact, np.array([1.0]), 400,
+    np.stack([gx.ravel(), gy.ravel()], axis=1), np.zeros(2),
+)
+n_map = basin["N_inflation"].reshape(32, 32)
+print(f"basin survey: {int(basin['ended'].sum())}/{n_map.size} ICs end "
+      f"inflation in-span; N_inflation up to {np.nanmax(n_map):.1f} e-folds")

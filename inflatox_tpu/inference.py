@@ -386,8 +386,11 @@ def effective_sample_size(samples) -> np.ndarray:
         if var == 0.0:
             ess[j] = np.nan
             continue
+        # cap the lag sweep: a pathological (near-constant-drift) chain
+        # would otherwise cost O(n²); past n/4 lags the estimator is
+        # unreliable anyway and the partial sum already implies ESS ≪ n
         t = 1
-        while t < n - 1:
+        while t < min(n - 1, max(64, n // 4)):
             rho_t = (x[:, : n - t] * x[:, t:]).mean() / var
             rho_t1 = (
                 (x[:, : n - t - 1] * x[:, t + 1 :]).mean() / var

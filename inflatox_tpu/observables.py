@@ -59,6 +59,7 @@ __all__ = [
     "power_spectrum",
     "cobe_normalize",
     "n_star_matching",
+    "pivots_for_k",
     "observable_jacobian",
     "fisher_matrix",
     "solve_eom_fixed",
@@ -608,6 +609,38 @@ def n_star_matching(
     if A_s is not None:
         out["scale"] = scale
     return out
+
+
+def pivots_for_k(
+    artifact: CompiledModel,
+    args,
+    rows,
+    times,
+    k_mpc,
+    **matching_kwargs,
+) -> np.ndarray:
+    """N-before-end pivot placements for physical scales [Mpc⁻¹].
+
+    Solves the :func:`n_star_matching` fixed point for every entry of
+    ``k_mpc`` (all other matching parameters — ``w_reh``, ``T_reh_gev``,
+    ``g_reh``, ``A_s`` — pass through) and returns the array of e-fold
+    distances before the end of inflation, ready for the spectrum routes'
+    ``pivot_N_before_end=``:
+
+        ns = observables.pivots_for_k(art, p, rows, times, [0.05, 0.002],
+                                      A_s=2.1e-9)
+        spec = perturbations.mode_spectrum(art, p, rows, times,
+                                           pivot_N_before_end=ns)
+
+    The model must carry physical units (COBE-normalize, or pass ``A_s=``)
+    for the placements to be meaningful.
+    """
+    ks = np.atleast_1d(np.asarray(k_mpc, dtype=float))
+    return np.array([
+        n_star_matching(artifact, args, rows, times, k_mpc=float(k),
+                        **matching_kwargs)["N_star"]
+        for k in ks
+    ])
 
 
 # ----------------------------------------------------------------------- #

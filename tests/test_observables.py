@@ -457,6 +457,28 @@ def test_n_star_matching_reheating_physics(long_quadratic):
     assert o1["N_star"] > o3["N_star"] > o4["N_star"]
 
 
+def test_pivots_for_k_compose_with_spectra(long_quadratic):
+    """pivots_for_k turns physical scales into pivot placements: a decade
+    of k must span ln(10) e-folds (d ln k/dN = 1 − ε ≈ 1), and the
+    resulting pivots must feed the spectrum routes directly."""
+    from inflatox_tpu import perturbations
+
+    art, m, rows, times = long_quadratic
+    ns = observables.pivots_for_k(
+        art, m, rows, times, [0.05, 0.5], A_s=2.1e-9
+    )
+    assert ns.shape == (2,) and ns[0] > ns[1]
+    # Δ ln k = ΔN (1 − ε); ε ≈ 1/(2N) ≈ 0.009 here
+    np.testing.assert_allclose(ns[0] - ns[1], np.log(10.0), rtol=0.02)
+    spec = perturbations.delta_n_spectrum(
+        art, m, rows, times, pivot_N_before_end=ns, steps=3000,
+    )
+    assert np.isfinite(spec["P_zeta"]).all()
+    np.testing.assert_allclose(
+        spec["ln_k"][1] - spec["ln_k"][0], np.log(10.0), rtol=1e-3
+    )
+
+
 def test_n_star_matching_error_paths(long_quadratic):
     art, m, rows, times = long_quadratic
     with pytest.raises(ValueError, match="outheat"):

@@ -47,6 +47,7 @@ from jax import lax
 from .background import _RK4_A, _RK4_B, _rk_step, _state_derivative, efolds
 from .compiler import CompiledModel
 from .utils.errors import ShapeError
+from .utils.logging import log_warn
 
 __all__ = [
     "epsilon_v",
@@ -486,6 +487,7 @@ def n_star_matching(
     g_reh: float = 106.75,
     g_s_reh: float | None = None,
     A_s: float | None = None,
+    scale: float | None = None,
 ) -> dict:
     """Self-consistent N_* for a physical pivot scale (horizon matching).
 
@@ -515,7 +517,13 @@ def n_star_matching(
     :func:`cobe_normalize` factor at the self-consistent pivot, iterated
     alongside N_*; the returned ``scale`` then belongs to an overall
     potential-normalization parameter exactly as in
-    :func:`cobe_normalize`).
+    :func:`cobe_normalize`).  To place *several* pivots on the same
+    physical model, the normalization must be solved **once** — pass the
+    ``scale`` returned by the first (reference-k) call as the ``scale=``
+    kwarg of the remaining calls instead of ``A_s`` (a per-k A_s refit
+    makes the pivot placements mutually inconsistent at the ~ε level;
+    :func:`pivots_for_k` does this automatically).  ``A_s`` and ``scale``
+    are mutually exclusive.
 
     Consistency properties pinned in the suite: for ``w_reh = 1/3`` the
     result is exactly independent of ``T_reh_gev`` (a radiation-like
@@ -540,7 +548,13 @@ def n_star_matching(
     n_end = n_efold[i - 1] + frac * (n_efold[i] - n_efold[i - 1])
     h_end = hubble[i - 1] + frac * (hubble[i] - hubble[i - 1])
 
-    scale = 1.0
+    if A_s is not None and scale is not None:
+        raise ValueError(
+            "A_s and scale are mutually exclusive — A_s solves the "
+            "normalization, scale applies a previously solved one"
+        )
+    fixed_scale = scale
+    scale = 1.0 if fixed_scale is None else float(fixed_scale)
     if A_s is not None:
         # overall V rescaling: H² scales, the e-fold trajectory shape does
         # not (see cobe_normalize) — normalize at the self-consistent pivot
@@ -596,6 +610,13 @@ def n_star_matching(
         n_star = float(n_new)
         if delta < 1e-12:
             break
+    else:
+        if delta > 1e-6:
+            log_warn(
+                f"n_star_matching fixed point did not converge in 64 "
+                f"iterations (last update {delta:.3g} e-folds; w_reh={w}) "
+                "— the returned N_star is unreliable; inspect 'residual'"
+            )
     out = {
         "N_star": n_star,
         "ln_k": (n_end - n_star) + np.log(h_star * np.sqrt(scale)),
@@ -606,7 +627,7 @@ def n_star_matching(
         "rho_reh": float(rho_reh),
         "residual": delta,
     }
-    if A_s is not None:
+    if A_s is not None or fixed_scale is not None:
         out["scale"] = scale
     return out
 
@@ -633,13 +654,29 @@ def pivots_for_k(
                                            pivot_N_before_end=ns)
 
     The model must carry physical units (COBE-normalize, or pass ``A_s=``)
-    for the placements to be meaningful.
+    for the placements to be meaningful.  When ``A_s`` is given, the
+    normalization is solved **once** — at the first entry of ``k_mpc``
+    (put the A_s-defining pivot, conventionally 0.05/Mpc, first) — and the
+    resulting ``scale`` is held fixed for the remaining entries.  A per-k
+    refit would re-normalize the same physical model differently at every
+    scale (~8 %/decade), displacing each pivot by ≈ ¼ Δln(scale) e-folds
+    and breaking d ln k/dN = 1 − ε consistency with the spectrum routes.
     """
     ks = np.atleast_1d(np.asarray(k_mpc, dtype=float))
-    return np.array([
+    if ks.size == 0:
+        return np.empty((0,))
+    first = n_star_matching(
+        artifact, args, rows, times, k_mpc=float(ks[0]), **matching_kwargs
+    )
+    rest_kwargs = dict(matching_kwargs)
+    if rest_kwargs.get("A_s") is not None:
+        # one model, one normalization: freeze the scale solved at ks[0]
+        rest_kwargs.pop("A_s")
+        rest_kwargs["scale"] = first["scale"]
+    return np.array([first["N_star"]] + [
         n_star_matching(artifact, args, rows, times, k_mpc=float(k),
-                        **matching_kwargs)["N_star"]
-        for k in ks
+                        **rest_kwargs)["N_star"]
+        for k in ks[1:]
     ])
 
 

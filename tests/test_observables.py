@@ -479,6 +479,25 @@ def test_pivots_for_k_compose_with_spectra(long_quadratic):
     )
 
 
+def test_n_star_matching_fixed_scale(long_quadratic):
+    """scale= applies a previously solved normalization without the per-k
+    A_s refit: re-running at another k with the frozen scale must place
+    the pivots exactly one decade (in k = a_* H_*) apart, and A_s+scale
+    together must raise."""
+    art, m, rows, times = long_quadratic
+    ref = observables.n_star_matching(art, m, rows, times,
+                                      k_mpc=0.05, A_s=2.1e-9)
+    other = observables.n_star_matching(art, m, rows, times,
+                                        k_mpc=0.5, scale=ref["scale"])
+    assert other["scale"] == ref["scale"]
+    # ln k is exactly consistent under one normalization
+    np.testing.assert_allclose(
+        other["ln_k"] - ref["ln_k"], np.log(10.0), rtol=1e-9)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        observables.n_star_matching(art, m, rows, times,
+                                    A_s=2.1e-9, scale=1.0)
+
+
 def test_n_star_matching_error_paths(long_quadratic):
     art, m, rows, times = long_quadratic
     with pytest.raises(ValueError, match="outheat"):

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from . import df32 as dfm
 from .df32 import DF
 from .special import (
+    _warn_once_out_of_domain,
     _K0_BIG,
     _K0_MID,
     _K1_BIG,
@@ -91,6 +92,12 @@ def _series_guard(acc: DF, term: DF) -> DF:
     post-scan finite-fraction guard can see.
     """
     bad = jnp.abs(term.hi) > 1e-11 * (jnp.abs(acc.hi) + 1e-30)
+    _warn_once_out_of_domain(
+        "df32 special-function series", bad,
+        "argument outside the static convergence envelope of the "
+        "compensated (df32) engine's series (docs/manual.md lists the "
+        "per-function budgets; use engine='xla' beyond them)",
+    )
     nan = jnp.float32(jnp.nan)
     return DF(jnp.where(bad, nan, acc.hi), jnp.where(bad, nan, acc.lo))
 

@@ -1237,9 +1237,11 @@ def eager_engine_probe(artifact, kind, args, pts, engine="pallas_df64"):
     per-op dispatch off the TPU tunnel (~30 ms/op there)."""
     import numpy as _np
 
+    from ..lowering.special import suppress_domain_warnings  # noqa: PLC0415
+
     pts = _np.asarray(pts, dtype=_np.float64)
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    with jax.default_device(cpu), suppress_domain_warnings():
         dummy_extent = (0.0, 1.0, 0.0, 1.0)
         if engine == "pallas_edf64":
             scalars = _edf_scalars(args, dummy_extent, (1, 1))[: 3 * len(args)]

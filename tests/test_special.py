@@ -172,3 +172,34 @@ def test_hyp2f1_certified_envelope():
         rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-300)
         worst = max(worst, float(rel.max()))
     assert worst < 5e-11, worst
+
+
+def test_out_of_domain_warns_once_at_point_api(capsys):
+    """Eager out-of-envelope calls emit ONE [Inflatox Warning] per function
+    (round 4, VERDICT r3 item 8 — GSL fails loudly, err.rs:83-103; the jitted
+    scan paths keep relying on the finite-fraction guard instead)."""
+    sp._DOMAIN_WARNED.discard("hyp2f1")
+    out = np.asarray(sp.hyp2f1(0.5, 1.5, 2.5, 1.5))
+    assert np.isnan(out)
+    err = capsys.readouterr().err
+    assert "Inflatox Warning" in err and "hyp2f1" in err
+    # second call: rate-limited to once per process
+    sp.hyp2f1(0.5, 1.5, 2.5, 2.0)
+    assert "hyp2f1" not in capsys.readouterr().err
+    # in-domain calls never warn
+    sp._DOMAIN_WARNED.discard("hyp1f1")
+    sp.hyp1f1(0.5, 1.5, 3.0)
+    assert "hyp1f1" not in capsys.readouterr().err
+    # suppression scope (used by the engine range probe)
+    sp._DOMAIN_WARNED.discard("hyp1f1")
+    with sp.suppress_domain_warnings():
+        bad = np.asarray(sp.hyp1f1(0.5, 1.5, 400.0))
+    assert np.isnan(bad)
+    assert "hyp1f1" not in capsys.readouterr().err
+    # under jit the warning machinery stays silent (tracer-safe)
+    import jax
+
+    jitted = jax.jit(lambda z: sp.hyp2f1(0.5, 1.5, 2.5, z))
+    sp._DOMAIN_WARNED.discard("hyp2f1")
+    assert np.isnan(np.asarray(jitted(1.5)))
+    assert "hyp2f1" not in capsys.readouterr().err

@@ -498,10 +498,20 @@ def survey_initial_conditions(
         sl = slice(c0, min(B, c0 + int(chunk)))
         p_c = pars if mode == "shared" else pars[sl]
         if mesh is not None:
-            rows, times = solve_eom_batch(
+            # combine="device": trajectories stay on their chips; only the
+            # (B,) summary maps produced by the jitted reduce below ever
+            # cross the host↔device link (round 4, ADVICE r3 — the default
+            # host fetch defeated the on-device design exactly in the
+            # multi-chip case)
+            from .parallel.solve import (  # noqa: PLC0415
+                sharded_solve_eom_batch,
+            )
+
+            rows, times = sharded_solve_eom_batch(
                 artifact, p_c, int(steps), fields_init[sl],
-                derivatives_init[sl], max_err=max_err, solver=solver,
-                return_time=True, mesh=mesh,
+                derivatives_init[sl], mesh,
+                solve_axis=mesh.axis_names[0], max_err=max_err,
+                solver=solver, combine="device",
             )
         else:
             rows, times = _solve_batch_device(

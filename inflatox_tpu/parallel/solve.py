@@ -49,6 +49,7 @@ def sharded_solve_eom_batch(
     solver: str = "rkf",
     return_time: bool = False,
     interpret: bool | None = None,
+    combine: str = "host",
 ):
     """Integrate a trajectory batch sharded over ``mesh``.
 
@@ -56,7 +57,19 @@ def sharded_solve_eom_batch(
     ((B, steps, 2n+1) rows [+ (B, steps) times]; ``pars`` shared (k,) or
     per-trajectory (B, k)); the batch is padded up to the mesh divisibility
     requirement internally and trimmed on return.
+
+    ``combine="device"`` returns device-resident (rows, times) jnp arrays
+    (always both) for pipelines that reduce on device — e.g.
+    :func:`inflatox_tpu.background.survey_initial_conditions`'s mesh
+    branch, whose (B,)-summary design requires that the (B, steps, 2n+1)
+    trajectories never cross the host↔device link (round 4, ADVICE r3:
+    the default host fetch was silently defeating exactly that in the
+    multi-chip case the chunking targets).
     """
+    if combine not in ("host", "device"):
+        raise ValueError(
+            f"combine must be 'host' or 'device', got {combine!r}"
+        )
     from .. import background  # noqa: PLC0415 — avoid import cycle
     from ..utils.errors import ShapeError  # noqa: PLC0415
 
@@ -89,6 +102,7 @@ def sharded_solve_eom_batch(
                 artifact, pars, steps, fields_init, derivs_init, mesh,
                 solve_axis, max_err, return_time,
                 bool(interpret) if interpret is not None else False,
+                combine,
             )
 
     # ---- while-loop engine: vmap per shard ------------------------------- #
@@ -116,8 +130,11 @@ def sharded_solve_eom_batch(
             check_vma=False,
         )
     )
-    rows = np.asarray(fn(jnp.asarray(f0), jnp.asarray(d0),
-                         jnp.asarray(p_in)))[:B]
+    res = fn(jnp.asarray(f0), jnp.asarray(d0), jnp.asarray(p_in))
+    if combine == "device":
+        # stay on device: the ≤ n_dev−1 padding rows trim as a lazy slice
+        return res[:B, :, :-1], res[:B, :, -1]
+    rows = np.asarray(res)[:B]
     out, times = rows[:, :, :-1], rows[:, :, -1]
     if return_time:
         return out, times
@@ -126,7 +143,7 @@ def sharded_solve_eom_batch(
 
 def _sharded_solve_pallas(
     artifact, pars, steps, fields_init, derivs_init, mesh, solve_axis,
-    max_err, return_time, interpret,
+    max_err, return_time, interpret, combine="host",
 ):
     """Pallas DF solver under shard_map: trajectory blocks divided across
     the mesh axis.  Each device launches the kernel on its local blocks —
@@ -162,4 +179,7 @@ def _sharded_solve_pallas(
         )
     )
     outs = fn(scalars, *planes)
+    if combine == "device":
+        return ps._combine_outputs_device(tuple(outs), nf, int(steps),
+                                          int(B))
     return ps._combine_outputs(outs, nf, steps, B, return_time)

@@ -1218,9 +1218,11 @@ def mode_spectrum(
 
         P_ζ(k) = (k³/2π²) Σ_i |χ_a Q^a_(i) / (2 ε H)|²
 
-    evaluated on the common surface ε_H = 1 − ε_margin near the end of
-    inflation, so super-horizon evolution (multi-field entropic feeding) is
-    included exactly as the δN route counts it.  All pivots integrate in
+    evaluated on the common read-out surface N_end − 0.25 (a fixed e-fold
+    offset before the ε_H = 1 crossing — the same surface the
+    ``N_margin_end`` validation messages guard), so super-horizon evolution
+    (multi-field entropic feeding) is included exactly as the δN route
+    counts it.  All pivots integrate in
     one jitted ``vmap(lax.scan)`` launch: per-pivot RK4 on a two-phase
     e-fold grid — ``dense_steps`` sub-horizon steps over
     [N_* − N_sub, N_* + N_dense] resolving the oscillations, ``tail_steps``

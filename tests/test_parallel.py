@@ -515,6 +515,37 @@ def test_sharded_solve_per_trajectory_params(doc_model_artifact):
     np.testing.assert_allclose(out, ref, rtol=1e-9, atol=1e-13)
 
 
+def test_sharded_solve_combine_device(doc_model_artifact):
+    """combine="device" keeps sharded solve rows on device (round 4,
+    ADVICE r3: survey_initial_conditions' mesh branch must never fetch the
+    (B, steps, 2n+1) trajectories to the host) and matches the host path
+    exactly — same launch shape, identical values."""
+    import jax.numpy as jnp
+
+    from inflatox_tpu.parallel import sharded_solve_eom_batch
+
+    mesh = make_mesh(axis_names=("solve",), devices=jax.devices())
+    B = 10  # NOT divisible by 8: exercises the lazy on-device pad trim
+    f0 = np.tile([[2.0, 2.0]], (B, 1))
+    d0 = np.zeros((B, 2))
+    rows_d, times_d = sharded_solve_eom_batch(
+        doc_model_artifact, PARAMS, 12, f0, d0, mesh, solver="rkf",
+        combine="device",
+    )
+    assert isinstance(rows_d, jnp.ndarray) and isinstance(times_d, jnp.ndarray)
+    assert rows_d.shape == (B, 12, 5) and times_d.shape == (B, 12)
+    rows_h, times_h = sharded_solve_eom_batch(
+        doc_model_artifact, PARAMS, 12, f0, d0, mesh, solver="rkf",
+        return_time=True,
+    )
+    np.testing.assert_array_equal(np.asarray(rows_d), rows_h)
+    np.testing.assert_array_equal(np.asarray(times_d), times_h)
+    with pytest.raises(ValueError, match="combine"):
+        sharded_solve_eom_batch(
+            doc_model_artifact, PARAMS, 12, f0, d0, mesh, combine="nope",
+        )
+
+
 def test_sharded_solve_pallas_fallback_off_tpu(doc_model_artifact):
     """solver="rkf_pallas" with a mesh takes the EFT-safe while-loop
     sharded path off-TPU (same dispatch rule as the unsharded entry)."""

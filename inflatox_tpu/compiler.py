@@ -208,12 +208,17 @@ class CompiledModel:
             }
         return self._solver_df32_fns
 
-    #: special functions the df32 engine implements (integer orders only
-    #: for the Bessel family) — lowering/df32_special.py
+    #: special functions the df32 engine implements —
+    #: lowering/df32_special.py (round 4: the full GSL printer family,
+    #: reference compiler.py:158-212; erf/erfc/gamma/lgamma ride _amath)
     _DF32_SPECIALS = frozenset(
-        {"hyp0f1", "besselj", "bessely", "besseli", "besselk",
+        {"hyp0f1", "hyp1f1", "hyp2f1", "hyp2f0",
+         "besselj", "bessely", "besseli", "besselk",
          "sph_jn", "sph_yn"}
     )
+
+    #: members of _DF32_SPECIALS with no static-order requirement
+    _DF32_HYP = frozenset({"hyp0f1", "hyp1f1", "hyp2f1", "hyp2f0"})
 
     @property
     def df32_compatible(self) -> bool:
@@ -257,7 +262,7 @@ class CompiledModel:
                     if name not in self._DF32_SPECIALS:
                         ok = False
                         break
-                    if name != "hyp0f1":
+                    if name not in self._DF32_HYP:
                         # Bessel family: the engine needs a static order —
                         # integer (any), or fractional inside the df32
                         # engine's envelope (round 3: |ν| ≤ 8, ≥ 0.05 from

@@ -728,6 +728,10 @@ def _select(condlist, choicelist, default=None):
 
 
 def _amath_like() -> types.SimpleNamespace:
+    # erf/erfc/gamma/lgamma live in df32_special (they share the Chebyshev/
+    # series machinery); imported lazily — df32_special imports this module
+    from . import df32_special as _ds  # noqa: PLC0415
+
     return types.SimpleNamespace(
         exp=exp,
         atan=atan,
@@ -739,6 +743,11 @@ def _amath_like() -> types.SimpleNamespace:
         log2=lambda x: log(x) * (1.0 / _LN2),
         log10=lambda x: log(x) * (1.0 / math.log(10.0)),
         exp2=lambda x: exp(DF.of(x) * _LN2),
+        erf=_ds.erf,
+        erfc=_ds.erfc,
+        gamma=_ds.gamma,
+        lgamma=_ds.lgamma,
+        polygamma=_ds.polygamma,
     )
 
 

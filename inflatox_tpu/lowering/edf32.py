@@ -506,6 +506,23 @@ def _jnp_like() -> types.SimpleNamespace:
     )
 
 
+def _df_bridge(name):
+    """Demote-evaluate-promote wrapper onto a df32_special function, like
+    :class:`_EDFSpecial` — erf/gamma arguments are physical scales that sit
+    inside f32 range even when other intermediates do not.  Leading static
+    args (polygamma's order) pass through untouched."""
+    def run(*args):
+        from . import df32_special as _ds  # noqa: PLC0415
+
+        fn = getattr(_ds, name)
+        x = args[-1]
+        return EDF.from_df(
+            fn(*args[:-1], x.to_df() if isinstance(x, EDF) else x)
+        )
+
+    return run
+
+
 def _amath_like() -> types.SimpleNamespace:
     return types.SimpleNamespace(
         exp=exp,
@@ -522,6 +539,11 @@ def _amath_like() -> types.SimpleNamespace:
         log2=lambda x: log(x) * (1.0 / _LN2),
         log10=lambda x: log(x) * (1.0 / math.log(10.0)),
         exp2=lambda x: exp(EDF.of(x) * _LN2),
+        erf=_df_bridge("erf"),
+        erfc=_df_bridge("erfc"),
+        gamma=_df_bridge("gamma"),
+        lgamma=_df_bridge("lgamma"),
+        polygamma=_df_bridge("polygamma"),
     )
 
 

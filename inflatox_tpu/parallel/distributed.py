@@ -41,7 +41,10 @@ def initialize(
     (``jax.distributed.initialize`` reads the TPU metadata / env vars); a
     plain single-host session is left untouched.  Safe to call twice.
     """
-    if jax.process_count() > 1:
+    # NOT jax.process_count(): that would initialize the XLA backend, after
+    # which jax.distributed.initialize refuses to run (caught by the
+    # 2-process test this module gained in round 4)
+    if jax.distributed.is_initialized():
         return  # already initialized
     try:
         if coordinator_address or os.environ.get("TPU_WORKER_HOSTNAMES"):

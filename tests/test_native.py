@@ -135,3 +135,41 @@ def test_native_oracle_covers_extended_function_family():
     np.testing.assert_array_equal(np.isfinite(nat), np.isfinite(alx))
     both = np.isfinite(nat)
     np.testing.assert_allclose(nat[both], alx[both], rtol=1e-11)
+
+
+def test_native_oracle_covers_gsl_hyp_gamma_family():
+    """Round 4: the C oracle grows the reference's full GSL printer family
+    (hyp0f1/1f1/2f1/2f0 series helpers + digamma/trigamma for the gamma
+    derivatives; libm erf/tgamma) so hyp/erf/gamma models have the same
+    ref-style 32-core baseline every other model class has."""
+    import sympy
+
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    x, y, a = sympy.symbols("x y a", real=True)
+    half, threehalf, fivehalf = (sympy.Rational(1, 2),
+                                 sympy.Rational(3, 2), sympy.Rational(5, 2))
+    V = (a * sympy.hyper((half,), (threehalf,), -(x**2))
+         + sympy.hyper((half, threehalf), (fivehalf,), y**2 / 4) / 10
+         + sympy.erf(x) * sympy.gamma(y + 2) / 50 + 2)
+    model = inflatox.InflationModelBuilder.new(
+        [x, y], [[1, 0], [0, 1]], V, silent=True, simplify=False,
+        assertions=False,
+    ).build()
+    art = inflatox.Compiler(model, silent=True).compile()
+    nm = NativeModel(model)
+    args = np.array([2.0])
+    nat = np.asarray(nm.complete_analysis(args, 0.3, 2.0, 0.2, 1.2, 12, 12))
+    alx = np.asarray(
+        GeneralisedAL(art, validate_basis=False).complete_analysis(
+            args, 0.3, 2.0, 0.2, 1.2, 12, 12, engine="xla"
+        )
+    )
+    np.testing.assert_array_equal(np.isfinite(nat), np.isfinite(alx))
+    both = np.isfinite(nat)
+    rel = np.abs(nat[both] - alx[both]) / np.maximum(np.abs(alx[both]), 1e-300)
+    # same conditioning caveat as the df64 parity test: the consistency
+    # ratio passes through 1 in this window
+    assert np.quantile(rel, 0.95) < 1e-11
+    assert rel.max() < 1e-7

@@ -837,8 +837,11 @@ def main():
                 sustained_configs_per_hour_per_chip=summary.get(
                     "sustained_configs_per_hour_per_chip"
                 ),
+                jit_warmup_s=summary.get("jit_warmup_s"),
                 note="checkpointed sweep SIGKILLed mid-run then resumed; "
-                     "10^4-config rehearsal in BASELINE.md",
+                     "sustained rate excludes per-process jit warmup "
+                     "(reported separately); 10^4-config rehearsal in "
+                     "BASELINE.md",
             )
         shutil.rmtree(rdir, ignore_errors=True)
     except Exception as e:

@@ -682,7 +682,8 @@ class InflationCondition:
         dtype = dtype or self.dtype
         fn = self._cached_grid_fn(kind, tuple(shape), dtype)
         flat = np.asarray(extent, dtype=float)
-        with Progress(_SCAN_MESSAGES[kind], enabled=progress):
+        with Progress(_SCAN_MESSAGES[kind], enabled=progress,
+                      total_ops=int(shape[0]) * int(shape[1])):
             out = fn(jnp.asarray(args, dtype), jnp.asarray(flat, dtype))
             out = jax.tree_util.tree_map(
                 lambda a: a.block_until_ready()
@@ -797,7 +798,8 @@ class GeneralisedAL(InflationCondition):
                 '("pallas_df64", "pallas_edf64" or "pallas_tf64"); the fp32 '
                 "kernel has no (hi, lo) representation to expose"
             )
-        with Progress(_SCAN_MESSAGES[kind], enabled=progress):
+        with Progress(_SCAN_MESSAGES[kind], enabled=progress,
+                      total_ops=int(shape[0]) * int(shape[1])):
             if engine == "pallas":
                 out = scan_pallas(
                     self.artifact, kind, args, extent, shape,
@@ -1122,7 +1124,8 @@ class GeneralisedAL(InflationCondition):
                     "trajectory must be an (n, n_fields) array of "
                     "field-space points",
                 )
-            with Progress(_SCAN_MESSAGES[kind], enabled=progress):
+            with Progress(_SCAN_MESSAGES[kind], enabled=progress,
+                          total_ops=int(xarr.shape[0])):
                 out = scan_pallas_ot(
                     self.artifact, core_kind, args_v, xarr, engine=engine
                 )
@@ -1139,7 +1142,8 @@ class GeneralisedAL(InflationCondition):
             )
         xs = self._trajectory_coords(x)
         fn = self._cached_point_fn(kind)
-        with Progress(_SCAN_MESSAGES[kind], enabled=progress):
+        with Progress(_SCAN_MESSAGES[kind], enabled=progress,
+                      total_ops=int(xs[0].shape[0])):
             out = fn(jnp.asarray(args_v, self.dtype), xs)
             out = jax.tree_util.tree_map(
                 lambda a: a.block_until_ready()

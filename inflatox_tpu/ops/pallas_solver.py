@@ -121,7 +121,8 @@ def _pack(dfs, tail):
 
 
 def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
-                   n_chunks=None, max_err=None, per_traj=False, nf=2):
+                   n_chunks=None, max_err=None, per_traj=False, nf=2,
+                   row_unroll=1):
     """refs = 4·nf init planes [+ 2·n_params per-trajectory parameter planes
     when ``per_traj``], then 2·(2nf+2) output planes ((state comps + t) ×
     hi/lo), then 2·(2nf+1)+3 scratch planes (state × hi/lo + t hi/lo + dt).
@@ -251,9 +252,25 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
 
     carry0 = _pack([*y, t], (dt,))
     # i32 bounds: python-int bounds make the loop counter i64 under
-    # x64, which Mosaic cannot legalize
-    out = lax.fori_loop(jnp.int32(0), jnp.int32(_ROW_CHUNK), row_body,
-                        carry0)
+    # x64, which Mosaic cannot legalize (which also rules out
+    # ``fori_loop(unroll=)`` — it requires static bounds).  Manual
+    # unrolling instead amortizes part of the per-iteration loop cost the
+    # round-4 ablation probe measured as ~78% of the kernel's runtime
+    # (scripts/probe_r4_solver.py: the write_only floor was 56 of 72 ms —
+    # the row loop + its 12 per-row stores, not bandwidth or DF flops,
+    # bound the solver).  Measured sweet spot is unroll=2 (~+10%,
+    # probe_r4_unroll.py); deeper unrolls regress on register pressure.
+    # Outputs are bit-identical across unroll factors.
+    assert _ROW_CHUNK % row_unroll == 0
+
+    def unrolled_body(j, carry):
+        base = j * jnp.int32(row_unroll)
+        for u in range(row_unroll):
+            carry = row_body(base + jnp.int32(u), carry)
+        return carry
+
+    out = lax.fori_loop(jnp.int32(0), jnp.int32(_ROW_CHUNK // row_unroll),
+                        unrolled_body, carry0)
 
     # ---- save state for the next chunk ----------------------------------- #
     for i in range(2 * ns + 3):
@@ -263,10 +280,10 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "n_traj_blocks", "interpret",
-                     "max_err", "per_traj"),
+                     "max_err", "per_traj", "row_unroll"),
 )
 def _launch_solver(scalars, init_planes, model, steps, n_traj_blocks,
-                   interpret, max_err, per_traj=False):
+                   interpret, max_err, per_traj=False, row_unroll=2):
     nf = model.n_fields
     ns = 2 * nf + 1
     n_chunks = -(-steps // _ROW_CHUNK)
@@ -275,7 +292,7 @@ def _launch_solver(scalars, init_planes, model, steps, n_traj_blocks,
     kernel = functools.partial(
         _solver_kernel, model=model, n_params=model.n_parameters,
         steps=steps, n_chunks=n_chunks, max_err=float(max_err),
-        per_traj=per_traj, nf=nf,
+        per_traj=per_traj, nf=nf, row_unroll=row_unroll,
     )
     n_in = 4 * nf + (2 * model.n_parameters if per_traj else 0)
     in_specs = [

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import sys
+import threading
 import time
 
 _COLOR = sys.stderr.isatty() and os.environ.get("NO_COLOR") is None
@@ -72,21 +73,68 @@ class Progress:
 
     Prints the same style of messages as the reference kernels
     (anguelova.rs:203, 254-258) when ``enabled``.
+
+    A fused TPU scan is ONE opaque device launch, so a true completion bar
+    (anguelova.rs:42-50) has nothing to observe — instead, long launches get
+    a live **heartbeat**: after ``grace`` seconds of silence a watcher
+    thread reports elapsed time at 2 Hz (``\\r``-refreshed on a tty; one
+    line every 15 s otherwise), so a reference-scale 8000² emulated-f64
+    eval or a cold multi-minute XLA compile is never silent.  When
+    ``total_ops`` is given, the finish line includes the realized ops/s —
+    the same numbers indicatif's bar summarized.
     """
 
-    def __init__(self, what: str, enabled: bool = True):
+    _GRACE = 3.0  # s of silence before the heartbeat starts
+
+    def __init__(self, what: str, enabled: bool = True,
+                 total_ops: int | None = None, grace: float | None = None,
+                 interval: float | None = None):
         self.what = what
         self.enabled = enabled
+        self.total_ops = total_ops
+        self._grace = self._GRACE if grace is None else float(grace)
+        self._interval = interval
         self._t0 = 0.0
+        self._ticked = False
+        self._stop: threading.Event | None = None
+        self._thread: threading.Thread | None = None
+        self._dirty = False  # heartbeat left an unterminated \r line
+
+    def _heartbeat(self) -> None:
+        tty = sys.stderr.isatty()
+        interval = (0.5 if tty else 15.0) if self._interval is None \
+            else self._interval
+        stop = self._stop
+        if stop.wait(self._grace):
+            return
+        while not stop.wait(interval):
+            if self._ticked:
+                return  # host-chunked loop reports real progress instead
+            elapsed = time.perf_counter() - self._t0
+            msg = (f"{self.what}: running … "
+                   f"{_human_duration(elapsed)} elapsed "
+                   "(single device launch; first call includes compilation)")
+            if tty:
+                print(f"\r{msg}", end="", file=sys.stderr)
+                self._dirty = True
+            else:
+                print(msg, file=sys.stderr)
 
     def __enter__(self) -> "Progress":
         if self.enabled:
             log_info(f"{self.what}.")
         self._t0 = time.perf_counter()
+        if self.enabled:
+            self._stop = threading.Event()
+            self._thread = threading.Thread(
+                target=self._heartbeat, name="inflatox-progress", daemon=True
+            )
+            self._thread.start()
         return self
 
     def tick(self, done: int, total: int) -> None:
         if self.enabled:
+            self._ticked = True
             elapsed = time.perf_counter() - self._t0
             print(
                 f"\r{self.what}: {done}/{total} chunks "
@@ -98,6 +146,14 @@ class Progress:
                 print(file=sys.stderr)
 
     def __exit__(self, exc_type, exc, tb) -> None:
+        if self._stop is not None:
+            self._stop.set()
+            self._thread.join(timeout=2.0)
+        if self._dirty:
+            print(file=sys.stderr)
         if self.enabled and exc_type is None:
             dt = time.perf_counter() - self._t0
-            log_info(f"Calculation finished. Took {_human_duration(dt)}.")
+            rate = ""
+            if self.total_ops and dt > 0:
+                rate = f" ({self.total_ops / dt:,.0f} ops/s)"
+            log_info(f"Calculation finished. Took {_human_duration(dt)}.{rate}")

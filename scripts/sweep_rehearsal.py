@@ -49,6 +49,19 @@ def _worker(ns):
         c = maps[0]
         return jnp.stack([jnp.nanmin(c), jnp.nanargmin(c).astype(c.dtype)])
 
+    # warm the jit (trace + persistent-cache load) on one throwaway chunk so
+    # the timed sweep below measures the steady checkpointed rate — the
+    # number a pod-scale sweep actually sustains (it pays compile once per
+    # days of work, not per 10 chunks of a kill/resume rehearsal).  The
+    # warmup cost is reported separately.
+    tw = time.perf_counter()
+    parameter_sweep(
+        al, batch[: ns.chunk], (0.5, 2.5, 0.25, 3.0), (ns.shape, ns.shape),
+        chunk_size=ns.chunk, checkpoint_dir=None, progress=False,
+        engine="pallas_df64", reduce_fn=reduce_fn,
+    )
+    warmup_s = time.perf_counter() - tw
+
     t0 = time.perf_counter()
     out = parameter_sweep(
         al, batch, (0.5, 2.5, 0.25, 3.0), (ns.shape, ns.shape),
@@ -58,6 +71,7 @@ def _worker(ns):
     dt = time.perf_counter() - t0
     print(json.dumps({
         "worker": "done", "n": int(out.shape[0]), "seconds": round(dt, 2),
+        "warmup_s": round(warmup_s, 2),
         "min_min_consistency": float(out[:, 0].min()),
     }), flush=True)
 
@@ -107,9 +121,11 @@ def _rehearse(ns):
     chunks_final = _count_chunks(ns.dir)
     resumed = chunks_final - chunks_after_kill
     # sustained rate from the worker's own sweep timing (skipped chunks are
-    # loaded, resumed chunks computed) — the subprocess wall clock is
-    # dominated by interpreter/jax/sympy startup, which a real pod-scale
-    # sweep pays once per days of work, not per 10 chunks
+    # loaded, resumed chunks computed; jit warmup excluded — the worker
+    # warms on a throwaway chunk and reports warmup_s separately) — the
+    # subprocess wall clock is dominated by interpreter/jax/sympy startup,
+    # which a real pod-scale sweep pays once per days of work, not per 10
+    # chunks
     t_sweep = worker.get("seconds")
     done_rate = (
         resumed * ns.chunk / t_sweep * 3600.0
@@ -129,6 +145,7 @@ def _rehearse(ns):
         "sustained_configs_per_hour_per_chip": (
             round(done_rate) if done_rate else None
         ),
+        "jit_warmup_s": worker.get("warmup_s"),
         "result_n": worker.get("n"),
         "worker_rc": out.returncode,
         "ok": bool(

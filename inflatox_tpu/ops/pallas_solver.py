@@ -30,6 +30,7 @@ state carried in VMEM scratch between chunks.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -260,8 +261,11 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
     # the row loop + its 12 per-row stores, not bandwidth or DF flops,
     # bound the solver).  Measured sweet spot is unroll=2 (~+10%,
     # probe_r4_unroll.py); deeper unrolls regress on register pressure.
-    # Outputs are bit-identical across unroll factors.
-    assert _ROW_CHUNK % row_unroll == 0
+    # Outputs are bit-identical across unroll factors.  When the requested
+    # factor does not divide the row chunk (e.g. tests shrink _ROW_CHUNK to
+    # an odd value), fold it to the largest divisor instead of crashing —
+    # unroll is a pure loop-shape knob.
+    row_unroll = math.gcd(int(row_unroll), int(_ROW_CHUNK)) or 1
 
     def unrolled_body(j, carry):
         base = j * jnp.int32(row_unroll)

@@ -19,33 +19,63 @@ round 1's judge showed measured only the axon tunnel):
 * **DCE guard for pure-XLA paths.**  Pallas calls are opaque to XLA, but a
   fused XLA scan probed at one element would be sliced to that element, so
   XLA paths fold a full reduction of every output into the probe.
-* **CPU baseline: best-of-10 with reported spread.**  The reference
+* **CPU baseline: best-of-N with reported spread.**  The reference
   publishes no numbers (BASELINE.md); the baseline is the native C backend
   (inflatox_tpu/native, gcc -O3 -march=native) in *reference architecture*
   mode — 5 indirect function-pointer calls per pixel, mirroring
   anguelova.rs:103-135 — timed on this host and scaled linearly to 32
-  cores.  Best-of-10 pins the fastest (most baseline-favorable) run.
+  cores.  Best-of-N pins the fastest (most baseline-favorable) run.
 
-The full measured matrix (BASELINE.md configs 1-4 + engine cross-section)
-is emitted as one JSON line per config on stderr and written to
-BENCH_MATRIX.json for the round record.
+Budget discipline (round 5 — the round-4 driver run timed out at rc=124
+after cfg3b and truncated the matrix):
+
+* ``BENCH_MATRIX.json`` is **loaded and merged at startup** — a bounded or
+  interrupted run can never truncate the record again.  Every row carries
+  ``measured_round``; merged-in rows keep their provenance.
+* Configs run through a priority scheduler: the headline + its CPU
+  denominator always first (they anchor the stdout JSON line), then every
+  config with **no row in the matrix yet**, then stale re-measurements.
+* A wall-clock budget (``BENCH_BUDGET_S`` env, default 2700 s) gates each
+  config by its estimated cost; configs that don't fit are skipped with a
+  log line and keep their last-measured row.
 """
 
+import glob
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 MATRIX = {}
+#: this round = 1 + number of driver bench records already on disk
+ROUND = 1 + len(glob.glob(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _load_matrix():
+    """Merge-on-start (VERDICT r4 item 2): never begin from ``{}``."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_MATRIX.json")
+    try:
+        with open(path) as f:
+            old = json.load(f)
+    except Exception:
+        return
+    for k, v in old.items():
+        if isinstance(v, dict):
+            v.setdefault("measured_round", "<=4")
+        MATRIX[k] = v
+
+
 def emit(config, **fields):
-    fields = {"config": config, **fields}
+    fields = {"config": config, **fields, "measured_round": ROUND}
     MATRIX[config] = fields
     log(json.dumps(fields))
     # write-through after every config: a timeout mid-run (cold compiles can
@@ -176,8 +206,6 @@ def cpu_rate_32core(fn, n_pts, repeats=3):
     """Best-of-N wall time of ``fn()`` -> (points/s extrapolated to 32
     cores, best seconds).  The host exposes one core; the reference target
     is a 32-core machine (BASELINE.md methodology)."""
-    import os
-
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -190,8 +218,6 @@ def cpu_rate_32core(fn, n_pts, repeats=3):
 
 def cpu_baseline(native, args, extent, n, refstyle=True, repeats=10):
     """Best-of-N single-core time -> 32-core points/s, with spread."""
-    import os
-
     fn = (native.complete_analysis_refstyle if refstyle
           else native.complete_analysis)
     ts = []
@@ -205,6 +231,1080 @@ def cpu_baseline(native, args, extent, n, refstyle=True, repeats=10):
     return pps32, ts
 
 
+class Ctx:
+    """Shared lazily-built state (models, artifacts, baselines) + budget."""
+
+    def __init__(self):
+        self.t0 = time.monotonic()
+        self.budget_s = float(os.environ.get("BENCH_BUDGET_S", "2700"))
+        self.t_head = None
+        self.baseline_pps = None
+        self.e_pps32 = None
+        self.s_traj32 = None
+        self._cache = {}
+
+    # ---- budget ---------------------------------------------------------- #
+    def remaining(self):
+        return self.budget_s - (time.monotonic() - self.t0)
+
+    # ---- lazy shared assets ---------------------------------------------- #
+    def _memo(self, key, build):
+        if key not in self._cache:
+            self._cache[key] = build()
+        return self._cache[key]
+
+    def hyper(self):
+        def build():
+            import inflatox_tpu as inflatox
+            from inflatox_tpu.consistency_conditions import GeneralisedAL
+            from inflatox_tpu.models import hyperinflation
+
+            model, _ = hyperinflation()
+            artifact = inflatox.Compiler(model, silent=True).compile()
+            al = GeneralisedAL(artifact, validate_basis=False)
+            return artifact, al
+
+        return self._memo("hyper", build)
+
+    def native(self):
+        def build():
+            try:
+                from inflatox_tpu.native import NativeModel, native_available
+
+                if not native_available():
+                    return None
+                artifact, _ = self.hyper()
+                return NativeModel(artifact.model)
+            except Exception as e:
+                log(f"native baseline unavailable: {type(e).__name__}: {e}")
+                return None
+
+        return self._memo("native", build)
+
+    def egno(self):
+        def build():
+            import inflatox_tpu as inflatox
+            from inflatox_tpu.compiler import CompiledModel
+
+            bundle = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests", "fixtures", "egno_bundle.json")
+            if os.path.exists(bundle):
+                eart = CompiledModel.load(bundle)
+            else:
+                from inflatox_tpu.models import egno
+
+                emodel, _ = egno()
+                eart = inflatox.Compiler(emodel, silent=True, cse=True).compile()
+            eby = {"m": 1e-3, "a": 0.5, "c": 1000.0, "alpha": 1.0}
+            eargs = np.zeros(eart.n_parameters)
+            for name, slot in eart.symbol_dictionary.items():
+                if slot.startswith("args["):
+                    eargs[int(slot[5:-1])] = eby[name]
+            return eart, eargs, (0.46, 0.50, 0.0, np.pi)
+
+        return self._memo("egno", build)
+
+    def quad(self):
+        def build():
+            import sympy as _sp
+
+            import inflatox_tpu as inflatox
+
+            _p1, _p2, _m1, _m2 = _sp.symbols("p1 p2 m1 m2", real=True)
+            _V = (_sp.Rational(1, 2) * (_m1 * _p1) ** 2
+                  + _sp.Rational(1, 2) * (_m2 * _p2) ** 2)
+            _qm = inflatox.InflationModelBuilder.new(
+                [_p1, _p2], [[1, 0], [0, 1]], _V, silent=True
+            ).build()
+            return inflatox.Compiler(_qm, silent=True).compile()
+
+        return self._memo("quad", build)
+
+    def hyp_gsl(self):
+        """The 1F1/2F1/erf/gamma model (GSL-family class; cfg4b).  Same
+        potential as tests/test_df32_special.py::test_hyp_erf_model_… —
+        the class the reference dispatches to GSL
+        (/root/reference/python/inflatox/compiler.py:158-212)."""
+        def build():
+            import sympy
+
+            import inflatox_tpu as inflatox
+            from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+            x, y, a = sympy.symbols("x y a")
+            half, th_, fh = (sympy.Rational(1, 2), sympy.Rational(3, 2),
+                             sympy.Rational(5, 2))
+            V = (a * sympy.hyper((half,), (th_,), -(x**2))
+                 + sympy.hyper((half, th_), (fh,), y**2 / 4) / 10
+                 + sympy.erf(x) * sympy.gamma(y + 2) / 50 + 2)
+            model = inflatox.InflationModelBuilder.new(
+                [x, y], [[1, 0], [0, 1]], V, silent=True, simplify=False,
+                assertions=False,
+            ).build()
+            art = inflatox.Compiler(model, silent=True).compile()
+            al = GeneralisedAL(art, validate_basis=False)
+            return art, al
+
+        return self._memo("hyp_gsl", build)
+
+
+# ---------------------------------------------------------------------------
+# config measurement functions (one per scheduler entry)
+# ---------------------------------------------------------------------------
+
+HYPER_EXTENT = (0.5, 2.5, 0.25, 3.0)
+HYPER_ARGS = np.array([1.0])
+HYPER_N = 4096
+
+
+def best_cpu_pps(key, pps_now, field="mpts_per_s_32core", scale=1e6):
+    """Keep the FASTEST known CPU baseline for ``key`` (merge-on-start makes
+    history available).  The host has one core and anything co-running
+    (e.g. a test suite) inflates CPU times 2×+, which would flatter every
+    vs_ref32 — a baseline can only improve unless the C codegen changed,
+    so the historical best is the honest denominator.  Returns (pps,
+    used_stored)."""
+    stored = MATRIX.get(key, {}).get(field)
+    if stored and stored * scale > pps_now:
+        log(json.dumps({
+            "note": f"{key}: stored baseline faster (host contended now?); "
+                    "keeping the stored reading as denominator",
+            "stored": stored, "measured_now": round(pps_now / scale, 2),
+        }))
+        return stored * scale, True
+    return pps_now, False
+
+
+def run_cpu_hyper_baseline(ctx):
+    native = ctx.native()
+    if native is None:
+        return
+    nb = 1024
+    pps_now, ts = cpu_baseline(native, HYPER_ARGS, HYPER_EXTENT, nb)
+    ctx.baseline_pps, used_stored = best_cpu_pps(
+        "cpu_refstyle_1024_hyper", pps_now)
+    if not used_stored:
+        emit(
+            "cpu_refstyle_1024_hyper",
+            ms_best=round(ts[0] * 1e3, 1),
+            ms_median=round(ts[len(ts) // 2] * 1e3, 1),
+            ms_worst=round(ts[-1] * 1e3, 1),
+            mpts_per_s_32core=round(ctx.baseline_pps / 1e6, 1),
+            note="ref-architecture C (5 indirect calls/px) best-of-10, "
+                 "x32 cores",
+        )
+    fused_now, ts = cpu_baseline(native, HYPER_ARGS, HYPER_EXTENT, nb,
+                                 refstyle=False)
+    fused_pps, used_stored = best_cpu_pps("cpu_fusedC_1024_hyper", fused_now)
+    if not used_stored:
+        emit(
+            "cpu_fusedC_1024_hyper",
+            ms_best=round(ts[0] * 1e3, 1),
+            mpts_per_s_32core=round(fused_pps / 1e6, 1),
+        )
+
+
+def _vs(ctx, pts_rate):
+    return (round(pts_rate / ctx.baseline_pps, 2)
+            if ctx.baseline_pps else None)
+
+
+def run_cfg1_headline(ctx):
+    """df64 (double-f32 parity engine) 4096² — kernel production of all six
+    quantities as (hi, lo) f32 pairs in HBM (the engine's native
+    output="pair" format; full information, parity-grade)."""
+    artifact, _ = ctx.hyper()
+    pts = HYPER_N * HYPER_N
+    run, ia = make_pallas_chain(artifact, "complete_analysis", HYPER_ARGS,
+                                HYPER_EXTENT, (HYPER_N, HYPER_N), df64=True)
+    ctx.t_head = amortized(run, ia)
+    pts_rate = pts / ctx.t_head
+    emit(
+        "cfg1_hyper_df64_pallas_4096",
+        ms_per_call=round(ctx.t_head * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        vs_ref32=_vs(ctx, pts_rate),
+        engine="pallas_df64, output='pair' (parity-grade)",
+    )
+    # provisional headline straight after the headline config: the full
+    # matrix takes ~25 min more and the driver may bound the run — stdout
+    # carries only headline JSON lines, and the final print supersedes
+    # this one when the run completes
+    if ctx.baseline_pps:
+        print(json.dumps({
+            "metric": "complete_analysis_4096x4096_df64_points_per_sec",
+            "value": round(pts_rate, 1),
+            "unit": "points/s",
+            "vs_baseline": round(pts_rate / ctx.baseline_pps, 2),
+            "vs_baseline_north_star_v5e8": round(
+                8 * pts_rate / ctx.baseline_pps, 1),
+            "chips_measured": 1,
+            "north_star_chips": 8,
+            "method": "amortized K-iteration device loop (provisional "
+                      "print; matrix still measuring)",
+        }), flush=True)
+
+
+def run_cfg1_delivery(ctx):
+    """output="f64" (round 3): the f64 delivery IS the kernel.  XLA:TPU f64
+    is a (hi, lo) f32 double-word — the same two words the kernel already
+    writes — so the drop-in numpy-f64 result is produced by combining the
+    pair ON HOST after the (mandatory-anyway) fetch, in true IEEE f64."""
+    if not ctx.t_head:
+        return
+    N = HYPER_N
+    pts_rate = N * N / ctx.t_head
+    hi = np.random.default_rng(0).standard_normal((N, N)).astype(np.float32)
+    lo = (hi * 1e-8).astype(np.float32)
+    t0 = time.perf_counter()
+    for _ in range(6):
+        # the production combine (pallas_kernels._host_combine_pairs):
+        # one buffered ufunc pass, f32 inputs promoted inside
+        _ = np.add(hi, lo, dtype=np.float64)
+    t_combine = time.perf_counter() - t0
+    emit(
+        "cfg1_hyper_df64_delivery_4096",
+        ms_per_call=round(ctx.t_head * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        vs_ref32=_vs(ctx, pts_rate),
+        s_host_combine_6maps=round(t_combine, 3),
+        engine=(
+            "pallas_df64, output='f64' — device cost is the kernel "
+            "itself; the pair->IEEE-f64 combine runs on host during "
+            "the fetch (TPU f64 is the same (hi,lo) double-word the "
+            "kernel emits, so an on-device conversion is a repack; "
+            "see cfg1_hyper_df64_device_materialize_4096)"
+        ),
+    )
+
+
+def run_cfg1_materialize(ctx):
+    """output="f64_device": the on-device materialization pass (for
+    pipelines that keep the maps on device in XLA-f64 form).  ONE jit
+    performs R *distinct* conversions (each scaled by a unique constant to
+    defeat CSE) and returns all of them — returned outputs must
+    materialize.  Cost per pass = (t(R2) − t(R1))/(R2 − R1); measured at
+    2048² and scaled ×4 to 4096² (pure-bandwidth pass)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not ctx.t_head:
+        return
+    nconv = 2048
+    planes = [
+        jnp.full((nconv, nconv), 0.5 + 0.25 * k, jnp.float32)
+        for k in range(12)
+    ]
+
+    def make_conv(R):
+        @jax.jit
+        def run(*ps):
+            outs = []
+            for r in range(R):
+                c = jnp.float32(1.0 + r)
+                outs.extend(
+                    (ps[2 * k] * c).astype(jnp.float64)
+                    + ps[2 * k + 1].astype(jnp.float64)
+                    for k in range(6)
+                )
+            return tuple(outs)
+
+        return run
+
+    def timed(R, reps=3):
+        run = make_conv(R)
+        _fetch(run(*planes))
+        return min(
+            (lambda t0: (_fetch(run(*planes)), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(reps)
+        )
+
+    t_pass = 4.0 * (timed(8) - timed(2)) / 6.0
+    t_deliv = ctx.t_head + t_pass
+    pts_rate = HYPER_N * HYPER_N / t_deliv
+    emit(
+        "cfg1_hyper_df64_device_materialize_4096",
+        ms_per_call=round(t_deliv * 1e3, 3),
+        ms_conversion_pass=round(t_pass * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        vs_ref32=_vs(ctx, pts_rate),
+        engine=(
+            "pallas_df64, output='f64_device' (kernel + on-device "
+            "pair->XLA-f64 pass)"
+        ),
+    )
+
+
+def run_cfg1_fp32_pallas(ctx):
+    artifact, _ = ctx.hyper()
+    run, ia = make_pallas_chain(artifact, "complete_analysis", HYPER_ARGS,
+                                HYPER_EXTENT, (HYPER_N, HYPER_N), df64=False)
+    t = amortized(run, ia, K1=2, K2=42)
+    pts_rate = HYPER_N * HYPER_N / t
+    emit(
+        "cfg1_hyper_fp32_pallas_4096",
+        ms_per_call=round(t * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        vs_ref32=_vs(ctx, pts_rate),
+    )
+
+
+def run_cfg1_fp32_xla(ctx):
+    import jax.numpy as jnp
+
+    _, al = ctx.hyper()
+    run, ia = make_xla_chain(al, "complete_analysis", HYPER_ARGS,
+                             HYPER_EXTENT, (HYPER_N, HYPER_N), jnp.float32)
+    t = amortized(run, (*ia,), K1=2, K2=22)
+    pts_rate = HYPER_N * HYPER_N / t
+    emit(
+        "cfg1_hyper_fp32_xla_4096",
+        ms_per_call=round(t * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        vs_ref32=_vs(ctx, pts_rate),
+    )
+
+
+def run_cfg1_emulated_f64(ctx):
+    import jax.numpy as jnp
+
+    _, al = ctx.hyper()
+    n64 = 1024
+    run, ia = make_xla_chain(al, "complete_analysis", HYPER_ARGS,
+                             HYPER_EXTENT, (n64, n64), jnp.float64)
+    t = amortized(run, (*ia,), K1=2, K2=10, reps=3)
+    pts_rate = n64 * n64 / t
+    emit(
+        "cfg1_hyper_emulatedf64_xla_1024",
+        ms_per_call=round(t * 1e3, 1),
+        mpts_per_s=round(pts_rate / 1e6, 2),
+        vs_ref32=_vs(ctx, pts_rate),
+        note="XLA emulated f64 — the path the df32 engine replaces",
+    )
+
+
+def run_cfg0_array(ctx):
+    """The reference-default array surface (VERDICT r4 item 7): calc_V_array
+    at the reference's 8000-samples-per-axis default
+    (consistency_conditions.py:78).  One output map (V), fp32 + df64
+    engines, C denominator from the native backend's V grid."""
+    artifact, _ = ctx.hyper()
+    n = 8000
+    pts = n * n
+    v_pps32 = None
+    native = ctx.native()
+    if native is not None:
+        bn = 2048
+        v_now, tb = cpu_rate_32core(
+            lambda: native.calc_V_grid(HYPER_ARGS, *HYPER_EXTENT, bn, bn,
+                                       threads=0),
+            bn * bn,
+        )
+        v_pps32, used_stored = best_cpu_pps("cpu_V_grid_2048_hyper", v_now)
+        if not used_stored:
+            emit(
+                "cpu_V_grid_2048_hyper",
+                ms_best=round(tb * 1e3, 1),
+                mpts_per_s_32core=round(v_pps32 / 1e6, 1),
+                note="native C V-grid eval (1 call/px), x32 cores",
+            )
+    for df64, name in ((False, "cfg0_array_V_fp32_pallas_8000"),
+                       (True, "cfg0_array_V_df64_pallas_8000")):
+        run, ia = make_pallas_chain(artifact, "potential", HYPER_ARGS,
+                                    HYPER_EXTENT, (n, n), df64=df64)
+        t = amortized(run, ia, K1=2, K2=12)
+        rate = pts / t
+        emit(
+            name,
+            ms_per_call=round(t * 1e3, 3),
+            gpts_per_s=round(rate / 1e9, 3),
+            **({"vs_ref32": round(rate / v_pps32, 2)} if v_pps32 else {}),
+            note="calc_V_array at the reference's 8000/axis default "
+                 "(consistency_conditions.py:78)",
+        )
+
+
+def run_cfg2_angular(ctx):
+    from inflatox_tpu.models import angular
+
+    import inflatox_tpu as inflatox
+
+    amodel, aargs = angular()
+    aart = inflatox.Compiler(amodel, silent=True).compile()
+    aextent = (-1.05, 1.05, -1.05, 1.05)
+    an = 1024
+    run, ia = make_pallas_chain(aart, "complete_analysis", aargs,
+                                aextent, (an, an), df64=True)
+    t = amortized(run, ia, K1=2, K2=22)
+    pts_rate = an * an / t
+    a_vs = None
+    try:
+        from inflatox_tpu.native import NativeModel, native_available
+
+        if native_available():
+            anat = NativeModel(amodel)
+            bn = 1024
+            pps_now, tb = cpu_rate_32core(
+                lambda: anat.complete_analysis_refstyle(
+                    aargs, *aextent, bn, bn, threads=0),
+                bn * bn,
+            )
+            pps32, used_stored = best_cpu_pps(
+                "cpu_refstyle_1024_angular", pps_now)
+            a_vs = round(pts_rate / pps32, 2)
+            if not used_stored:
+                emit(
+                    "cpu_refstyle_1024_angular",
+                    ms_best=round(tb * 1e3, 1),
+                    mpts_per_s_32core=round(pps32 / 1e6, 1),
+                    note="ref-architecture C (5 indirect calls/px), "
+                         "x32 cores",
+                )
+    except Exception as e:
+        log(f"cfg2 cpu baseline FAILED: {type(e).__name__}: {e}")
+    emit(
+        "cfg2_angular_df64_pallas_1024",
+        ms_per_call=round(t * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        **({"vs_ref32": a_vs} if a_vs else {}),
+    )
+
+
+def run_cfg3_egno(ctx):
+    eart, eargs, eextent = ctx.egno()
+    en = 2048
+    run, ia = make_pallas_chain(eart, "consistency_rapidturn", eargs,
+                                eextent, (en, en), df64=True)
+    t = amortized(run, ia, K1=2, K2=12)
+    pts_rate = en * en / t
+    try:
+        from inflatox_tpu.native import NativeModel, native_available
+
+        if native_available():
+            enat = NativeModel(eart.model)
+            bn = 512
+            pps_now, tb = cpu_rate_32core(
+                lambda: enat.consistency_rapidturn_refstyle(
+                    eargs, *eextent, bn, bn, threads=0),
+                bn * bn,
+            )
+            ctx.e_pps32, used_stored = best_cpu_pps(
+                "cpu_refstyle_512_egno_rapidturn", pps_now)
+            if not used_stored:
+                emit(
+                    "cpu_refstyle_512_egno_rapidturn",
+                    ms_best=round(tb * 1e3, 1),
+                    mpts_per_s_32core=round(ctx.e_pps32 / 1e6, 2),
+                    note="ref-architecture C (4 indirect calls/px), "
+                         "x32 cores",
+                )
+    except Exception as e:
+        log(f"cfg3 cpu baseline FAILED: {type(e).__name__}: {e}")
+    emit(
+        "cfg3_egno_rapidturn_df64_pallas_2048",
+        ms_per_call=round(t * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        **({"vs_ref32": round(pts_rate / ctx.e_pps32, 2)}
+           if ctx.e_pps32 else {}),
+    )
+
+
+def run_cfg3b_egno_tf64(ctx):
+    """Same EGNO window on the triple-f32 extended-precision engine
+    (~71-bit model eval; docs/numerics.md §8 — ~400× more accurate than
+    the reference's own f64 on this model's Hesse)."""
+    import jax
+    import jax.numpy as jnp
+
+    from inflatox_tpu.ops import pallas_kernels as pk
+
+    eart, eargs, eextent = ctx.egno()
+    en = 2048
+    scal_tf = pk._tf_scalars(eargs, eextent, (en, en))
+
+    @jax.jit
+    def run_tf(s, K):
+        from jax import lax
+
+        def body(_, carry):
+            ss, acc = carry
+            outs = pk._launch_tf(ss, eart, (en, en),
+                                 pk._auto_tile((en, en), eart), False,
+                                 "consistency_rapidturn", combine=False)
+            probe = outs[0][0, 0]
+            return (ss + (probe * 0.0).astype(ss.dtype), acc + probe)
+
+        _, acc = lax.fori_loop(0, K, body, (s, jnp.float32(0.0)))
+        return acc
+
+    t = amortized(run_tf, (scal_tf,), K1=2, K2=12)
+    pts_rate = en * en / t
+    emit(
+        "cfg3b_egno_rapidturn_tf64_pallas_2048",
+        ms_per_call=round(t * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        engine="pallas_tf64 (triple-f32 extended precision)",
+        **({"vs_ref32": round(pts_rate / ctx.e_pps32, 2)}
+           if ctx.e_pps32 else {}),
+    )
+
+
+def run_cfg4_d5(ctx):
+    import inflatox_tpu as inflatox  # noqa: F401
+    from inflatox_tpu.compiler import CompiledModel
+    from inflatox_tpu.models import _args_by_symbol
+
+    bundle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "fixtures", "d5_bundle.json")
+    dart = CompiledModel.load(bundle)
+    dargs = _args_by_symbol(dart.model, {
+        "V0": -1.17e-8, "N": 1000.0, "g_s": 0.01, "l_s": 501.961,
+        "u": 50 * 501.961, "q": 1.0, "p": 5.0,
+        "a0": 0.001, "a1": 0.0005, "b1": 0.001,
+    })
+    dextent = (0.1, 36.0, 0.0, 4 * np.pi)
+    dn = 1024
+    # D5 needs the range-extended engine: its |∇V|² intermediates leave
+    # the f32 dynamic range, which kills the df32 engine AND TPU's
+    # emulated f64 (docs/numerics.md §5) — edf32 is the only TPU engine
+    run, ia = make_pallas_chain(dart, "complete_analysis", dargs,
+                                dextent, (dn, dn), edf=True)
+    t = amortized(run, ia, K1=2, K2=12)
+    pts_rate = dn * dn / t
+    from inflatox_tpu.ops.pallas_kernels import scan_pallas_edf64
+
+    d_outs = scan_pallas_edf64(dart, "complete_analysis", dargs, dextent,
+                               (256, 256))
+    finite = float(np.isfinite(np.asarray(d_outs[1])).mean())
+    d_pps32 = None
+    try:
+        from inflatox_tpu.native import NativeModel, native_available
+
+        if native_available():
+            dnat = NativeModel(dart.model)
+            bn = 512
+            pps_now, tb = cpu_rate_32core(
+                lambda: dnat.complete_analysis_refstyle(
+                    dargs, *dextent, bn, bn, threads=0),
+                bn * bn,
+            )
+            d_pps32, used_stored = best_cpu_pps(
+                "cpu_refstyle_512_d5", pps_now)
+            if not used_stored:
+                emit(
+                    "cpu_refstyle_512_d5",
+                    ms_best=round(tb * 1e3, 1),
+                    mpts_per_s_32core=round(d_pps32 / 1e6, 2),
+                    note="ref-architecture C (5 indirect calls/px), "
+                         "x32 cores",
+                )
+    except Exception as e:
+        log(f"cfg4 cpu baseline FAILED: {type(e).__name__}: {e}")
+    emit(
+        "cfg4_d5_edf64_pallas_1024",
+        ms_per_call=round(t * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        eps_v_finite_frac_256=round(finite, 4),
+        engine="pallas_edf64 (range-extended df32)",
+        **({"vs_ref32": round(pts_rate / d_pps32, 2)} if d_pps32 else {}),
+    )
+
+
+def run_cfg4b_gsl_family(ctx):
+    """The GSL-special-function model class (VERDICT r4 item 3): a
+    1F1+2F1+erf/gamma potential scanned on the compensated engine, with the
+    round-4 native-C hyp/erf/gamma backend as the vs_ref32 denominator.
+    Makes the round-4 flagship claim (df32 GSL family at native speed)
+    reproducible and regressable."""
+    art, al = ctx.hyp_gsl()
+    hn = 1024
+    hextent = (0.3, 2.0, 0.2, 1.2)
+    hargs = np.array([2.0])
+    run, ia = make_pallas_chain(art, "complete_analysis", hargs,
+                                hextent, (hn, hn), df64=True)
+    t = amortized(run, ia, K1=2, K2=8)
+    pts_rate = hn * hn / t
+    h_pps32 = None
+    parity_q95 = None
+    try:
+        from inflatox_tpu.native import NativeModel, native_available
+
+        if native_available():
+            hnat = NativeModel(art.model)
+            bn = 256
+            pps_now, tb = cpu_rate_32core(
+                lambda: hnat.complete_analysis_refstyle(
+                    hargs, *hextent, bn, bn, threads=0),
+                bn * bn,
+            )
+            h_pps32, used_stored = best_cpu_pps(
+                "cpu_refstyle_256_hyp_gsl", pps_now)
+            if not used_stored:
+                emit(
+                    "cpu_refstyle_256_hyp_gsl",
+                    ms_best=round(tb * 1e3, 1),
+                    mpts_per_s_32core=round(h_pps32 / 1e6, 2),
+                    note="ref-architecture C with the hyp/erf/gamma family "
+                         "(native/codegen.py), x32 cores",
+                )
+            # parity note: q95 vs the C f64 oracle on a small grid
+            from inflatox_tpu.ops.pallas_kernels import scan_pallas_df64
+
+            small = 64
+            tpu_maps = scan_pallas_df64(art, "complete_analysis", hargs,
+                                        hextent, (small, small))
+            c_maps = hnat.complete_analysis(hargs, *hextent, small, small,
+                                            threads=0)
+            c_maps = np.moveaxis(np.asarray(c_maps).reshape(
+                small, small, 6), -1, 0)
+            q95 = []
+            for g, r in zip(tpu_maps, c_maps):
+                g, r = np.asarray(g), np.asarray(r)
+                both = np.isfinite(g) & np.isfinite(r)
+                rel = (np.abs(g[both] - r[both])
+                       / np.maximum(np.abs(r[both]), 1e-300))
+                q95.append(float(np.quantile(rel, 0.95)))
+            parity_q95 = max(q95)
+    except Exception as e:
+        log(f"cfg4b cpu baseline FAILED: {type(e).__name__}: {e}")
+    emit(
+        "cfg4b_hyp_gsl_df64_pallas_1024",
+        ms_per_call=round(t * 1e3, 3),
+        gpts_per_s=round(pts_rate / 1e9, 3),
+        engine="pallas_df64 (compensated 1F1/2F1/erf/gamma, "
+               "lowering/df32_special.py)",
+        **({"vs_ref32": round(pts_rate / h_pps32, 2)} if h_pps32 else {}),
+        **({"parity_q95_vs_C_f64_oracle": parity_q95}
+           if parity_q95 is not None else {}),
+        note="the model class the reference dispatches to GSL "
+             "(compiler.py:158-212); parity = worst per-map q95 rel err "
+             "vs the native C f64 oracle at 64^2",
+    )
+
+
+def run_cfg5_sweep(ctx):
+    import jax.numpy as jnp
+
+    from inflatox_tpu.parallel import parameter_sweep
+
+    _, al = ctx.hyper()
+    S = 32
+    sweep_args = np.linspace(0.5, 2.0, S)[:, None]
+
+    def go():
+        t0 = time.perf_counter()
+        res = parameter_sweep(
+            al, sweep_args, HYPER_EXTENT, (512, 512), progress=False,
+            engine="pallas_df64",
+            reduce_fn=lambda maps: jnp.nanmin(maps[0]),
+        )
+        _ = np.asarray(res)
+        return time.perf_counter() - t0
+
+    t_cold = go()
+    t_warm = go()
+    emit(
+        "cfg5_sweep_df64_32x512",
+        s_warm=round(t_warm, 3),
+        s_cold=round(t_cold, 2),
+        configs_per_hour_per_chip=round(S / t_warm * 3600.0),
+        note="32 param sets x 512^2, one batched df64 launch/device, "
+             "on-device min-consistency reduction (wall incl. dispatch)",
+    )
+
+
+def run_cfg5b_batched_solves(ctx):
+    from inflatox_tpu import background
+
+    artifact, al = ctx.hyper()
+    B, steps = 256, 2000
+    rng = np.random.default_rng(0)
+    f0 = np.stack([rng.uniform(1.5, 2.5, B), rng.uniform(1.5, 2.5, B)], 1)
+    d0 = np.zeros((B, 2))
+
+    def go():
+        t0 = time.perf_counter()
+        out = background.solve_eom_batch(al.artifact, HYPER_ARGS, steps,
+                                         f0, d0, solver="rkf")
+        _ = np.asarray(out)
+        return time.perf_counter() - t0
+
+    t_cold = go()
+    t_warm = go()
+    native = ctx.native()
+    try:
+        if native is not None:
+            nb_traj = 8
+            inits = np.concatenate([f0[:nb_traj], d0[:nb_traj]], axis=1)
+            rate_now, tb = cpu_rate_32core(
+                lambda: native.solve_eom_rkf(HYPER_ARGS, inits, steps,
+                                             threads=0),
+                nb_traj,
+            )
+            ctx.s_traj32, used_stored = best_cpu_pps(
+                "cpu_solver_rkf_8x2000", rate_now,
+                field="traj_per_s_32core", scale=1.0)
+            if not used_stored:
+                emit(
+                    "cpu_solver_rkf_8x2000",
+                    s_best=round(tb, 3),
+                    traj_per_s_32core=round(ctx.s_traj32, 1),
+                    note="ref-style C RKF45 (fn-pointer EoM calls), "
+                         "sequential/trajectory, x32 cores",
+                )
+    except Exception as e:
+        log(f"cfg5b cpu baseline FAILED: {type(e).__name__}: {e}")
+    emit(
+        "cfg5b_batched_solves_256x2000",
+        s_warm=round(t_warm, 3),
+        s_cold=round(t_cold, 2),
+        trajectories_per_s=round(B / t_warm, 1),
+        note="256 RKF45 trajectories x 2000 output rows, one vmapped "
+             "launch (wall incl. dispatch + fetch)",
+        **({"vs_ref32": round(B / t_warm / ctx.s_traj32, 4),
+            "note_ref": "trivial-EoM model: a C solver's per-step cost "
+                        "is ~ns while the batch path pays while_loop + "
+                        "emulated-f64 overhead — see the Pallas DF "
+                        "solver (cfg5d) for the TPU-native answer"}
+           if ctx.s_traj32 else {}),
+    )
+
+
+def run_cfg5d_pallas_solver(ctx):
+    """The Pallas DF background solver — device-only time (the
+    full-trajectory fetch is host-transfer-bound through the tunnel and
+    measured nowhere near production PCIe rates).  The while-loop path
+    (cfg5b) remains the off-TPU / interpreter fallback."""
+    import jax
+    import jax.numpy as jnp
+
+    from inflatox_tpu.ops import pallas_solver as psolve
+
+    artifact, _ = ctx.hyper()
+    Bd, steps_d = 4096, 2000
+    rng_d = np.random.default_rng(0)
+    f0d = np.stack([rng_d.uniform(1.5, 2.5, Bd),
+                    rng_d.uniform(1.5, 2.5, Bd)], 1)
+    n_blocks = Bd // psolve._TRAJ_BLOCK
+    cols = [f0d[:, 0], f0d[:, 1], np.zeros(Bd), np.zeros(Bd)]
+    planes = []
+    for c in cols:
+        hi_p, lo_p = psolve._split_planes(np.asarray(c, np.float64),
+                                          n_blocks)
+        planes.append(jnp.asarray(hi_p))
+        planes.append(jnp.asarray(lo_p))
+    # exact (hi, lo) parameter pairs
+    prs = []
+    for v in HYPER_ARGS:
+        h = float(np.float32(v))
+        prs.extend([h, float(v) - h])
+    scal_s = jnp.asarray(prs + [0.0], jnp.float32)
+
+    def timed_solver():
+        t0 = time.perf_counter()
+        outs = psolve._launch_solver(scal_s, tuple(planes), artifact,
+                                     steps_d, n_blocks, False, 1e-6)
+        jax.block_until_ready(outs)
+        float(outs[0][0, 0, 0])
+        return time.perf_counter() - t0
+
+    timed_solver()
+    t_dev = min(timed_solver() for _ in range(3))
+    rate = Bd / t_dev
+    emit(
+        "cfg5d_pallas_solver_4096x2000",
+        s_device=round(t_dev, 3),
+        trajectories_per_s=round(rate),
+        **({"vs_ref32": round(rate / ctx.s_traj32, 2)}
+           if ctx.s_traj32 else {}),
+        engine="pallas DF RKF45 (ops/pallas_solver.py), device time, "
+               "one-element fetch",
+    )
+
+
+def run_cfg5e_basin_survey(ctx):
+    """End-to-end product surface over cfg5d's kernel: chunked
+    Pallas-solver launches + ON-DEVICE trajectory reduction (ε_H = 1
+    crossing, e-fold count) + (B,) summary fetch."""
+    from inflatox_tpu import background as bkg
+
+    _, al = ctx.hyper()
+    Bs = 4096
+    rng_s = np.random.default_rng(1)
+    f0s = np.stack([rng_s.uniform(1.5, 2.5, Bs),
+                    rng_s.uniform(1.5, 2.5, Bs)], 1)
+
+    def timed_survey():
+        t0 = time.perf_counter()
+        sv = bkg.survey_initial_conditions(
+            al.artifact, HYPER_ARGS, 2000, f0s, np.zeros(2),
+            max_err=1e-6, chunk=Bs,
+        )
+        return time.perf_counter() - t0, sv
+
+    timed_survey()
+    t_sv, sv = min((timed_survey() for _ in range(3)), key=lambda p: p[0])
+    emit(
+        "cfg5e_basin_survey_4096x2000",
+        s_wall=round(t_sv, 3),
+        ics_per_s=round(Bs / t_sv),
+        ended_frac=round(float(sv["ended"].mean()), 4),
+        note="survey_initial_conditions end-to-end: Pallas DF solves + "
+             "on-device eps=1 reduction, only (B,) summaries fetched",
+    )
+
+
+def run_cfg5c_kill_resume(ctx):
+    """Checkpointed-sweep kill/resume rehearsal.  A worker subprocess runs
+    a checkpointed 1024×512² sweep, is SIGKILLed mid-run, then resumed;
+    the summary verifies chunk preservation and reports the sustained
+    checkpointed rate.  The inner timeout is bounded by the remaining
+    bench budget (VERDICT r4 weak #4)."""
+    import shutil
+    import subprocess
+
+    rdir = "/tmp/inflx_bench_rehearse"
+    shutil.rmtree(rdir, ignore_errors=True)
+    inner_timeout = min(1200, max(180, ctx.remaining() - 60))
+    proc = subprocess.run(
+        [sys.executable, "scripts/sweep_rehearsal.py", "rehearse",
+         "--dir", rdir, "--configs", "512", "--chunk", "32",
+         "--shape", "512"],
+        capture_output=True, text=True, timeout=inner_timeout,
+    )
+    tail_ln = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    if tail_ln:
+        summary = json.loads(tail_ln[-1])
+        emit(
+            "cfg5c_sweep_kill_resume_512x512",
+            ok=summary.get("ok"),
+            killed_after_chunks=summary.get("killed_after_chunks"),
+            chunks_resumed=summary.get("chunks_resumed"),
+            sustained_configs_per_hour_per_chip=summary.get(
+                "sustained_configs_per_hour_per_chip"
+            ),
+            jit_warmup_s=summary.get("jit_warmup_s"),
+            note="checkpointed sweep SIGKILLed mid-run then resumed; "
+                 "sustained rate excludes per-process jit warmup "
+                 "(reported separately); 10^4-config rehearsal in "
+                 "BASELINE.md",
+        )
+    shutil.rmtree(rdir, ignore_errors=True)
+
+
+def run_cfg6_delta_n(ctx):
+    from inflatox_tpu import perturbations as _pert
+
+    quad_art = ctx.quad()
+    S6 = 16
+    pars6 = np.stack([np.linspace(0.9, 1.1, S6), np.ones(S6)], 1)
+    kw6 = dict(pivots=8, N_margin_start=5.0, N_margin_end=8.0, steps=2000)
+
+    def run_dn():
+        t0 = time.perf_counter()
+        sw = _pert.delta_n_sweep(quad_art, pars6, [12.0, 0.0],
+                                 [0.0, 0.0], max_err=1e-8, **kw6)
+        assert bool(sw["ok"].all())
+        return time.perf_counter() - t0
+
+    run_dn()  # compile
+    t_dn = min(run_dn() for _ in range(2))
+    emit(
+        "cfg6_delta_n_sweep_16x8piv",
+        s_wall=round(t_dn, 2),
+        configs_per_hr_per_chip=round(S6 / t_dn * 3600.0),
+        note="end-to-end deltaN sweep (batched solve + surface + "
+             "stencil), 8 pivots, steps=2000; no reference equivalent",
+    )
+
+
+def run_cfg6b_mode_sweep(ctx):
+    from inflatox_tpu import perturbations as _pert
+
+    quad_art = ctx.quad()
+    S6b = 8
+    pars6b = np.stack([np.linspace(0.9, 1.1, S6b), np.ones(S6b)], 1)
+    kwm = dict(pivots=8, N_margin_start=5.0, N_margin_end=8.0, steps=2000)
+
+    def run_ms():
+        t0 = time.perf_counter()
+        sw = _pert.mode_sweep(
+            quad_art, pars6b, [12.0, 0.0], [0.0, 0.0], **kwm)
+        assert bool(sw["ok"].all())
+        return time.perf_counter() - t0
+
+    run_ms()
+    t_ms = min(run_ms() for _ in range(2))
+    emit(
+        "cfg6b_mode_sweep_8x8piv",
+        s_wall=round(t_ms, 2),
+        configs_per_hr_per_chip=round(S6b / t_ms * 3600.0),
+        note="Mukhanov-Sasaki mode-integration sweep, 8 pivots; "
+             "no reference equivalent",
+    )
+
+
+def run_cfg6c_transport_sweep(ctx):
+    from inflatox_tpu import perturbations as _pert
+
+    quad_art = ctx.quad()
+    S6b = 8
+    pars6b = np.stack([np.linspace(0.9, 1.1, S6b), np.ones(S6b)], 1)
+    kwm = dict(pivots=8, N_margin_start=5.0, N_margin_end=8.0, steps=2000)
+
+    def run_tr():
+        t0 = time.perf_counter()
+        sw = _pert.transport_sweep(
+            quad_art, pars6b, [12.0, 0.0], [0.0, 0.0], **kwm)
+        assert bool(sw["ok"].all())
+        return time.perf_counter() - t0
+
+    run_tr()
+    t_tr = min(run_tr() for _ in range(2))
+    emit(
+        "cfg6c_transport_sweep_8x8piv",
+        s_wall=round(t_tr, 2),
+        configs_per_hr_per_chip=round(S6b / t_tr * 3600.0),
+        note="moment-transport spectra sweep, 8 pivots; no "
+             "reference equivalent",
+    )
+
+
+def run_cfg7_hmc(ctx):
+    import jax.numpy as jnp
+
+    from inflatox_tpu import inference as _inf
+
+    quad_art = ctx.quad()
+
+    def _prior(th):  # pins the rescaling-blind direction
+        return -0.5 * jnp.sum(((th - 1.0) / 0.05) ** 2)
+
+    logp = _inf.observable_log_posterior(
+        quad_art, np.array([12.0, 0.5]),
+        data={"n_s": 0.965, "r": 0.06},
+        sigma={"n_s": 0.004, "r": 0.01},
+        prior=_prior,
+    )
+    chains, warm, samp, L = 32, 200, 200, 32
+
+    def run_hmc():
+        t0 = time.perf_counter()
+        out = _inf.sample_posterior(
+            logp, np.array([1.0, 1.0]), num_samples=samp,
+            num_warmup=warm, num_chains=chains, num_leapfrog=L,
+            seed=3,
+        )
+        assert np.isfinite(out["samples"]).all()
+        return time.perf_counter() - t0
+
+    run_hmc()  # compile
+    t_hmc = min(run_hmc() for _ in range(2))
+    lf_total = (warm + samp) * L * chains
+    emit(
+        "cfg7_hmc_32chain_quadratic",
+        s_wall=round(t_hmc, 2),
+        leapfrog_steps_per_s=round(lf_total / t_hmc),
+        leapfrog_steps_per_s_per_chain=round(lf_total / t_hmc / chains),
+        note="adaptive HMC over observable_log_posterior (n_s, r), "
+             "32 chains x 400 transitions x 32 leapfrog; one "
+             "gradient eval per leapfrog step; no reference "
+             "equivalent",
+    )
+
+
+def run_final_baseline_recheck(ctx):
+    """Re-measure the CPU baseline at the end and keep the FASTER reading —
+    a transiently busy host during either phase would otherwise corrupt
+    every vs_* field (observed: a contended run read 537 ms best-of-10
+    vs ~190 ms on a quiet host, flattering vs_baseline ~3×)."""
+    native = ctx.native()
+    if native is None or ctx.baseline_pps is None:
+        return
+    pps2, ts2 = cpu_baseline(native, HYPER_ARGS, HYPER_EXTENT, 1024,
+                             repeats=6)
+    if pps2 > ctx.baseline_pps:
+        log(json.dumps({
+            "note": "end-of-run CPU baseline faster; using it",
+            "ms_best_start": MATRIX["cpu_refstyle_1024_hyper"]["ms_best"],
+            "ms_best_end": round(ts2[0] * 1e3, 1),
+        }))
+        ctx.baseline_pps = pps2
+        MATRIX["cpu_refstyle_1024_hyper"]["ms_best"] = round(ts2[0] * 1e3, 1)
+        MATRIX["cpu_refstyle_1024_hyper"]["mpts_per_s_32core"] = round(
+            ctx.baseline_pps / 1e6, 1
+        )
+        # only cfg1 rows are measured against the hyper baseline;
+        # cfg2/3/4/4b carry their OWN per-config CPU baselines and
+        # cfg5b/5d the solver baseline — leave those untouched
+        for cfg, fields in MATRIX.items():
+            if not cfg.startswith("cfg1"):
+                continue
+            if "vs_ref32" in fields and fields.get("gpts_per_s"):
+                fields["vs_ref32"] = round(
+                    fields["gpts_per_s"] * 1e9 / ctx.baseline_pps, 2
+                )
+            elif "vs_ref32" in fields and fields.get("mpts_per_s"):
+                fields["vs_ref32"] = round(
+                    fields["mpts_per_s"] * 1e6 / ctx.baseline_pps, 2
+                )
+
+
+# ---------------------------------------------------------------------------
+# scheduler
+# ---------------------------------------------------------------------------
+
+#: (name, fn, matrix keys produced, estimated warm-cache cost in seconds).
+#: Estimates are deliberately generous; the budget guard compares them
+#: against the remaining wall clock before starting each config.
+ENTRIES = [
+    ("cfg1_headline", run_cfg1_headline,
+     ["cfg1_hyper_df64_pallas_4096"], 90),
+    ("cfg1_delivery", run_cfg1_delivery,
+     ["cfg1_hyper_df64_delivery_4096"], 10),
+    ("cfg1_materialize", run_cfg1_materialize,
+     ["cfg1_hyper_df64_device_materialize_4096"], 45),
+    ("cfg1_fp32_pallas", run_cfg1_fp32_pallas,
+     ["cfg1_hyper_fp32_pallas_4096"], 60),
+    ("cfg1_fp32_xla", run_cfg1_fp32_xla,
+     ["cfg1_hyper_fp32_xla_4096"], 60),
+    ("cfg1_emulated_f64", run_cfg1_emulated_f64,
+     ["cfg1_hyper_emulatedf64_xla_1024"], 60),
+    ("cfg4b_gsl_family", run_cfg4b_gsl_family,
+     ["cfg4b_hyp_gsl_df64_pallas_1024", "cpu_refstyle_256_hyp_gsl"], 420),
+    ("cfg0_array", run_cfg0_array,
+     ["cfg0_array_V_fp32_pallas_8000", "cfg0_array_V_df64_pallas_8000",
+      "cpu_V_grid_2048_hyper"], 180),
+    ("cfg2_angular", run_cfg2_angular,
+     ["cfg2_angular_df64_pallas_1024", "cpu_refstyle_1024_angular"], 90),
+    ("cfg3_egno", run_cfg3_egno,
+     ["cfg3_egno_rapidturn_df64_pallas_2048",
+      "cpu_refstyle_512_egno_rapidturn"], 120),
+    ("cfg3b_egno_tf64", run_cfg3b_egno_tf64,
+     ["cfg3b_egno_rapidturn_tf64_pallas_2048"], 90),
+    ("cfg4_d5", run_cfg4_d5,
+     ["cfg4_d5_edf64_pallas_1024", "cpu_refstyle_512_d5"], 240),
+    ("cfg5_sweep", run_cfg5_sweep, ["cfg5_sweep_df64_32x512"], 120),
+    ("cfg5b_batched_solves", run_cfg5b_batched_solves,
+     ["cfg5b_batched_solves_256x2000", "cpu_solver_rkf_8x2000"], 240),
+    ("cfg5d_pallas_solver", run_cfg5d_pallas_solver,
+     ["cfg5d_pallas_solver_4096x2000"], 120),
+    ("cfg5e_basin_survey", run_cfg5e_basin_survey,
+     ["cfg5e_basin_survey_4096x2000"], 90),
+    ("cfg5c_kill_resume", run_cfg5c_kill_resume,
+     ["cfg5c_sweep_kill_resume_512x512"], 300),
+    ("cfg6_delta_n", run_cfg6_delta_n, ["cfg6_delta_n_sweep_16x8piv"], 180),
+    ("cfg6b_mode_sweep", run_cfg6b_mode_sweep,
+     ["cfg6b_mode_sweep_8x8piv"], 120),
+    ("cfg6c_transport_sweep", run_cfg6c_transport_sweep,
+     ["cfg6c_transport_sweep_8x8piv"], 120),
+    ("cfg7_hmc", run_cfg7_hmc, ["cfg7_hmc_32chain_quadratic"], 150),
+]
+
+
 def main():
     import jax
 
@@ -213,801 +1313,45 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    import jax.numpy as jnp
 
-    import inflatox_tpu as inflatox
-    from inflatox_tpu.consistency_conditions import GeneralisedAL
-    from inflatox_tpu.models import hyperinflation
+    _load_matrix()
+    ctx = Ctx()
+    log(f"backend: {jax.default_backend()}  devices: {jax.devices()}  "
+        f"round: {ROUND}  budget: {ctx.budget_s:.0f}s  "
+        f"matrix rows merged: {len(MATRIX)}")
 
-    log(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-
-    # ---------------- config 1: hyperinflation ---------------------------- #
-    model, _ = hyperinflation()
-    artifact = inflatox.Compiler(model, silent=True).compile()
-    al = GeneralisedAL(artifact, validate_basis=False)
-    N = 4096
-    extent = (0.5, 2.5, 0.25, 3.0)
-    args = np.array([1.0])
-    pts = N * N
-
-    # CPU baseline first (it sets every vs_* field)
-    baseline_pps = None
+    # the CPU denominator and the headline always run first — they anchor
+    # the stdout JSON line and every cfg1 vs_ field
     try:
-        from inflatox_tpu.native import NativeModel, native_available
-
-        native = NativeModel(artifact.model) if native_available() else None
-        if native is not None:
-            nb = 1024
-            baseline_pps, ts = cpu_baseline(native, args, extent, nb)
-            emit(
-                "cpu_refstyle_1024_hyper",
-                ms_best=round(ts[0] * 1e3, 1),
-                ms_median=round(ts[len(ts) // 2] * 1e3, 1),
-                ms_worst=round(ts[-1] * 1e3, 1),
-                mpts_per_s_32core=round(baseline_pps / 1e6, 1),
-                note="ref-architecture C (5 indirect calls/px) best-of-10, x32 cores",
-            )
-            fused_pps, ts = cpu_baseline(native, args, extent, nb, refstyle=False)
-            emit(
-                "cpu_fusedC_1024_hyper",
-                ms_best=round(ts[0] * 1e3, 1),
-                mpts_per_s_32core=round(fused_pps / 1e6, 1),
-            )
+        run_cpu_hyper_baseline(ctx)
     except Exception as e:
-        log(f"native baseline skipped: {type(e).__name__}: {e}")
+        log(f"cpu baseline FAILED: {type(e).__name__}: {e}")
 
-    def vs(p):
-        return round(p / baseline_pps, 2) if baseline_pps else None
+    # priority: configs with no matrix row yet, then stale re-measurements;
+    # the headline leads its group either way
+    fresh_needed = [e for e in ENTRIES
+                    if any(k not in MATRIX for k in e[2])]
+    stale = [e for e in ENTRIES if e not in fresh_needed]
+    head = [e for e in ENTRIES if e[0] == "cfg1_headline"]
+    order = head + [e for e in fresh_needed if e[0] != "cfg1_headline"] + \
+        [e for e in stale if e[0] != "cfg1_headline"]
 
-    # headline: df64 (double-f32 parity engine) 4096² — kernel production of
-    # all six quantities as (hi, lo) f32 pairs in HBM (the engine's native
-    # output=\"pair\" format; full information, parity-grade)
-    t_head = None
-    try:
-        run, ia = make_pallas_chain(artifact, "complete_analysis", args,
-                                    extent, (N, N), df64=True)
-        t_head = amortized(run, ia)
-        pts_rate = pts / t_head
-        emit(
-            "cfg1_hyper_df64_pallas_4096",
-            ms_per_call=round(t_head * 1e3, 3),
-            gpts_per_s=round(pts_rate / 1e9, 3),
-            vs_ref32=vs(pts_rate),
-            engine="pallas_df64, output='pair' (parity-grade)",
-        )
-    except Exception as e:
-        log(f"df64 headline FAILED: {type(e).__name__}: {e}")
-
-    # provisional headline straight after the headline config: the full
-    # matrix takes ~45 min more and the driver may bound the run — stdout
-    # carries only headline JSON lines, and the final print supersedes this
-    # one when the run completes
-    if t_head is not None and baseline_pps:
-        _v = pts / t_head
-        print(json.dumps({
-            "metric": "complete_analysis_4096x4096_df64_points_per_sec",
-            "value": round(_v, 1),
-            "unit": "points/s",
-            "vs_baseline": round(_v / baseline_pps, 2),
-            "vs_baseline_north_star_v5e8": round(8 * _v / baseline_pps, 1),
-            "chips_measured": 1,
-            "north_star_chips": 8,
-            "method": "amortized K-iteration device loop (provisional print; "
-                      "matrix still measuring)",
-        }), flush=True)
-
-    # output="f64" (round 3): the f64 delivery IS the kernel.  XLA:TPU f64
-    # is a (hi, lo) f32 double-word — the same two words the kernel already
-    # writes — so the drop-in numpy-f64 result is produced by combining the
-    # pair ON HOST after the (mandatory-anyway) fetch, in true IEEE f64.
-    # Device cost per f64-delivery scan = the pair kernel; the host combine
-    # is measured separately below (it rides the transfer, off-device).
-    try:
-        if t_head:
-            pts_rate = pts / t_head
-            # host-combine throughput on this host (numpy hi+lo, f64 exact)
-            hi = np.random.default_rng(0).standard_normal(
-                (N, N)).astype(np.float32)
-            lo = (hi * 1e-8).astype(np.float32)
-            t0 = time.perf_counter()
-            for _ in range(6):
-                # the production combine (pallas_kernels._host_combine_pairs):
-                # one buffered ufunc pass, f32 inputs promoted inside
-                _ = np.add(hi, lo, dtype=np.float64)
-            t_combine = time.perf_counter() - t0
-            emit(
-                "cfg1_hyper_df64_delivery_4096",
-                ms_per_call=round(t_head * 1e3, 3),
-                gpts_per_s=round(pts_rate / 1e9, 3),
-                vs_ref32=vs(pts_rate),
-                s_host_combine_6maps=round(t_combine, 3),
-                engine=(
-                    "pallas_df64, output='f64' — device cost is the kernel "
-                    "itself; the pair->IEEE-f64 combine runs on host during "
-                    "the fetch (TPU f64 is the same (hi,lo) double-word the "
-                    "kernel emits, so an on-device conversion is a repack; "
-                    "see cfg1_hyper_df64_device_materialize_4096)"
-                ),
-            )
-    except Exception as e:
-        log(f"df64 delivery FAILED: {type(e).__name__}: {e}")
-
-    # output="f64_device": the on-device materialization pass (for pipelines
-    # that keep the maps on device in XLA-f64 form).  Measuring it needs
-    # care: inside a fori_loop XLA elides or reduce-fuses the conversion
-    # writes, so ONE jit performs R *distinct* conversions (each scaled by a
-    # unique constant to defeat CSE) and returns all of them — returned
-    # outputs must materialize.  Cost per pass = (t(R2) − t(R1))/(R2 − R1);
-    # dispatch and input transfer cancel in the difference.  Measured at
-    # 2048² and scaled ×4 to 4096².
-    try:
-        nconv = 2048
-        planes = [
-            jnp.full((nconv, nconv), 0.5 + 0.25 * k, jnp.float32)
-            for k in range(12)
-        ]
-
-        def make_conv(R):
-            @jax.jit
-            def run(*ps):
-                outs = []
-                for r in range(R):
-                    c = jnp.float32(1.0 + r)
-                    outs.extend(
-                        (ps[2 * k] * c).astype(jnp.float64)
-                        + ps[2 * k + 1].astype(jnp.float64)
-                        for k in range(6)
-                    )
-                return tuple(outs)
-
-            return run
-
-        def timed(R, reps=3):
-            run = make_conv(R)
-            _fetch(run(*planes))
-            return min(
-                (lambda t0: (_fetch(run(*planes)), time.perf_counter() - t0)[1])(
-                    time.perf_counter()
-                )
-                for _ in range(reps)
-            )
-
-        t_pass_2048 = (timed(8) - timed(2)) / 6.0
-        t_pass = 4.0 * t_pass_2048  # pure-bandwidth pass: scales with area
-        t_deliv = t_head + t_pass if t_head else None
-        if t_deliv:
-            pts_rate = pts / t_deliv
-            emit(
-                "cfg1_hyper_df64_device_materialize_4096",
-                ms_per_call=round(t_deliv * 1e3, 3),
-                ms_conversion_pass=round(t_pass * 1e3, 3),
-                gpts_per_s=round(pts_rate / 1e9, 3),
-                vs_ref32=vs(pts_rate),
-                engine=(
-                    "pallas_df64, output='f64_device' (kernel + on-device "
-                    "pair->XLA-f64 pass)"
-                ),
-            )
-    except Exception as e:
-        log(f"df64 device materialize FAILED: {type(e).__name__}: {e}")
-
-    try:
-        run, ia = make_pallas_chain(artifact, "complete_analysis", args,
-                                    extent, (N, N), df64=False)
-        t = amortized(run, ia, K1=2, K2=42)
-        pts_rate = pts / t
-        emit(
-            "cfg1_hyper_fp32_pallas_4096",
-            ms_per_call=round(t * 1e3, 3),
-            gpts_per_s=round(pts_rate / 1e9, 3),
-            vs_ref32=vs(pts_rate),
-        )
-    except Exception as e:
-        log(f"fp32 pallas FAILED: {type(e).__name__}: {e}")
-
-    try:
-        run, ia = make_xla_chain(al, "complete_analysis", args, extent,
-                                 (N, N), jnp.float32)
-        t = amortized(run, (*ia,), K1=2, K2=22)
-        pts_rate = pts / t
-        emit(
-            "cfg1_hyper_fp32_xla_4096",
-            ms_per_call=round(t * 1e3, 3),
-            gpts_per_s=round(pts_rate / 1e9, 3),
-            vs_ref32=vs(pts_rate),
-        )
-    except Exception as e:
-        log(f"fp32 xla FAILED: {type(e).__name__}: {e}")
-
-    try:
-        n64 = 1024
-        run, ia = make_xla_chain(al, "complete_analysis", args, extent,
-                                 (n64, n64), jnp.float64)
-        t = amortized(run, (*ia,), K1=2, K2=10, reps=3)
-        pts_rate = n64 * n64 / t
-        emit(
-            "cfg1_hyper_emulatedf64_xla_1024",
-            ms_per_call=round(t * 1e3, 1),
-            mpts_per_s=round(pts_rate / 1e6, 2),
-            vs_ref32=vs(pts_rate),
-            note="XLA emulated f64 — the path the df32 engine replaces",
-        )
-    except Exception as e:
-        log(f"emulated f64 FAILED: {type(e).__name__}: {e}")
-
-    # ---------------- config 2: angular 1024² ----------------------------- #
-    try:
-        from inflatox_tpu.models import angular
-
-        amodel, aargs = angular()
-        aart = inflatox.Compiler(amodel, silent=True).compile()
-        aextent = (-1.05, 1.05, -1.05, 1.05)
-        an = 1024
-        run, ia = make_pallas_chain(aart, "complete_analysis", aargs,
-                                    aextent, (an, an), df64=True)
-        t = amortized(run, ia, K1=2, K2=22)
-        pts_rate = an * an / t
-        a_vs = None
+    for name, fn, keys, est_s in order:
+        rem = ctx.remaining()
+        if rem < est_s:
+            log(f"budget: SKIPPING {name} (est {est_s}s, {rem:.0f}s left) — "
+                f"matrix keeps last-measured rows for {keys}")
+            continue
+        t0 = time.monotonic()
         try:
-            from inflatox_tpu.native import NativeModel, native_available
-
-            if native_available():
-                anat = NativeModel(amodel)
-                bn = 1024
-                pps32, tb = cpu_rate_32core(
-                    lambda: anat.complete_analysis_refstyle(
-                        aargs, *aextent, bn, bn, threads=0),
-                    bn * bn,
-                )
-                a_vs = round(pts_rate / pps32, 2)
-                emit(
-                    "cpu_refstyle_1024_angular",
-                    ms_best=round(tb * 1e3, 1),
-                    mpts_per_s_32core=round(pps32 / 1e6, 1),
-                    note="ref-architecture C (5 indirect calls/px), x32 cores",
-                )
+            fn(ctx)
+            log(f"[{name}] done in {time.monotonic() - t0:.0f}s "
+                f"({ctx.remaining():.0f}s left)")
         except Exception as e:
-            log(f"cfg2 cpu baseline FAILED: {type(e).__name__}: {e}")
-        emit(
-            "cfg2_angular_df64_pallas_1024",
-            ms_per_call=round(t * 1e3, 3),
-            gpts_per_s=round(pts_rate / 1e9, 3),
-            **({"vs_ref32": a_vs} if a_vs else {}),
-        )
-    except Exception as e:
-        log(f"cfg2 angular FAILED: {type(e).__name__}: {e}")
-
-    # ---------------- config 3: EGNO rapid-turn masks 2048² ---------------- #
-    try:
-        import os
-
-        from inflatox_tpu.compiler import CompiledModel
-
-        bundle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "tests", "fixtures", "egno_bundle.json")
-        if os.path.exists(bundle):
-            eart = CompiledModel.load(bundle)
-        else:
-            from inflatox_tpu.models import egno
-
-            emodel, _ = egno()
-            eart = inflatox.Compiler(emodel, silent=True, cse=True).compile()
-        eby = {"m": 1e-3, "a": 0.5, "c": 1000.0, "alpha": 1.0}
-        eargs = np.zeros(eart.n_parameters)
-        for name, slot in eart.symbol_dictionary.items():
-            if slot.startswith("args["):
-                eargs[int(slot[5:-1])] = eby[name]
-        eextent = (0.46, 0.50, 0.0, np.pi)
-        en = 2048
-        run, ia = make_pallas_chain(eart, "consistency_rapidturn", eargs,
-                                    eextent, (en, en), df64=True)
-        t = amortized(run, ia, K1=2, K2=12)
-        pts_rate = en * en / t
-        e_pps32 = None
-        try:
-            from inflatox_tpu.native import NativeModel, native_available
-
-            if native_available():
-                enat = NativeModel(eart.model)
-                bn = 512
-                e_pps32, tb = cpu_rate_32core(
-                    lambda: enat.consistency_rapidturn_refstyle(
-                        eargs, *eextent, bn, bn, threads=0),
-                    bn * bn,
-                )
-                emit(
-                    "cpu_refstyle_512_egno_rapidturn",
-                    ms_best=round(tb * 1e3, 1),
-                    mpts_per_s_32core=round(e_pps32 / 1e6, 2),
-                    note="ref-architecture C (4 indirect calls/px), x32 cores",
-                )
-        except Exception as e:
-            log(f"cfg3 cpu baseline FAILED: {type(e).__name__}: {e}")
-        emit(
-            "cfg3_egno_rapidturn_df64_pallas_2048",
-            ms_per_call=round(t * 1e3, 3),
-            gpts_per_s=round(pts_rate / 1e9, 3),
-            **({"vs_ref32": round(pts_rate / e_pps32, 2)} if e_pps32 else {}),
-        )
-    except Exception as e:
-        log(f"cfg3 egno FAILED: {type(e).__name__}: {e}")
-
-    # cfg3b: same EGNO window on the triple-f32 extended-precision engine
-    # (~71-bit model eval; docs/numerics.md §8 — ~400× more accurate than
-    # the reference's own f64 on this model's Hesse)
-    try:
-        from inflatox_tpu.ops import pallas_kernels as pk  # noqa: PLC0415
-
-        scal_tf = pk._tf_scalars(eargs, eextent, (en, en))
-
-        @jax.jit
-        def run_tf(s, K):
-            from jax import lax  # noqa: PLC0415
-
-            def body(_, carry):
-                ss, acc = carry
-                outs = pk._launch_tf(ss, eart, (en, en),
-                                     pk._auto_tile((en, en), eart), False,
-                                     "consistency_rapidturn", combine=False)
-                probe = outs[0][0, 0]
-                return (ss + (probe * 0.0).astype(ss.dtype), acc + probe)
-
-            _, acc = lax.fori_loop(0, K, body, (s, jnp.float32(0.0)))
-            return acc
-
-        t = amortized(run_tf, (scal_tf,), K1=2, K2=12)
-        pts_rate = en * en / t
-        emit(
-            "cfg3b_egno_rapidturn_tf64_pallas_2048",
-            ms_per_call=round(t * 1e3, 3),
-            gpts_per_s=round(pts_rate / 1e9, 3),
-            engine="pallas_tf64 (triple-f32 extended precision)",
-            **({"vs_ref32": round(pts_rate / e_pps32, 2)}
-               if "e_pps32" in dir() and e_pps32 else {}),
-        )
-    except Exception as e:
-        log(f"cfg3b egno tf64 FAILED: {type(e).__name__}: {e}")
-
-    # ---------------- config 4: D5 (special-function class) --------------- #
-    try:
-        import os
-
-        from inflatox_tpu.compiler import CompiledModel
-
-        bundle = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "tests", "fixtures", "d5_bundle.json")
-        dart = CompiledModel.load(bundle)
-        from inflatox_tpu.models import _args_by_symbol
-
-        dargs = _args_by_symbol(dart.model, {
-            "V0": -1.17e-8, "N": 1000.0, "g_s": 0.01, "l_s": 501.961,
-            "u": 50 * 501.961, "q": 1.0, "p": 5.0,
-            "a0": 0.001, "a1": 0.0005, "b1": 0.001,
-        })
-        dextent = (0.1, 36.0, 0.0, 4 * np.pi)
-        dn = 1024
-        # D5 needs the range-extended engine: its |∇V|² intermediates leave
-        # the f32 dynamic range, which kills the df32 engine AND TPU's
-        # emulated f64 (docs/numerics.md §5) — edf32 is the only TPU engine
-        run, ia = make_pallas_chain(dart, "complete_analysis", dargs,
-                                    dextent, (dn, dn), edf=True)
-        t = amortized(run, ia, K1=2, K2=12)
-        pts_rate = dn * dn / t
-        from inflatox_tpu.ops.pallas_kernels import scan_pallas_edf64
-
-        d_outs = scan_pallas_edf64(dart, "complete_analysis", dargs, dextent,
-                                   (256, 256))
-        finite = float(np.isfinite(np.asarray(d_outs[1])).mean())
-        d_pps32 = None
-        try:
-            from inflatox_tpu.native import NativeModel, native_available
-
-            if native_available():
-                dnat = NativeModel(dart.model)
-                bn = 512
-                d_pps32, tb = cpu_rate_32core(
-                    lambda: dnat.complete_analysis_refstyle(
-                        dargs, *dextent, bn, bn, threads=0),
-                    bn * bn,
-                )
-                emit(
-                    "cpu_refstyle_512_d5",
-                    ms_best=round(tb * 1e3, 1),
-                    mpts_per_s_32core=round(d_pps32 / 1e6, 2),
-                    note="ref-architecture C (5 indirect calls/px), x32 cores",
-                )
-        except Exception as e:
-            log(f"cfg4 cpu baseline FAILED: {type(e).__name__}: {e}")
-        emit(
-            "cfg4_d5_edf64_pallas_1024",
-            ms_per_call=round(t * 1e3, 3),
-            gpts_per_s=round(pts_rate / 1e9, 3),
-            eps_v_finite_frac_256=round(finite, 4),
-            engine="pallas_edf64 (range-extended df32)",
-            **({"vs_ref32": round(pts_rate / d_pps32, 2)} if d_pps32 else {}),
-        )
-    except Exception as e:
-        log(f"cfg4 d5 df64 FAILED: {type(e).__name__}: {e}")
-
-    # ---------------- config 5: pod-sweep slice (1 chip) ------------------- #
-    # BASELINE config 5 is 10⁶ parameter combos × 512² sharded over a pod;
-    # one chip's unit of work is a sub-batch scanned in a single batched
-    # df64 kernel launch.  Measure S=32 sets × 512² with an on-device
-    # reduction (min consistency per set) and report configs/hour/chip.
-    try:
-        from inflatox_tpu.parallel import parameter_sweep
-
-        S = 32
-        sweep_args = np.linspace(0.5, 2.0, S)[:, None]
-        t0 = time.perf_counter()
-        res = parameter_sweep(
-            al, sweep_args, extent, (512, 512), progress=False,
-            engine="pallas_df64",
-            reduce_fn=lambda maps: jnp.nanmin(maps[0]),
-        )
-        _ = np.asarray(res)
-        t_cold = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        res = parameter_sweep(
-            al, sweep_args, extent, (512, 512), progress=False,
-            engine="pallas_df64",
-            reduce_fn=lambda maps: jnp.nanmin(maps[0]),
-        )
-        _ = np.asarray(res)
-        t_warm = time.perf_counter() - t0
-        cfgs_hr = S / t_warm * 3600.0
-        emit(
-            "cfg5_sweep_df64_32x512",
-            s_warm=round(t_warm, 3),
-            s_cold=round(t_cold, 2),
-            configs_per_hour_per_chip=round(cfgs_hr),
-            note="32 param sets x 512^2, one batched df64 launch/device, "
-                 "on-device min-consistency reduction (wall incl. dispatch)",
-        )
-    except Exception as e:
-        log(f"cfg5 sweep FAILED: {type(e).__name__}: {e}")
-
-    # cfg5b: batched on-device background-trajectory solves (the other half
-    # of BASELINE config 5's description)
-    try:
-        from inflatox_tpu import background
-
-        B, steps = 256, 2000
-        rng = np.random.default_rng(0)
-        f0 = np.stack([rng.uniform(1.5, 2.5, B), rng.uniform(1.5, 2.5, B)], 1)
-        d0 = np.zeros((B, 2))
-        t0 = time.perf_counter()
-        out = background.solve_eom_batch(al.artifact, args, steps, f0, d0,
-                                         solver="rkf")
-        _ = np.asarray(out)
-        t_cold = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = background.solve_eom_batch(al.artifact, args, steps, f0, d0,
-                                         solver="rkf")
-        _ = np.asarray(out)
-        t_warm = time.perf_counter() - t0
-        s_traj32 = None
-        try:
-            from inflatox_tpu.native import NativeModel, native_available
-
-            if native is not None:
-                nb_traj = 8
-                inits = np.concatenate([f0[:nb_traj], d0[:nb_traj]], axis=1)
-                rate32, tb = cpu_rate_32core(
-                    lambda: native.solve_eom_rkf(args, inits, steps,
-                                                 threads=0),
-                    nb_traj,
-                )
-                s_traj32 = rate32
-                emit(
-                    "cpu_solver_rkf_8x2000",
-                    s_best=round(tb, 3),
-                    traj_per_s_32core=round(rate32, 1),
-                    note="ref-style C RKF45 (fn-pointer EoM calls), "
-                         "sequential/trajectory, x32 cores",
-                )
-        except Exception as e:
-            log(f"cfg5b cpu baseline FAILED: {type(e).__name__}: {e}")
-        emit(
-            "cfg5b_batched_solves_256x2000",
-            s_warm=round(t_warm, 3),
-            s_cold=round(t_cold, 2),
-            trajectories_per_s=round(B / t_warm, 1),
-            note="256 RKF45 trajectories x 2000 output rows, one vmapped "
-                 "launch (wall incl. dispatch + fetch)",
-            **({"vs_ref32": round(B / t_warm / s_traj32, 4),
-                "note_ref": "trivial-EoM model: a C solver's per-step cost "
-                            "is ~ns while the batch path pays while_loop + "
-                            "emulated-f64 overhead — see the Pallas DF "
-                            "solver (cfg5d) for the TPU-native answer"}
-               if s_traj32 else {}),
-        )
-    except Exception as e:
-        log(f"cfg5b solves FAILED: {type(e).__name__}: {e}")
-
-    # cfg5d: the Pallas DF background solver (round 3) — device-only time
-    # (the full-trajectory fetch is host-transfer-bound through the tunnel
-    # and measured nowhere near production PCIe rates).  The while-loop
-    # path above (cfg5b) remains the off-TPU / interpreter fallback (the
-    # Pallas solver covers any field count).
-    try:
-        from inflatox_tpu.ops import pallas_solver as psolve
-
-        Bd, steps_d = 4096, 2000
-        rng_d = np.random.default_rng(0)
-        f0d = np.stack([rng_d.uniform(1.5, 2.5, Bd),
-                        rng_d.uniform(1.5, 2.5, Bd)], 1)
-        n_blocks = Bd // psolve._TRAJ_BLOCK
-        cols = [f0d[:, 0], f0d[:, 1], np.zeros(Bd), np.zeros(Bd)]
-        planes = []
-        for c in cols:
-            hi_p, lo_p = psolve._split_planes(np.asarray(c, np.float64),
-                                              n_blocks)
-            planes.append(jnp.asarray(hi_p))
-            planes.append(jnp.asarray(lo_p))
-        # exact (hi, lo) parameter pairs
-        prs = []
-        for v in args:
-            h = float(np.float32(v))
-            prs.extend([h, float(v) - h])
-        scal_s = jnp.asarray(prs + [0.0], jnp.float32)
-
-        def timed_solver():
-            t0 = time.perf_counter()
-            outs = psolve._launch_solver(scal_s, tuple(planes), artifact,
-                                         steps_d, n_blocks, False, 1e-6)
-            jax.block_until_ready(outs)
-            float(outs[0][0, 0, 0])
-            return time.perf_counter() - t0
-
-        timed_solver()
-        t_dev = min(timed_solver() for _ in range(3))
-        rate = Bd / t_dev
-        emit(
-            "cfg5d_pallas_solver_4096x2000",
-            s_device=round(t_dev, 3),
-            trajectories_per_s=round(rate),
-            **({"vs_ref32": round(rate / s_traj32, 2)}
-               if "s_traj32" in dir() and s_traj32 else {}),
-            engine="pallas DF RKF45 (ops/pallas_solver.py), device time, "
-                   "one-element fetch",
-        )
-    except Exception as e:
-        log(f"cfg5d pallas solver FAILED: {type(e).__name__}: {e}")
-
-    # cfg5e: basin survey — the end-to-end product surface over cfg5d's
-    # kernel: chunked Pallas-solver launches + ON-DEVICE trajectory
-    # reduction (ε_H = 1 crossing, e-fold count) + (B,) summary fetch
-    try:
-        from inflatox_tpu import background as bkg
-
-        Bs = 4096
-        rng_s = np.random.default_rng(1)
-        f0s = np.stack([rng_s.uniform(1.5, 2.5, Bs),
-                        rng_s.uniform(1.5, 2.5, Bs)], 1)
-
-        def timed_survey():
-            t0 = time.perf_counter()
-            sv = bkg.survey_initial_conditions(
-                al.artifact, args, 2000, f0s, np.zeros(2),
-                max_err=1e-6, chunk=Bs,
-            )
-            return time.perf_counter() - t0, sv
-
-        timed_survey()
-        t_sv, sv = min((timed_survey() for _ in range(3)),
-                       key=lambda p: p[0])
-        emit(
-            "cfg5e_basin_survey_4096x2000",
-            s_wall=round(t_sv, 3),
-            ics_per_s=round(Bs / t_sv),
-            ended_frac=round(float(sv["ended"].mean()), 4),
-            note="survey_initial_conditions end-to-end: Pallas DF solves + "
-                 "on-device eps=1 reduction, only (B,) summaries fetched",
-        )
-    except Exception as e:
-        log(f"cfg5e basin survey FAILED: {type(e).__name__}: {e}")
-
-    # cfg5c: checkpointed-sweep kill/resume rehearsal (VERDICT r2 item 5).
-    # A worker subprocess runs a checkpointed 1024×512² sweep, is SIGKILLed
-    # mid-run, then resumed; the summary verifies chunk preservation and
-    # reports the sustained checkpointed rate.  The full-depth run (10⁴
-    # configs, this round) is recorded in BASELINE.md.
-    try:
-        import shutil
-        import subprocess
-        import sys as _sys
-
-        rdir = "/tmp/inflx_bench_rehearse"
-        shutil.rmtree(rdir, ignore_errors=True)
-        proc = subprocess.run(
-            [_sys.executable, "scripts/sweep_rehearsal.py", "rehearse",
-             "--dir", rdir, "--configs", "512", "--chunk", "32",
-             "--shape", "512"],
-            capture_output=True, text=True, timeout=1800,
-        )
-        tail_ln = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-        if tail_ln:
-            summary = json.loads(tail_ln[-1])
-            emit(
-                "cfg5c_sweep_kill_resume_512x512",
-                ok=summary.get("ok"),
-                killed_after_chunks=summary.get("killed_after_chunks"),
-                chunks_resumed=summary.get("chunks_resumed"),
-                sustained_configs_per_hour_per_chip=summary.get(
-                    "sustained_configs_per_hour_per_chip"
-                ),
-                jit_warmup_s=summary.get("jit_warmup_s"),
-                note="checkpointed sweep SIGKILLed mid-run then resumed; "
-                     "sustained rate excludes per-process jit warmup "
-                     "(reported separately); 10^4-config rehearsal in "
-                     "BASELINE.md",
-            )
-        shutil.rmtree(rdir, ignore_errors=True)
-    except Exception as e:
-        log(f"cfg5c rehearsal FAILED: {type(e).__name__}: {e}")
-
-    # ---------------- cfg6: perturbation-spectra sweeps -------------------- #
-    # The three spectra routes the reference cannot express (VERDICT r3
-    # weak #5: correctness-tested but unbenched).  No reference denominator
-    # exists — these rows are regression anchors, not comparisons.  Model:
-    # the φ² two-field quadratic on a flat field space (the δN/MS/transport
-    # cross-validation model, tests/test_perturbations.py).
-    quad_art = None
-    try:
-        import sympy as _sp
-
-        from inflatox_tpu import perturbations as _pert
-
-        _p1, _p2, _m1, _m2 = _sp.symbols("p1 p2 m1 m2", real=True)
-        _V = (_sp.Rational(1, 2) * (_m1 * _p1) ** 2
-              + _sp.Rational(1, 2) * (_m2 * _p2) ** 2)
-        _qm = inflatox.InflationModelBuilder.new(
-            [_p1, _p2], [[1, 0], [0, 1]], _V, silent=True
-        ).build()
-        quad_art = inflatox.Compiler(_qm, silent=True).compile()
-        S6 = 16
-        pars6 = np.stack([np.linspace(0.9, 1.1, S6), np.ones(S6)], 1)
-        kw6 = dict(pivots=8, N_margin_start=5.0, N_margin_end=8.0,
-                   steps=2000)
-
-        def run_dn():
-            t0 = time.perf_counter()
-            sw = _pert.delta_n_sweep(quad_art, pars6, [12.0, 0.0],
-                                     [0.0, 0.0], max_err=1e-8, **kw6)
-            assert bool(sw["ok"].all())
-            return time.perf_counter() - t0
-
-        run_dn()  # compile
-        t_dn = min(run_dn() for _ in range(2))
-        emit(
-            "cfg6_delta_n_sweep_16x8piv",
-            s_wall=round(t_dn, 2),
-            configs_per_hr_per_chip=round(S6 / t_dn * 3600.0),
-            note="end-to-end deltaN sweep (batched solve + surface + "
-                 "stencil), 8 pivots, steps=2000; no reference equivalent",
-        )
-    except Exception as e:
-        log(f"cfg6 delta_n_sweep FAILED: {type(e).__name__}: {e}")
+            log(f"{name} FAILED: {type(e).__name__}: {e}")
 
     try:
-        if quad_art is not None:
-            S6b = 8
-            pars6b = np.stack([np.linspace(0.9, 1.1, S6b), np.ones(S6b)], 1)
-            kwm = dict(pivots=8, N_margin_start=5.0, N_margin_end=8.0,
-                       steps=2000)
-
-            def run_ms():
-                t0 = time.perf_counter()
-                sw = _pert.mode_sweep(
-                    quad_art, pars6b, [12.0, 0.0], [0.0, 0.0], **kwm)
-                assert bool(sw["ok"].all())
-                return time.perf_counter() - t0
-
-            run_ms()
-            t_ms = min(run_ms() for _ in range(2))
-            emit(
-                "cfg6b_mode_sweep_8x8piv",
-                s_wall=round(t_ms, 2),
-                configs_per_hr_per_chip=round(S6b / t_ms * 3600.0),
-                note="Mukhanov-Sasaki mode-integration sweep, 8 pivots; "
-                     "no reference equivalent",
-            )
-
-            def run_tr():
-                t0 = time.perf_counter()
-                sw = _pert.transport_sweep(
-                    quad_art, pars6b, [12.0, 0.0], [0.0, 0.0], **kwm)
-                assert bool(sw["ok"].all())
-                return time.perf_counter() - t0
-
-            run_tr()
-            t_tr = min(run_tr() for _ in range(2))
-            emit(
-                "cfg6c_transport_sweep_8x8piv",
-                s_wall=round(t_tr, 2),
-                configs_per_hr_per_chip=round(S6b / t_tr * 3600.0),
-                note="moment-transport spectra sweep, 8 pivots; no "
-                     "reference equivalent",
-            )
-    except Exception as e:
-        log(f"cfg6b/6c spectra sweeps FAILED: {type(e).__name__}: {e}")
-
-    # ---------------- cfg7: HMC sampling throughput ------------------------ #
-    try:
-        from inflatox_tpu import inference as _inf
-
-        if quad_art is not None:
-            def _prior(th):  # pins the rescaling-blind direction
-                return -0.5 * jnp.sum(((th - 1.0) / 0.05) ** 2)
-
-            logp = _inf.observable_log_posterior(
-                quad_art, np.array([12.0, 0.5]),
-                data={"n_s": 0.965, "r": 0.06},
-                sigma={"n_s": 0.004, "r": 0.01},
-                prior=_prior,
-            )
-            chains, warm, samp, L = 32, 200, 200, 32
-
-            def run_hmc():
-                t0 = time.perf_counter()
-                out = _inf.sample_posterior(
-                    logp, np.array([1.0, 1.0]), num_samples=samp,
-                    num_warmup=warm, num_chains=chains, num_leapfrog=L,
-                    seed=3,
-                )
-                assert np.isfinite(out["samples"]).all()
-                return time.perf_counter() - t0
-
-            run_hmc()  # compile
-            t_hmc = min(run_hmc() for _ in range(2))
-            lf_total = (warm + samp) * L * chains
-            emit(
-                "cfg7_hmc_32chain_quadratic",
-                s_wall=round(t_hmc, 2),
-                leapfrog_steps_per_s=round(lf_total / t_hmc),
-                leapfrog_steps_per_s_per_chain=round(
-                    lf_total / t_hmc / chains),
-                note="adaptive HMC over observable_log_posterior (n_s, r), "
-                     "32 chains x 400 transitions x 32 leapfrog; one "
-                     "gradient eval per leapfrog step; no reference "
-                     "equivalent",
-            )
-    except Exception as e:
-        log(f"cfg7 hmc FAILED: {type(e).__name__}: {e}")
-
-    # re-measure the CPU baseline at the end and keep the FASTER reading —
-    # a transiently busy host during either phase would otherwise corrupt
-    # every vs_* field (observed: a contended run read 537 ms best-of-10
-    # vs ~190 ms on a quiet host, flattering vs_baseline ~3×)
-    try:
-        if native is not None and baseline_pps is not None:
-            pps2, ts2 = cpu_baseline(native, args, extent, nb, repeats=6)
-            if pps2 > baseline_pps:
-                log(json.dumps({
-                    "note": "end-of-run CPU baseline faster; using it",
-                    "ms_best_start": MATRIX["cpu_refstyle_1024_hyper"]["ms_best"],
-                    "ms_best_end": round(ts2[0] * 1e3, 1),
-                }))
-                baseline_pps = pps2
-                MATRIX["cpu_refstyle_1024_hyper"]["ms_best"] = round(ts2[0] * 1e3, 1)
-                MATRIX["cpu_refstyle_1024_hyper"]["mpts_per_s_32core"] = round(
-                    baseline_pps / 1e6, 1
-                )
-                # only cfg1 rows are measured against the hyper baseline;
-                # cfg2/3/4 carry their OWN per-config CPU baselines and
-                # cfg5b/5d the solver baseline — leave those untouched
-                for cfg, fields in MATRIX.items():
-                    if not cfg.startswith("cfg1"):
-                        continue
-                    if "vs_ref32" in fields and fields.get("gpts_per_s"):
-                        fields["vs_ref32"] = round(
-                            fields["gpts_per_s"] * 1e9 / baseline_pps, 2
-                        )
-                    elif "vs_ref32" in fields and fields.get("mpts_per_s"):
-                        fields["vs_ref32"] = round(
-                            fields["mpts_per_s"] * 1e6 / baseline_pps, 2
-                        )
+        run_final_baseline_recheck(ctx)
     except Exception as e:
         log(f"baseline re-measure failed: {e}")
 
@@ -1018,15 +1362,15 @@ def main():
     except Exception as e:
         log(f"matrix write failed: {e}")
 
-    if t_head is None:
+    if ctx.t_head is None:
         print(json.dumps({
             "metric": "complete_analysis_4096x4096_df64_points_per_sec",
             "value": None, "unit": "points/s", "vs_baseline": None,
         }))
         return
 
-    value = pts / t_head
-    vs_baseline = (value / baseline_pps) if baseline_pps else None
+    value = HYPER_N * HYPER_N / ctx.t_head
+    vs_baseline = (value / ctx.baseline_pps) if ctx.baseline_pps else None
     print(json.dumps({
         "metric": "complete_analysis_4096x4096_df64_points_per_sec",
         "value": round(value, 1),
@@ -1043,7 +1387,8 @@ def main():
         ),
         "chips_measured": 1,
         "north_star_chips": 8,
-        "method": "amortized K-iteration device loop; matrix in BENCH_MATRIX.json",
+        "method": "amortized K-iteration device loop; matrix in "
+                  "BENCH_MATRIX.json",
     }))
 
 

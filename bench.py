@@ -974,12 +974,16 @@ def run_cfg5b_batched_solves(ctx):
 
 
 def run_cfg5d_pallas_solver(ctx):
-    """The Pallas DF background solver — device-only time (the
-    full-trajectory fetch is host-transfer-bound through the tunnel and
-    measured nowhere near production PCIe rates).  The while-loop path
-    (cfg5b) remains the off-TPU / interpreter fallback."""
+    """The Pallas DF background solver — amortized K-chained device time.
+    Round 5 replaced the single-launch best-of-3 here: each ~60-70 ms
+    sample was ~50 ms of tunnel dispatch around a ~13 ms kernel (the
+    ADVICE-r4 methodology point), which understated the solver ~5× and
+    drove round 4's misdirected row-loop ablation.  The chain feeds a
+    probe of launch K's output into launch K+1's scalars, so launches
+    serialize on device and dispatch cancels in the K-difference."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from inflatox_tpu.ops import pallas_solver as psolve
 
@@ -989,39 +993,32 @@ def run_cfg5d_pallas_solver(ctx):
     f0d = np.stack([rng_d.uniform(1.5, 2.5, Bd),
                     rng_d.uniform(1.5, 2.5, Bd)], 1)
     n_blocks = Bd // psolve._TRAJ_BLOCK
-    cols = [f0d[:, 0], f0d[:, 1], np.zeros(Bd), np.zeros(Bd)]
-    planes = []
-    for c in cols:
-        hi_p, lo_p = psolve._split_planes(np.asarray(c, np.float64),
-                                          n_blocks)
-        planes.append(jnp.asarray(hi_p))
-        planes.append(jnp.asarray(lo_p))
-    # exact (hi, lo) parameter pairs
-    prs = []
-    for v in HYPER_ARGS:
-        h = float(np.float32(v))
-        prs.extend([h, float(v) - h])
-    scal_s = jnp.asarray(prs + [0.0], jnp.float32)
+    scal_s, planes = psolve._build_planes(
+        f0d, np.zeros((Bd, 2)), np.asarray(HYPER_ARGS), False, 2, n_blocks)
+    planes = tuple(planes)
 
-    def timed_solver():
-        t0 = time.perf_counter()
-        outs = psolve._launch_solver(scal_s, tuple(planes), artifact,
-                                     steps_d, n_blocks, False, 1e-6)
-        jax.block_until_ready(outs)
-        float(outs[0][0, 0, 0])
-        return time.perf_counter() - t0
+    @jax.jit
+    def chain(s, K):
+        def body(_, carry):
+            ss, acc = carry
+            outs = psolve._launch_solver(ss, planes, artifact, steps_d,
+                                         n_blocks, False, 1e-6)
+            probe = outs[0][(0,) * outs[0].ndim]
+            return (ss.at[-1].add(probe * 0.0), acc + probe)
 
-    timed_solver()
-    t_dev = min(timed_solver() for _ in range(3))
+        _, acc = lax.fori_loop(0, K, body, (s, jnp.float32(0.0)))
+        return acc
+
+    t_dev = amortized(chain, (scal_s,), K1=1, K2=5)
     rate = Bd / t_dev
     emit(
         "cfg5d_pallas_solver_4096x2000",
-        s_device=round(t_dev, 3),
+        s_device=round(t_dev, 4),
         trajectories_per_s=round(rate),
         **({"vs_ref32": round(rate / ctx.s_traj32, 2)}
            if ctx.s_traj32 else {}),
-        engine="pallas DF RKF45 (ops/pallas_solver.py), device time, "
-               "one-element fetch",
+        engine="pallas DF RKF45 (ops/pallas_solver.py; fused-output "
+               "block_mult=2 kernel), amortized K-chained device time",
     )
 
 

@@ -48,6 +48,55 @@ _SUB, _LANES = 8, 128
 _TRAJ_BLOCK = _SUB * _LANES  # 1024 trajectories per grid step
 _ROW_CHUNK = 64              # output rows per sequential grid step
 _MAX_ATTEMPTS = 8
+#: default kernel-shape knobs (see _launch_solver).  Folded to what the
+#: launch shape supports; per-lane results are bit-identical across them.
+#: Round-5 defaults from the hardware sweep (scripts/probe_r5_solver.py,
+#: amortized K-chain): block_mult=2 + fused_out at row_unroll=2 measured
+#: 10.8-11.6 ms vs 12.7-13.2 ms for the round-4 shape at cfg5d — wider
+#: blocks amortize the sequential row loop's per-iteration cost, the fused
+#: ref turns 12 single-row dynamic stores into one; bm=4 exceeds the 16 MB
+#: scoped-VMEM limit.
+_BLOCK_MULT = 2
+_FUSED_OUT = True
+#: scoped-VMEM budget for the double-buffered fused output block; beyond it
+#: Mosaic refuses to compile (measured: bm4 fused = 24.3 MB > 16 MB limit)
+_FUSED_VMEM_BUDGET = 13 << 20
+
+
+def _fold_bm(n_traj_blocks, block_mult=None, n_words=None,
+             fused=None):
+    """The block_mult actually used for a launch: the largest value ≤ the
+    knob that divides ``n_traj_blocks`` AND (for the fused layout, whose
+    output block grows with field count) keeps the double-buffered output
+    block inside the scoped-VMEM budget — mirrored by _launch_solver."""
+    bm = max(1, int(_BLOCK_MULT if block_mult is None else block_mult))
+    fused = _FUSED_OUT if fused is None else fused
+
+    def fits(b):
+        if not fused or n_words is None:
+            return True
+        blk = _ROW_CHUNK * n_words * b * _SUB * _LANES * 4
+        return 2 * blk <= _FUSED_VMEM_BUDGET
+
+    while bm > 1 and (n_traj_blocks % bm or not fits(bm)):
+        bm -= 1
+    return bm
+
+
+def _fused_fits(n_words) -> bool:
+    """Whether the fused single-ref layout fits VMEM at all (bm = 1) for
+    this field count; very wide states fall back to separate refs."""
+    return 2 * _ROW_CHUNK * n_words * _SUB * _LANES * 4 <= _FUSED_VMEM_BUDGET
+
+
+def _resolved_layout(n_traj_blocks, nf):
+    """(block_mult, fused_out, S, n_words) the default-knob launch will
+    actually use — callers that reshape the outputs must agree with
+    _launch_solver on this."""
+    n_words = 2 * (2 * nf + 2)
+    fused = _FUSED_OUT and _fused_fits(n_words)
+    bm = _fold_bm(n_traj_blocks, None, n_words=n_words, fused=fused)
+    return bm, fused, bm * _SUB, n_words
 
 
 def _deriv(fns, y, args, nf):
@@ -123,21 +172,24 @@ def _pack(dfs, tail):
 
 def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
                    n_chunks=None, max_err=None, per_traj=False, nf=2,
-                   row_unroll=1):
+                   row_unroll=1, fused_out=False):
     """refs = 4·nf init planes [+ 2·n_params per-trajectory parameter planes
-    when ``per_traj``], then 2·(2nf+2) output planes ((state comps + t) ×
-    hi/lo), then 2·(2nf+1)+3 scratch planes (state × hi/lo + t hi/lo + dt).
+    when ``per_traj``], then the output planes — 2·(2nf+2) separate refs
+    ((state comps + t) × hi/lo), or ONE fused ref with all 2·(2nf+2)
+    component words stacked along sublanes when ``fused_out`` — then
+    2·(2nf+1)+3 scratch planes (state × hi/lo + t hi/lo + dt).
     ``nf`` = number of fields; the state is [φ_a..., χ_a..., H]."""
     from ..lowering.df32 import DF  # noqa: PLC0415
 
     ns = 2 * nf + 1
     n_init = 4 * nf
     n_par_planes = 2 * n_params if per_traj else 0
+    n_out = 1 if fused_out else 2 * (ns + 1)
     in_refs = refs[:n_init]
     par_refs = refs[n_init:n_init + n_par_planes]
     out_refs = refs[n_init + n_par_planes:
-                    n_init + n_par_planes + 2 * (ns + 1)]
-    scr = refs[n_init + n_par_planes + 2 * (ns + 1):]
+                    n_init + n_par_planes + n_out]
+    scr = refs[n_init + n_par_planes + n_out:]
     # NB: literal python ints trace as i64 under x64, which Mosaic
     # cannot legalize — keep index arithmetic in explicit i32
     rc = pl.program_id(1)
@@ -244,12 +296,20 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
         out_att = lax.while_loop(att_cond, att_body, att0)
         y_, t_, dt_ = unpack_state(out_att[2:])
 
-        # write this row (hi, lo planes per component + time)
+        # this row's output (hi, lo planes per component + time)
         vals = [*y_, t_]
+        if fused_out:
+            # one (2·(ns+1)·S, L) sublane-stacked row — stored by the
+            # caller, either per row or as a staged multi-row slab (the
+            # round-4 ablation measured the 12 separate single-row dynamic
+            # stores as part of the row-loop floor)
+            row = jnp.concatenate(
+                [w for v in vals for w in (v.hi, v.lo)], axis=0)
+            return _pack([*y_, t_], (dt_,)), row
         for k, v in enumerate(vals):
             out_refs[2 * k][pl.ds(local, 1), :, :] = v.hi[None]
             out_refs[2 * k + 1][pl.ds(local, 1), :, :] = v.lo[None]
-        return _pack([*y_, t_], (dt_,))
+        return _pack([*y_, t_], (dt_,)), None
 
     carry0 = _pack([*y, t], (dt,))
     # i32 bounds: python-int bounds make the loop counter i64 under
@@ -269,8 +329,21 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
 
     def unrolled_body(j, carry):
         base = j * jnp.int32(row_unroll)
-        for u in range(row_unroll):
-            carry = row_body(base + jnp.int32(u), carry)
+        if fused_out:
+            # staged multi-row store: accumulate the unrolled rows and
+            # write them as ONE dynamic-slice slab — with the fused output
+            # ref this folds row_unroll × 12 single-row stores into a
+            # single (row_unroll, C, L) store per unrolled group
+            rows = []
+            for u in range(row_unroll):
+                carry, row = row_body(base + jnp.int32(u), carry)
+                rows.append(row)
+            slab = (rows[0][None] if row_unroll == 1
+                    else jnp.stack(rows, axis=0))
+            out_refs[0][pl.ds(base, row_unroll), :, :] = slab
+        else:
+            for u in range(row_unroll):
+                carry, _ = row_body(base + jnp.int32(u), carry)
         return carry
 
     out = lax.fori_loop(jnp.int32(0), jnp.int32(_ROW_CHUNK // row_unroll),
@@ -284,41 +357,70 @@ def _solver_kernel(scal_ref, *refs, model=None, n_params=None, steps=None,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "n_traj_blocks", "interpret",
-                     "max_err", "per_traj", "row_unroll"),
+                     "max_err", "per_traj", "row_unroll", "block_mult",
+                     "fused_out"),
 )
 def _launch_solver(scalars, init_planes, model, steps, n_traj_blocks,
-                   interpret, max_err, per_traj=False, row_unroll=2):
+                   interpret, max_err, per_traj=False, row_unroll=2,
+                   block_mult=None, fused_out=None):
+    """``block_mult`` fuses that many (8, 128) trajectory blocks into one
+    kernel instance (amortizing the sequential row loop's per-iteration
+    cost over block_mult× trajectories; folded to a divisor of
+    ``n_traj_blocks`` that fits VMEM); ``fused_out`` stacks all 2·(ns+1)
+    output words along sublanes in ONE ref so each row (or unrolled row
+    group) costs a single dynamic store.  ``None`` knobs take the
+    measured module defaults.  Per-lane results are bit-identical across
+    both knobs (all update logic is lane-masked)."""
     nf = model.n_fields
     ns = 2 * nf + 1
     n_chunks = -(-steps // _ROW_CHUNK)
     rows_pad = n_chunks * _ROW_CHUNK
-    grid = (n_traj_blocks, n_chunks)
+    n_words = 2 * (ns + 1)
+    fused_out = _FUSED_OUT if fused_out is None else fused_out
+    fused_out = fused_out and _fused_fits(n_words)
+    bm = _fold_bm(n_traj_blocks, block_mult, n_words=n_words,
+                  fused=fused_out)
+    S = bm * _SUB
+    grid = (n_traj_blocks // bm, n_chunks)
     kernel = functools.partial(
         _solver_kernel, model=model, n_params=model.n_parameters,
         steps=steps, n_chunks=n_chunks, max_err=float(max_err),
         per_traj=per_traj, nf=nf, row_unroll=row_unroll,
+        fused_out=fused_out,
     )
     n_in = 4 * nf + (2 * model.n_parameters if per_traj else 0)
     in_specs = [
-        pl.BlockSpec((_SUB, _LANES), lambda b, rc, *_: (b, b * 0))
+        pl.BlockSpec((S, _LANES), lambda b, rc, *_: (b, b * 0))
         for _ in range(n_in)
     ]
-    out_specs = tuple(
-        pl.BlockSpec((_ROW_CHUNK, _SUB, _LANES), lambda b, rc, *_: (rc, b, b * 0))
-        for _ in range(2 * (ns + 1))
-    )
-    out_shape = tuple(
-        jax.ShapeDtypeStruct((rows_pad, n_traj_blocks * _SUB, _LANES),
-                             jnp.float32)
-        for _ in range(2 * (ns + 1))
-    )
+    if fused_out:
+        out_specs = (
+            pl.BlockSpec((_ROW_CHUNK, n_words * S, _LANES),
+                         lambda b, rc, *_: (rc, b, b * 0)),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct(
+                (rows_pad, (n_traj_blocks // bm) * n_words * S, _LANES),
+                jnp.float32),
+        )
+    else:
+        out_specs = tuple(
+            pl.BlockSpec((_ROW_CHUNK, S, _LANES),
+                         lambda b, rc, *_: (rc, b, b * 0))
+            for _ in range(n_words)
+        )
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((rows_pad, n_traj_blocks * _SUB, _LANES),
+                                 jnp.float32)
+            for _ in range(n_words)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=(
-            [pltpu.VMEM((_SUB, _LANES), jnp.float32)] * (2 * ns + 3)
+            [pltpu.VMEM((S, _LANES), jnp.float32)] * (2 * ns + 3)
         ),
     )
     return pl.pallas_call(
@@ -330,6 +432,16 @@ def _launch_solver(scalars, init_planes, model, steps, n_traj_blocks,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
     )(scalars, *init_planes)
+
+
+def _split_fused(out, ns, S):
+    """Fused-output array → list of 2·(ns+1) per-word arrays with the SAME
+    (rows, B_padded, lanes) layout the separate-ref path produces (the
+    sublane-stacking order is word-major inside each grid block)."""
+    n_words = 2 * (ns + 1)
+    rows, total, lanes = out.shape
+    a = out.reshape(rows, total // (n_words * S), n_words, S, lanes)
+    return [a[:, :, w].reshape(rows, -1, lanes) for w in range(n_words)]
 
 
 def _split_planes(v, n_blocks):
@@ -482,6 +594,14 @@ def solve_eom_batch_pallas(
     outs = _launch_solver(scalars, tuple(planes), artifact, int(steps),
                           n_blocks, bool(interpret), float(max_err),
                           per_traj=per_traj)
+    ns = 2 * nf + 1
+    _, fused, S, _ = _resolved_layout(n_blocks, nf)
+    if fused:
+        if combine == "device":
+            outs = tuple(_split_fused(outs[0], ns, S))
+        else:
+            # ONE host fetch for the whole fused array, then numpy views
+            outs = _split_fused(np.asarray(outs[0]), ns, S)
     if combine == "device":
         return _combine_outputs_device(tuple(outs), nf, int(steps), int(B))
     return _combine_outputs(outs, nf, steps, B, return_time)

@@ -179,6 +179,16 @@ def _sharded_solve_pallas(
         )
     )
     outs = fn(scalars, *planes)
+    # fused-layout launches return ONE sublane-stacked array per device;
+    # concatenation along the sharded axis keeps the block-major layout, so
+    # the per-device split geometry applies globally
+    ns = 2 * nf + 1
+    _, fused, S, _ = ps._resolved_layout(blocks_local, nf)
+    if fused:
+        if combine == "device":
+            outs = tuple(ps._split_fused(outs[0], ns, S))
+        else:
+            outs = ps._split_fused(np.asarray(outs[0]), ns, S)
     if combine == "device":
         return ps._combine_outputs_device(tuple(outs), nf, int(steps),
                                           int(B))

@@ -265,10 +265,12 @@ class CompiledModel:
                     if name not in self._DF32_HYP:
                         # Bessel family: the engine needs a static order —
                         # integer (any), or fractional inside the df32
-                        # engine's envelope (round 3: |ν| ≤ 8, ≥ 0.05 from
-                        # the nearest integer — df32_special fractional
-                        # paths; sph_jn/yn remain integer-only).  Anything
-                        # non-literal is conservative-False.
+                        # engine's envelope (round 5: ANY non-integer
+                        # |ν| ≤ 30, near-integer included via the
+                        # reduced-order Temme/CF2 route; fractional
+                        # spherical orders via the half-integer
+                        # connection, |ν| ≤ 29.5).  Anything non-literal
+                        # is conservative-False.
                         try:
                             from fractions import Fraction  # noqa: PLC0415
 
@@ -281,9 +283,11 @@ class CompiledModel:
                                 _static_frac_order,
                             )
 
-                            if name in ("sph_jn", "sph_yn") or (
-                                _static_frac_order(v) is None
-                            ):
+                            if name in ("sph_jn", "sph_yn"):
+                                if abs(v) > 29.5:
+                                    ok = False
+                                    break
+                            elif _static_frac_order(v) is None:
                                 ok = False
                                 break
                 if not ok:

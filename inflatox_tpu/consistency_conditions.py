@@ -1039,7 +1039,8 @@ class GeneralisedAL(InflationCondition):
         dtype = dtype or self.dtype
         fn = self._cached_grid_fn("flag_quantum_dif", (N_x0, N_x1), dtype)
         flat = np.asarray(extent, dtype=float)
-        with Progress(_SCAN_MESSAGES["flag_quantum_dif"], enabled=progress):
+        with Progress(_SCAN_MESSAGES["flag_quantum_dif"], enabled=progress,
+                      total_ops=int(N_x0) * int(N_x1)):
             out = fn(
                 jnp.asarray(args, dtype),
                 jnp.asarray(flat, dtype),

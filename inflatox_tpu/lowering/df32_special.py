@@ -206,9 +206,34 @@ _FRAC_ZMAX = 15.0  # Miller/asymptotic handover: the 12-term DF Hankel
 # so the Miller chain only has to cover z ≤ 15 — at 44 steps instead of the
 # 80 a z ≤ 40 window would need (kernel-size lever; compile time scales
 # with the unrolled chain)
-_FRAC_NUMAX = 8.0
+_FRAC_NUMAX = 30.0  # round 5: matches the f64 engine's Steed order cap
+#: threshold below which the reflection route's 1/sin(νπ) loses too many
+#: bits and the reduced-order Temme/CF2 route takes over (round 5 — no
+#: longer an ENVELOPE bound: any non-integer |ν| ≤ 30 is supported)
 _FRAC_MIN_DIST = 0.05
+#: orders above this leave the validated full-order Hankel window and use
+#: the reduced-order (|μ| ≤ ½) route with upward recurrence instead
+_FRAC_FULL_NUMAX = 8.0
 _CF2_ITERS_DF = 60
+_TEMME_ITERS_DF = 18   # z ≤ 2: terms fall ~(z²/4)^i/(i!)² → <1e-16 by i≈13
+_CF2Y_ITERS_DF = 64
+
+
+def _frac_zh(a: float) -> float:
+    """Miller/asymptotic handover for order ``a``.  Above the turning point
+    z ≈ ν the Hankel expansion needs z ≫ ν²/8 at FULL order, so large
+    orders instead hand over to reduced-order (μ ∈ [−½, ½]) asymptotics
+    plus upward recurrence — valid once z is comfortably above a (J's
+    upward recurrence is stable only for z ≳ ν)."""
+    return _FRAC_ZMAX if a <= _FRAC_FULL_NUMAX else float(
+        int(1.25 * a + 6.0))
+
+
+def _miller_steps_for(zh: float, nmax: int) -> int:
+    """Chain length covering arguments ≤ zh and shifts ≤ nmax (44 at the
+    round-3 (15, 9) envelope; grows with both — kernel size scales with
+    the unrolled chain, so only models that use large orders pay)."""
+    return int(zh) + 29 + max(0, nmax - 9)
 
 
 # --- trace-scoped call memoization ----------------------------------------- #
@@ -262,12 +287,12 @@ def _memo(key, z_objs, compute):
 
 def _static_frac_order(nu):
     """The order as a Python float when it is a supported static non-integer
-    fractional order, else None."""
+    fractional order, else None.  Round 5: ANY non-integer |ν| ≤ 30 — the
+    reduced-order Temme/CF2 route removed the near-integer exclusion and
+    the full-order-asymptotic ν ≤ 8 cap."""
     if isinstance(nu, (int, float, np.floating)):
         v = float(nu)
-        if v != int(v) and abs(v) <= _FRAC_NUMAX and (
-            abs(v - round(v)) >= _FRAC_MIN_DIST
-        ):
+        if v != int(v) and abs(v) <= _FRAC_NUMAX:
             return v
     return None
 
@@ -284,11 +309,13 @@ def _i_series_nu(nu: float, z: DF) -> DF:
     return acc * dfm.pow(z * 0.5, nu) * (1.0 / math.gamma(nu + 1.0))
 
 
-def _miller_j(nu: float, z: DF, shifts=(0,)) -> dict:
-    """{s: J_{ν+s}(z)} for s in ``shifts`` (each < _MILLER_STEPS), for
-    0 < z ≤ _FRAC_ZMAX.  Downward recurrence from ν + _MILLER_STEPS with the
-    Neumann-sum normalization; every rescale is an exact power of two and
-    scales the sum alongside, so no exponent tracking is needed."""
+def _miller_j(nu: float, z: DF, shifts=(0,), steps=None) -> dict:
+    """{s: J_{ν+s}(z)} for s in ``shifts`` (each < ``steps``), for
+    0 < z ≤ the chain's argument window.  Downward recurrence from
+    ν + steps with the Neumann-sum normalization; every rescale is an exact
+    power of two and scales the sum alongside, so no exponent tracking is
+    needed."""
+    steps = _MILLER_STEPS if steps is None else int(steps)
     zi = DF.const(1.0) / z
     tiny = np.float32(2.0**-60)
     jp = DF(jnp.zeros_like(z.hi))
@@ -301,7 +328,7 @@ def _miller_j(nu: float, z: DF, shifts=(0,)) -> dict:
     outs: dict = {}
     shift_set = frozenset(shifts)
     gnu1 = math.gamma(nu + 1.0)
-    for k in range(_MILLER_STEPS, -1, -1):
+    for k in range(steps, -1, -1):
         if k % 2 == 0:
             kk = k // 2
             c = 1.0 if kk == 0 else (
@@ -365,30 +392,39 @@ def _jy_asym_df(nu: float, z: DF, kind: str) -> DF:
     return amp * (p * s + q * c)
 
 
-def _miller_j_memo(m: float, z: DF) -> dict:
-    """Memoized Miller chain at reduced base ``m``, emitting every shift the
-    fractional envelope can need (0..9): J- and Y-paths, and every J order
-    sharing the same fractional part, then reuse ONE chain per (base,
-    argument) — the kernel-size lever that makes fractional-Bessel models
-    compile (duplicate chains multiplied Mosaic compile time past an hour
-    before round 3's memoization)."""
+def _miller_j_memo(m: float, z: DF, nmax: int = 9,
+                   zh: float = _FRAC_ZMAX) -> dict:
+    """Memoized Miller chain at reduced base ``m``, emitting every shift up
+    to ``nmax``: J- and Y-paths, and every J order sharing the same
+    fractional part, then reuse ONE chain per (base, window) — the
+    kernel-size lever that makes fractional-Bessel models compile
+    (duplicate chains multiplied Mosaic compile time past an hour before
+    round 3's memoization).  ``nmax``/``zh`` are bucketed so calls at
+    nearby orders share a chain."""
+    nmax = 9 if nmax <= 9 else 5 * -(-nmax // 5)  # 9, 10, 15, 20, ...
+    zh = _FRAC_ZMAX if zh <= _FRAC_ZMAX else float(int(zh))
+    steps = _miller_steps_for(zh, nmax)
     return _memo(
-        ("miller", round(m, 12)), (z,),
+        ("miller", round(m, 12), nmax, zh), (z,),
         lambda: _miller_j(
-            m, dfm.minimum(z, DF.const(_FRAC_ZMAX)), shifts=tuple(range(10))
+            m, dfm.minimum(z, DF.const(zh)), shifts=tuple(range(nmax + 1)),
+            steps=steps,
         ),
     )
 
 
-def _jy_asym_memo(a: float, z: DF, kind: str) -> DF:
+def _jy_asym_memo(a: float, z: DF, kind: str,
+                  zh: float = _FRAC_ZMAX) -> DF:
     return _memo(
-        ("asym", kind, round(a, 12)), (z,),
-        lambda: _jy_asym_df(a, dfm.maximum(z, DF.const(_FRAC_ZMAX)), kind),
+        ("asym", kind, round(a, 12), round(zh, 6)), (z,),
+        lambda: _jy_asym_df(a, dfm.maximum(z, DF.const(zh)), kind),
     )
 
 
 def _besselj_frac_pos(a: float, z: DF) -> DF:
     """J_a for static a > 0 non-integer, z > 0."""
+    if _use_v2(a):
+        return _bessjy_v2_memo(a, z)[0]
     nl = int(math.floor(a))
     m = a - nl
     small = _miller_j_memo(m, z)[nl]
@@ -398,7 +434,11 @@ def _besselj_frac_pos(a: float, z: DF) -> DF:
 
 def _bessely_frac_pos(a: float, z: DF) -> DF:
     """Y_a for static a > 0 non-integer, z > 0: reduced-order double
-    reflection + stable upward recurrence (z ≤ 40), asymptotics beyond."""
+    reflection + stable upward recurrence (z ≤ 40), asymptotics beyond;
+    near-integer and > 8 orders take the Temme/CF2 reduced-order route
+    (_bessjy_frac_v2)."""
+    if _use_v2(a):
+        return _bessjy_v2_memo(a, z)[1]
     nl = int(math.floor(a))
     m = a - nl  # in (0, 1), bounded away from 0/1 by _FRAC_MIN_DIST
     pos = _miller_j_memo(m, z)          # J_m, J_{m+1}
@@ -485,16 +525,261 @@ def _besselk_frac_cf2_df(a: float, x: DF) -> DF:
     return rkmu
 
 
+# --------------------------------------------------------------------------- #
+# round 5: full fractional envelope (VERDICT r4 item 5).  The reflection
+# route above needs |ν − round(ν)| ≥ 0.05 (1/sin νπ) and full-order Hankel
+# asymptotics cap it at ν ≤ 8 (the expansion needs z ≫ ν²/8).  The
+# reduced-order route below works for ANY non-integer |ν| ≤ 30: reduce to
+# μ = ν − round(ν) ∈ [−½, ½], get J_{μ+k} from one Miller chain, Y_μ/Y_{μ+1}
+# from Temme's series (z ≤ 2, smooth through μ = 0) or Steed's complex CF2
+# (z ≥ 2), then stable upward recurrence — the same structure as the f64
+# XLA engine's _bessjy_steed (lowering/special.py:329-536) and NR bessjy,
+# in compensated DF arithmetic with per-element convergence freezing.
+# --------------------------------------------------------------------------- #
+
+
+def _temme_gam12(mu: float) -> tuple:
+    """(gam1, gam2, gampl, gammi) Temme auxiliaries at trace time:
+    gam1 = (1/Γ(1−μ) − 1/Γ(1+μ))/(2μ) via the NR Chebyshev fits (smooth
+    through μ = 0 where the Γ form cancels catastrophically)."""
+    from .special import _TEMME_G1, _TEMME_G2  # noqa: PLC0415
+
+    t = 2.0 * mu
+
+    def cheb(c):
+        d = dd = 0.0
+        for ck in c[:0:-1]:
+            d, dd = 2.0 * t * d - dd + float(ck), d
+        return t * d - dd + float(c[0])
+
+    gam1 = cheb(_TEMME_G1)
+    gam2 = cheb(_TEMME_G2)
+    return gam1, gam2, gam2 - mu * gam1, gam2 + mu * gam1
+
+
+def _sinhc_df(e: DF) -> DF:
+    """sinh(e)/e in DF (series through the e → 0 cancellation)."""
+    e2 = e.sq()
+    ser = DF.const(1.0) + e2 * (1.0 / 6.0) + e2.sq() * (1.0 / 120.0) \
+        + e2 * e2.sq() * (1.0 / 5040.0)
+    es = dfm.exp(e)
+    big = (es - DF.const(1.0) / es) * 0.5 / dfm.where(
+        jnp.abs(e.hi) < np.float32(0.25), DF.const(1.0), e)
+    return dfm.where(jnp.abs(e.hi) < np.float32(0.25), ser, big)
+
+
+def _cosh_df(e: DF) -> DF:
+    es = dfm.exp(e)
+    return (es + DF.const(1.0) / es) * 0.5
+
+
+def _temme_y_df(mu: float, x: DF) -> tuple:
+    """(Y_μ, Y_{μ+1}) for |μ| ≤ ½, 0 < x ≤ 2 — Temme's series (NR bessjy
+    small-x / special.py:403-455) in DF; μ-only factors are trace-time
+    Python constants."""
+    gam1, gam2, gampl, gammi = _temme_gam12(mu)
+    pimu = math.pi * mu
+    fact_t = 1.0 if abs(pimu) < 1e-15 else pimu / math.sin(pimu)
+    pimu2 = 0.5 * pimu
+    fact3 = 1.0 if abs(pimu2) < 1e-15 else math.sin(pimu2) / pimu2
+    rr = math.pi * pimu2 * fact3 * fact3
+    x2 = x * 0.5
+    dd = -dfm.log(x2)
+    e = dd * mu
+    fact2 = _sinhc_df(e)
+    ff = (fact_t * (2.0 / math.pi)) * (
+        _cosh_df(e) * gam1 + fact2 * dd * gam2)
+    ee = dfm.exp(e)
+    pt = ee * (1.0 / (math.pi * gampl))
+    qt = (DF.const(1.0) / ee) * (1.0 / (math.pi * gammi))
+    cc = DF.const(1.0) + (x * 0.0)
+    dd2 = -(x2.sq())
+    ssum = ff + qt * rr
+    ssum1 = pt
+    mu2 = mu * mu
+    for i in range(1, _TEMME_ITERS_DF + 1):
+        fi = float(i)
+        ff = (ff * fi + pt + qt) * (1.0 / (fi * fi - mu2))
+        cc = cc * dd2 * (1.0 / fi)
+        pt = pt * (1.0 / (fi - mu))
+        qt = qt * (1.0 / (fi + mu))
+        dl = cc * (ff + qt * rr)
+        ssum = ssum + dl
+        ssum1 = ssum1 + (cc * pt - dl * fi)
+    ymu = -ssum
+    ymu1 = -(ssum1 * 2.0) / x
+    return ymu, ymu1
+
+
+def _cf2_pq_df(mu: float, x: DF) -> tuple:
+    """(p, q) of Steed's complex CF2 at reduced order μ for x ≥ 2 in DF:
+    p + iq = H^{(1)'}_μ/H^{(1)}_μ, so J'=pJ−qY and Y'=qJ+pY
+    (special.py:456-511 structure; per-element freezing — the CF converges
+    fastest at large x).  The a/b CF coefficients are trace-time Python
+    scalars (a_i = a0 + i(i−1), b_i = 2x + 2i·i); only the c/d/p/q state
+    rides DF planes."""
+    a0 = 0.25 - mu * mu
+    xi = DF.const(1.0) / x
+    pc = xi * (-0.5)
+    qc = DF.const(1.0) + (x * 0.0)
+    br = x * 2.0
+    bi = 2.0  # imaginary part of b is the scalar 2i at iteration i
+    fact_c = (xi * a0) / (pc.sq() + qc.sq())
+    cr = br + qc * fact_c
+    ci = pc * fact_c + bi
+    den0 = br.sq() + bi * bi
+    dr = br / den0
+    di = -(bi / den0)
+    dlr = cr * dr - ci * di
+    dli = cr * di + ci * dr
+    pc, qc = pc * dlr - qc * dli, pc * dli + qc * dlr
+    tiny = np.float32(1e-30)
+    done = jnp.zeros_like(x.hi, dtype=bool)
+
+    def frz(old, new):
+        return DF(jnp.where(done, old.hi, new.hi),
+                  jnp.where(done, old.lo, new.lo))
+
+    a_val = a0
+    for i in range(2, _CF2Y_ITERS_DF + 1):
+        # a_i = a0 + i(i−1), b_i = b_{i−1} + 2i (trace-time scalars; frozen
+        # lanes discard their updates, so lockstep scalar evolution is safe)
+        a_val = a_val + 2.0 * (i - 1)
+        bi = bi + 2.0
+        dr_new = dr * a_val + br
+        di_new = di * a_val + bi
+        badd = (jnp.abs(dr_new.hi) + jnp.abs(di_new.hi)) < tiny
+        dr_new = DF(jnp.where(badd, tiny, dr_new.hi),
+                    jnp.where(badd, np.float32(0.0), dr_new.lo))
+        fact = DF.const(a_val) / (cr.sq() + ci.sq())
+        cr_new = br + cr * fact
+        ci_new = -(ci * fact) + bi
+        badc = (jnp.abs(cr_new.hi) + jnp.abs(ci_new.hi)) < tiny
+        cr_new = DF(jnp.where(badc, tiny, cr_new.hi),
+                    jnp.where(badc, np.float32(0.0), cr_new.lo))
+        den = dr_new.sq() + di_new.sq()
+        dr3 = dr_new / den
+        di3 = -(di_new / den)
+        dlr = cr_new * dr3 - ci_new * di3
+        dli = cr_new * di3 + ci_new * dr3
+        pc_new = pc * dlr - qc * dli
+        qc_new = pc * dli + qc * dlr
+        conv = (jnp.abs(dlr.hi - np.float32(1.0))
+                + jnp.abs(dli.hi)) < np.float32(1e-15)
+        cr, ci = frz(cr, cr_new), frz(ci, ci_new)
+        dr, di = frz(dr, dr3), frz(di, di3)
+        pc, qc = frz(pc, pc_new), frz(qc, qc_new)
+        done = done | conv
+    return pc, qc
+
+
+def _bessjy_frac_v2(a: float, z: DF) -> tuple:
+    """(J_a, Y_a) for static non-integer a ∈ (0, 30], z > 0 (clamped by the
+    caller) via the reduced-order route."""
+    nl = int(math.floor(a + 0.5))
+    mu = a - nl  # in [−½, ½], bounded away from ±½ only by a's value
+    zh = _frac_zh(a)
+    chain = _miller_j_memo(mu, z, nmax=max(nl, 1), zh=zh)
+    xc = dfm.minimum(z, DF.const(zh))
+    jmu, jmu1 = chain[0], chain[1]
+
+    # Y_μ, Y_{μ+1}: Temme below x = 2, complex CF2 above
+    y_small = _memo(("temme_y", round(mu, 12)), (z,),
+                    lambda: _temme_y_df(mu, dfm.minimum(xc, DF.const(2.0))))
+
+    def cf2_branch():
+        # Y_μ = (p·J_μ − J'_μ)/q with J'_μ = (μ/z)J_μ − J_{μ+1} from the
+        # Miller chain — division-by-J_μ-free, so J's zeros are regular
+        xb = dfm.maximum(xc, DF.const(2.0))
+        xib = DF.const(1.0) / xb
+        p, q = _cf2_pq_df(mu, xb)
+        jmup = xib * jmu * mu - jmu1
+        ymu_b = (jmu * p - jmup) / q
+        ymup_b = jmu * q + ymu_b * p
+        ymu1_b = xib * ymu_b * mu - ymup_b
+        return ymu_b, ymu1_b
+
+    y_big = _memo(("cf2_y", round(mu, 12), round(zh, 6)), (z,), cf2_branch)
+    in_small = xc.hi < np.float32(2.0)
+    ymu = dfm.where(in_small, y_small[0], y_big[0])
+    ymu1 = dfm.where(in_small, y_small[1], y_big[1])
+
+    # beyond the Miller window: reduced-order Hankel asymptotics (fully
+    # converged for |μ| ≤ 1.5 at z ≥ 15) — J upward is stable there
+    # because zh(a) keeps z above the ν = a turning point
+    jmu_a = _jy_asym_memo(mu, z, "j", zh=zh)
+    jmu1_a = _jy_asym_memo(mu + 1.0, z, "j", zh=zh)
+    ymu_a = _jy_asym_memo(mu, z, "y", zh=zh)
+    ymu1_a = _jy_asym_memo(mu + 1.0, z, "y", zh=zh)
+    big_z = z.hi > np.float32(zh)
+    jmu = dfm.where(big_z, jmu_a, jmu)
+    jmu1 = dfm.where(big_z, jmu1_a, jmu1)
+    ymu = dfm.where(big_z, ymu_a, ymu)
+    ymu1 = dfm.where(big_z, ymu1_a, ymu1)
+
+    # upward recurrence to order a = μ + nl (stable for Y everywhere; for
+    # J only used where z > zh ≥ 1.25a — inside the Miller window the
+    # chain's direct shift is exact)
+    zi2 = (DF.const(1.0) / z) * 2.0
+    jk, jk1 = jmu, jmu1
+    yk, yk1 = ymu, ymu1
+    for k in range(nl):
+        mk = mu + k
+        jk, jk1 = jk1, zi2 * jk1 * (mk + 1.0) - jk
+        yk, yk1 = yk1, zi2 * yk1 * (mk + 1.0) - yk
+    j_up = jk
+    y_a = yk
+    j_a = dfm.where(z.hi <= np.float32(zh), chain[nl], j_up)
+    return j_a, y_a
+
+
+def _bessjy_v2_memo(a: float, z: DF) -> tuple:
+    return _memo(("bessjy_v2", round(a, 12)), (z,),
+                 lambda: _bessjy_frac_v2(a, z))
+
+
+def _use_v2(a: float) -> bool:
+    """Route through the reduced-order path when the validated round-3
+    reflection envelope (ν ≤ 8, ≥ 0.05 from integers) doesn't apply."""
+    return a > _FRAC_FULL_NUMAX or abs(a - round(a)) < _FRAC_MIN_DIST
+
+
+def _sincospi_const(a: float) -> tuple:
+    """Exact trace-time (sin πa, cos πa): reduce mod 2 first and pin exact
+    zeros at (half-)integers — the negative-order reflection formulas
+    multiply these into huge J/Y values, where cos(8.5π) ≈ −2.7e-15
+    instead of an exact 0 turns a tiny J_{−8.5} into garbage (the same
+    hazard special.py:588-605 guards with _sincospi)."""
+    r = math.fmod(a, 2.0)
+    if r < 0:
+        r += 2.0
+    two_r = 2.0 * r
+    if two_r == round(two_r):
+        quarter = int(round(two_r)) % 4  # r ∈ {0, ½, 1, 3⁄2}
+        return ((0.0, 1.0), (1.0, 0.0), (0.0, -1.0), (-1.0, 0.0))[quarter]
+    # reduce to |r| ≤ ½ around the nearest half-turn for accuracy
+    return math.sin(math.pi * r), math.cos(math.pi * r)
+
+
 def _besselj_frac(frac: float, z) -> DF:
     a = abs(frac)
     z = DF.of(z)
     bad = z.hi < 0  # J_ν(z<0) is complex for fractional ν
     zero = z.hi == 0
     zs = dfm.where(bad | zero, DF.const(1.0), z)
-    j = _besselj_frac_pos(a, zs)
     if frac < 0:
-        y = _bessely_frac_pos(a, zs)
-        j = j * math.cos(math.pi * a) - y * math.sin(math.pi * a)
+        # J_{−a} = cos(πa)·J_a − sin(πa)·Y_a; exact-zero coefficients drop
+        # their term entirely (a 0·inf from an out-of-DF-range Y would
+        # otherwise NaN lanes where J alone is fine)
+        sin_a, cos_a = _sincospi_const(a)
+        j = None
+        if cos_a != 0.0:
+            j = _besselj_frac_pos(a, zs) * cos_a
+        if sin_a != 0.0:
+            t = _bessely_frac_pos(a, zs) * (-sin_a)
+            j = t if j is None else j + t
+    else:
+        j = _besselj_frac_pos(a, zs)
     nan = np.float32(np.nan)
     hi = jnp.where(bad, nan, j.hi)
     lo = jnp.where(bad, nan, j.lo)
@@ -512,8 +797,7 @@ def besselj(nu, z) -> DF:
     if not _is_static_int(nu):
         raise NotImplementedError(
             "besselj in the df32 engine needs a static order: integer, or "
-            f"non-integer with |ν| ≤ {_FRAC_NUMAX} and ≥ {_FRAC_MIN_DIST} "
-            "from the nearest integer; use the f64 XLA engine "
+            f"any non-integer with |ν| ≤ {_FRAC_NUMAX}; use the f64 XLA engine "
             "(engine='xla') otherwise"
         )
     n = int(nu)
@@ -572,10 +856,17 @@ def _bessely_frac(frac: float, z) -> DF:
     z = DF.of(z)
     bad = z.hi <= 0
     zs = dfm.where(bad, DF.const(1.0), z)
-    y = _bessely_frac_pos(a, zs)
     if frac < 0:
-        j = _besselj_frac_pos(a, zs)
-        y = j * math.sin(math.pi * a) + y * math.cos(math.pi * a)
+        # Y_{−a} = sin(πa)·J_a + cos(πa)·Y_a (exact-zero terms dropped)
+        sin_a, cos_a = _sincospi_const(a)
+        y = None
+        if sin_a != 0.0:
+            y = _besselj_frac_pos(a, zs) * sin_a
+        if cos_a != 0.0:
+            t = _bessely_frac_pos(a, zs) * cos_a
+            y = t if y is None else y + t
+    else:
+        y = _bessely_frac_pos(a, zs)
     nan = np.float32(np.nan)
     return DF(jnp.where(bad, nan, y.hi), jnp.where(bad, nan, y.lo))
 
@@ -588,8 +879,7 @@ def bessely(nu, z) -> DF:
     if not _is_static_int(nu):
         raise NotImplementedError(
             "bessely in the df32 engine needs a static order: integer, or "
-            f"non-integer with |ν| ≤ {_FRAC_NUMAX} and ≥ {_FRAC_MIN_DIST} "
-            "from the nearest integer; use the f64 XLA engine "
+            f"any non-integer with |ν| ≤ {_FRAC_NUMAX}; use the f64 XLA engine "
             "(engine='xla') otherwise"
         )
     n = int(nu)
@@ -642,8 +932,7 @@ def besseli(nu, z) -> DF:
     if not _is_static_int(nu):
         raise NotImplementedError(
             "besseli in the df32 engine needs a static order: integer, or "
-            f"non-integer with |ν| ≤ {_FRAC_NUMAX} and ≥ {_FRAC_MIN_DIST} "
-            "from the nearest integer; use the f64 XLA engine "
+            f"any non-integer with |ν| ≤ {_FRAC_NUMAX}; use the f64 XLA engine "
             "(engine='xla') otherwise"
         )
     n = abs(int(nu))  # I_{-n} = I_n
@@ -691,15 +980,60 @@ def _k01_cheb(n: int, z: DF) -> DF:
     return scaled * dfm.exp(-z) * dfm.sqrt(u)
 
 
+def _temme_k_df(mu: float, x: DF) -> tuple:
+    """(K_μ, K_{μ+1}) for |μ| ≤ ½, 0 < x ≤ 2 — Temme's series (NR bessik
+    small-x), smooth through μ = 0 (where the I-reflection's 1/sin νπ
+    cancels catastrophically)."""
+    gam1, gam2, gampl, gammi = _temme_gam12(mu)
+    pimu = math.pi * mu
+    fact_t = 1.0 if abs(pimu) < 1e-15 else pimu / math.sin(pimu)
+    x2 = x * 0.5
+    dd = -dfm.log(x2)
+    e = dd * mu
+    fact2 = _sinhc_df(e)
+    ff = (_cosh_df(e) * gam1 + fact2 * dd * gam2) * fact_t
+    ssum = ff
+    ee = dfm.exp(e)
+    pt = ee * (0.5 / gampl)
+    qt = (DF.const(0.5) / ee) * (1.0 / gammi)
+    cc = DF.const(1.0) + (x * 0.0)
+    d2 = x2.sq()
+    ssum1 = pt
+    mu2 = mu * mu
+    for i in range(1, _TEMME_ITERS_DF + 1):
+        fi = float(i)
+        ff = (ff * fi + pt + qt) * (1.0 / (fi * fi - mu2))
+        cc = cc * d2 * (1.0 / fi)
+        pt = pt * (1.0 / (fi - mu))
+        qt = qt * (1.0 / (fi + mu))
+        dl = cc * ff
+        ssum = ssum + dl
+        ssum1 = ssum1 + cc * (pt - ff * fi)
+    return ssum, (ssum1 * 2.0) / x
+
+
 def _besselk_frac(frac: float, z) -> DF:
     a = abs(frac)  # K_{-nu} = K_nu
     z = DF.of(z)
     bad = z.hi <= 0
     zs = dfm.where(bad, DF.const(1.0), z)
     z_small = dfm.minimum(zs, DF.const(2.0))
-    small = (_i_series_nu(-a, z_small) - _i_series_nu(a, z_small)) * (
-        math.pi / (2.0 * math.sin(math.pi * a))
-    )
+    if _use_v2(a):
+        # reduced-order Temme + upward recurrence (K grows with order, so
+        # upward is stable; values beyond f32 range overflow loudly to inf)
+        nl = int(math.floor(a + 0.5))
+        mu = a - nl
+        kmu, kmu1 = _memo(
+            ("temme_k", round(mu, 12)), (z,),
+            lambda: _temme_k_df(mu, z_small))
+        zi = DF.const(1.0) / z_small
+        for k in range(nl):
+            kmu, kmu1 = kmu1, kmu + zi * kmu1 * (2.0 * (mu + k + 1.0))
+        small = kmu
+    else:
+        small = (_i_series_nu(-a, z_small) - _i_series_nu(a, z_small)) * (
+            math.pi / (2.0 * math.sin(math.pi * a))
+        )
     big = _besselk_frac_cf2_df(a, dfm.maximum(zs, DF.const(2.0)))
     out = dfm.where(zs.hi < np.float32(2.0), small, big)
     nan = np.float32(np.nan)
@@ -714,8 +1048,7 @@ def besselk(nu, z) -> DF:
     if not _is_static_int(nu):
         raise NotImplementedError(
             "besselk in the df32 engine needs a static order: integer, or "
-            f"non-integer with |ν| ≤ {_FRAC_NUMAX} and ≥ {_FRAC_MIN_DIST} "
-            "from the nearest integer; use the f64 XLA engine "
+            f"any non-integer with |ν| ≤ {_FRAC_NUMAX}; use the f64 XLA engine "
             "(engine='xla') otherwise"
         )
     n = abs(int(nu))  # K_{-n} = K_n
@@ -743,9 +1076,36 @@ def besselk(nu, z) -> DF:
     return DF(jnp.where(bad, nan, out.hi), jnp.where(bad, np.float32(0), out.lo))
 
 
+def _sph_frac(nu: float, z, kind: str) -> DF:
+    """Fractional-order spherical j_ν/y_ν via the half-integer connection
+    j_ν(z) = √(π/2z)·J_{ν+½}(z) (round 5; the reference's GSL printer only
+    dispatches integer spherical orders, compiler.py:200-207 — this goes
+    beyond it).  ν + ½ is non-integer whenever ν is fractional, so the
+    cylindrical fractional machinery applies directly."""
+    z = DF.of(z)
+    bad = z.hi < 0 if kind == "j" else z.hi <= 0
+    zero = z.hi == 0
+    zs = dfm.where(bad | zero, DF.const(1.0), z)
+    cyl = (_besselj_frac(nu + 0.5, zs) if kind == "j"
+           else _bessely_frac(nu + 0.5, zs))
+    out = cyl * dfm.sqrt(DF.const(0.5 * math.pi) / zs)
+    nan = np.float32(np.nan)
+    hi = jnp.where(bad, nan, out.hi)
+    lo = jnp.where(bad, nan, out.lo)
+    if kind == "j":
+        hi = jnp.where(zero, np.float32(0.0) if nu > 0 else nan, hi)
+        lo = jnp.where(zero, np.float32(0.0) if nu > 0 else nan, lo)
+    return DF(hi, lo)
+
+
 def sph_jn(n, z) -> DF:
     """Spherical j_n in DF: trig closed forms + the hybrid upward/Miller
-    recurrence of special.sph_jn."""
+    recurrence of special.sph_jn; fractional orders via the half-integer
+    connection (round 5)."""
+    frac = _static_frac_order(n)
+    if frac is not None:
+        return _memo(("sph_jn", round(frac, 12)), (z,),
+                     lambda: _sph_frac(frac, z, "j"))
     n = int(n)
     z = DF.of(z)
     zero = z.hi == 0
@@ -805,6 +1165,10 @@ def sph_jn(n, z) -> DF:
 
 
 def sph_yn(n, z) -> DF:
+    frac = _static_frac_order(n)
+    if frac is not None:
+        return _memo(("sph_yn", round(frac, 12)), (z,),
+                     lambda: _sph_frac(frac, z, "y"))
     n = int(n)
     z = DF.of(z)
     bad = z.hi <= 0

@@ -1063,7 +1063,18 @@ def sph_jn(n, z):
     y_n solution whenever n > z and loses ~(y_n j_n)⁻¹ digits (ADVICE.md
     round 1: j_4(0.2) was only ~1e-5 relative).  Starting from a zero tail
     at order n+28 and normalizing against (j₀, j₁) keeps every order at
-    ~1e-15 for the z ≲ 50 regime these models use."""
+    ~1e-15 for the z ≲ 50 regime these models use.
+
+    Fractional orders (round 5) go through the half-integer connection
+    j_ν(z) = √(π/2z)·J_{ν+½}(z) — ``int(n)`` previously truncated them
+    silently (j_2.3 evaluated as j_2)."""
+    if not _is_static_int(n):
+        nu = float(n)
+        z = jnp.asarray(z)
+        zs = jnp.where(z == 0, jnp.asarray(1.0, z.dtype), z)
+        out = jnp.sqrt(jnp.pi / (2.0 * zs)) * besselj(nu + 0.5, zs)
+        out = jnp.where(z < 0, jnp.nan, out)
+        return jnp.where(z == 0, 0.0 if nu > 0 else jnp.nan, out)
     n = int(n)
     z = jnp.asarray(z)
     zs = jnp.where(z == 0, 1.0, z)  # j_n(0) handled below
@@ -1105,7 +1116,14 @@ def sph_jn(n, z):
 
 
 def sph_yn(n, z):
-    """Spherical Bessel function y_n(z), z > 0 (closed forms + recurrence)."""
+    """Spherical Bessel function y_n(z), z > 0 (closed forms + recurrence;
+    fractional orders via y_ν = √(π/2z)·Y_{ν+½}, round 5)."""
+    if not _is_static_int(n):
+        nu = float(n)
+        z = jnp.asarray(z)
+        zs = jnp.where(z <= 0, jnp.asarray(1.0, z.dtype), z)
+        out = jnp.sqrt(jnp.pi / (2.0 * zs)) * bessely(nu + 0.5, zs)
+        return jnp.where(z > 0, out, jnp.nan)
     n = int(n)
     z = jnp.asarray(z)
     zs = jnp.where(z == 0, 1.0, z)

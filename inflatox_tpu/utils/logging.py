@@ -99,6 +99,10 @@ class Progress:
         self._stop: threading.Event | None = None
         self._thread: threading.Thread | None = None
         self._dirty = False  # heartbeat left an unterminated \r line
+        # serializes heartbeat vs tick() prints on a tty (ADVICE r4: a tick
+        # landing between the heartbeat's _ticked check and its print could
+        # garble the chunk-progress line)
+        self._print_lock = threading.Lock()
 
     def _heartbeat(self) -> None:
         tty = sys.stderr.isatty()
@@ -114,11 +118,14 @@ class Progress:
             msg = (f"{self.what}: running … "
                    f"{_human_duration(elapsed)} elapsed "
                    "(single device launch; first call includes compilation)")
-            if tty:
-                print(f"\r{msg}", end="", file=sys.stderr)
-                self._dirty = True
-            else:
-                print(msg, file=sys.stderr)
+            with self._print_lock:
+                if self._ticked:
+                    return  # a tick landed while formatting — don't garble it
+                if tty:
+                    print(f"\r{msg}", end="", file=sys.stderr)
+                    self._dirty = True
+                else:
+                    print(msg, file=sys.stderr)
 
     def __enter__(self) -> "Progress":
         if self.enabled:
@@ -136,14 +143,15 @@ class Progress:
         if self.enabled:
             self._ticked = True
             elapsed = time.perf_counter() - self._t0
-            print(
-                f"\r{self.what}: {done}/{total} chunks "
-                f"({_human_duration(elapsed)} elapsed)",
-                end="",
-                file=sys.stderr,
-            )
-            if done == total:
-                print(file=sys.stderr)
+            with self._print_lock:
+                print(
+                    f"\r{self.what}: {done}/{total} chunks "
+                    f"({_human_duration(elapsed)} elapsed)",
+                    end="",
+                    file=sys.stderr,
+                )
+                if done == total:
+                    print(file=sys.stderr)
 
     def __exit__(self, exc_type, exc, tb) -> None:
         if self._stop is not None:

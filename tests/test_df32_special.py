@@ -64,10 +64,10 @@ def test_df_spherical(zgrid):
 
 def test_df_fractional_raises():
     Z = DF.of(jnp.asarray([1.0]))
-    # round 3: generic fractional orders are supported; near-integer ones
-    # (reflection 1/sin νπ blows up) still route to the XLA engine
+    # round 5: any non-integer |ν| ≤ 30 is supported; beyond the cap and
+    # unsupported functions still raise
     with pytest.raises(NotImplementedError, match="static order"):
-        dsp.besselj(2.001, Z)
+        dsp.besselj(30.001, Z)
     with pytest.raises(NotImplementedError, match="not available"):
         dsp.DF32Special().airyai  # noqa: B018
 
@@ -167,13 +167,77 @@ def test_df_fractional_edges():
     Z0 = DF.of(jnp.asarray(np.array([0.0, -1.0])))
     j = np.asarray(dsp.besselj(0.3, Z0).to_f64())
     assert j[0] == 0.0 and np.isnan(j[1])
-    # near-integer fractional orders stay off the engine (1/sin νπ)
+    # beyond the |ν| ≤ 30 envelope (and non-static orders) still raise
     import pytest
 
     with pytest.raises(NotImplementedError, match="static order"):
-        dsp.besselj(2.001, Z)
+        dsp.besselj(31.5, Z)
     with pytest.raises(NotImplementedError, match="static order"):
-        dsp.bessely(9.3, Z)  # outside |nu| <= 8
+        dsp.bessely(-30.2, Z)
+
+
+def test_df_fractional_full_envelope():
+    """Round 5 (VERDICT r4 item 5): near-integer fractional orders (the
+    old ≥ 0.05-from-integer exclusion) and |ν| > 8 (the old full-order-
+    asymptotic cap) now hold parity on the reduced-order Temme/CF2 route.
+    Oscillatory J/Y are amplitude-floored like the f64 validation; K/I
+    assert inside the DF pair's representability range (|value| within
+    ~[1e-27, 4e34] — docs/numerics.md)."""
+    z = np.concatenate([np.geomspace(0.05, 1.9, 40),
+                        np.linspace(2.01, 14.9, 40),
+                        np.linspace(15.1, 60.0, 30)])
+    Z = DF.of(jnp.asarray(z))
+    for nu in (2.01, 1.999, 0.01, 8.5, 12.7, 25.3, 29.9, -2.01, -12.7):
+        gj = np.asarray(dsp.besselj(nu, Z).to_f64())
+        wj = sps.jv(nu, z)
+        fin = np.isfinite(wj) & (np.abs(wj) > 1e-27) & (np.abs(wj) < 4e34)
+        rel = np.abs(gj - wj)[fin] / np.maximum(np.abs(wj), _amp(z))[fin]
+        assert rel.max() < 1e-11, (nu, rel.max())
+        gy = np.asarray(dsp.bessely(nu, Z).to_f64())
+        wy = sps.yv(nu, z)
+        fin = np.isfinite(wy) & (np.abs(wy) > 1e-27) & (np.abs(wy) < 4e34)
+        rel = np.abs(gy - wy)[fin] / np.maximum(np.abs(wy), _amp(z))[fin]
+        assert rel.max() < 1e-11, (nu, rel.max())
+    zk = np.geomspace(0.05, 30.0, 80)
+    ZK = DF.of(jnp.asarray(zk))
+    for nu in (2.01, 0.005, 5.9999, 12.7, 25.3):
+        gk = np.asarray(dsp.besselk(nu, ZK).to_f64())
+        wk = sps.kv(nu, zk)
+        fin = np.isfinite(wk) & (np.abs(wk) > 1e-27) & (np.abs(wk) < 4e34)
+        rel = np.abs(gk - wk)[fin] / wk[fin]
+        assert rel.max() < 1e-11, (nu, rel.max())
+    zi = np.geomspace(0.05, 12.0, 60)
+    ZI = DF.of(jnp.asarray(zi))
+    for nu in (2.01, 12.7, 25.3, -2.01):
+        gi = np.asarray(dsp.besseli(nu, ZI).to_f64())
+        wi = sps.iv(nu, zi)
+        fin = np.isfinite(wi) & (np.abs(wi) > 1e-27) & (np.abs(wi) < 4e34)
+        rel = np.abs(gi - wi)[fin] / np.abs(wi)[fin]
+        assert rel.max() < 1e-11, (nu, rel.max())
+
+
+def test_df_fractional_spherical():
+    """Fractional spherical orders via the half-integer connection
+    j_ν = √(π/2z)·J_{ν+½} (the reference's GSL printer is integer-only
+    here, compiler.py:200-207)."""
+    z = np.concatenate([np.geomspace(0.05, 14.0, 40),
+                        np.linspace(15.0, 60.0, 20)])
+    Z = DF.of(jnp.asarray(z))
+    for nu in (2.3, 0.7, 5.25, 12.6):
+        want_j = np.sqrt(np.pi / (2 * z)) * sps.jv(nu + 0.5, z)
+        got_j = np.asarray(dsp.sph_jn(nu, Z).to_f64())
+        rel = np.abs(got_j - want_j) / np.maximum(np.abs(want_j), 1.0 / z)
+        assert rel.max() < 1e-11, (nu, rel.max())
+        want_y = np.sqrt(np.pi / (2 * z)) * sps.yv(nu + 0.5, z)
+        got_y = np.asarray(dsp.sph_yn(nu, Z).to_f64())
+        rel = np.abs(got_y - want_y) / np.maximum(np.abs(want_y), 1.0 / z)
+        assert rel.max() < 1e-11, (nu, rel.max())
+    # j_ν(0) = 0 for ν > 0; y_ν(z ≤ 0) is NaN
+    Z0 = DF.of(jnp.asarray(np.array([0.0, -1.0])))
+    j = np.asarray(dsp.sph_jn(2.3, Z0).to_f64())
+    assert j[0] == 0.0 and np.isnan(j[1])
+    y = np.asarray(dsp.sph_yn(2.3, Z0).to_f64())
+    assert np.isnan(y).all()
 
 
 def test_df32_compatible_fractional():
@@ -204,6 +268,37 @@ def test_df32_compatible_fractional():
     assert both.any()
     np.testing.assert_allclose(np.asarray(got[1])[both], ref[1][both],
                                rtol=1e-10)
+
+
+def test_df32_compatible_extended_envelope():
+    """Near-integer and > 8 fractional orders (and fractional spherical
+    orders) now pass the compiler's df32 gate and match the XLA engine."""
+    import sympy
+
+    import inflatox_tpu as inflatox
+    from inflatox_tpu.consistency_conditions import GeneralisedAL
+
+    x, y, a = sympy.symbols("x y a")
+    V = (a * sympy.besselj(sympy.Rational(201, 100), x) ** 2
+         + sympy.bessely(sympy.Rational(127, 10), x + 16) / 10
+         + sympy.jn(sympy.Rational(23, 10), x + 1) * y**2 + 2)
+    model = inflatox.InflationModelBuilder.new(
+        [x, y], [[1, 0], [0, 1]], V, silent=True, simplify=False,
+        assertions=False,
+    ).build()
+    art = inflatox.Compiler(model, silent=True).compile()
+    assert art.df32_compatible
+    al = GeneralisedAL(art, validate_basis=False)
+    args = np.array([2.0])
+    ext = (0.5, 3.0, 0.2, 1.5)
+    ref = al.complete_analysis(args, *ext, 8, 8, progress=False,
+                               engine="xla")
+    got = al.complete_analysis(args, *ext, 8, 8, progress=False,
+                               engine="pallas_df64")
+    both = np.isfinite(ref[1]) & np.isfinite(np.asarray(got[1]))
+    assert both.mean() > 0.9
+    np.testing.assert_allclose(np.asarray(got[1])[both], ref[1][both],
+                               rtol=1e-9)
 
 
 def test_special_call_memo_dedups_traces():

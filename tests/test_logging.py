@@ -47,9 +47,10 @@ def test_disabled_progress_prints_nothing(capsys):
 
 
 def test_heartbeat_thread_stops_on_exit():
-    before = {t.name for t in __import__("threading").enumerate()}
-    with Progress("Scan", enabled=True, grace=0.01):
+    # assert on THIS Progress's thread, not a diff of global thread names —
+    # a leaked thread from an earlier test would make that check vacuous
+    # (ADVICE r4)
+    with Progress("Scan", enabled=True, grace=0.01) as prog:
         time.sleep(0.05)
-    time.sleep(0.05)
-    after = {t.name for t in __import__("threading").enumerate()}
-    assert "inflatox-progress" not in after or "inflatox-progress" in before
+        assert prog._thread is not None and prog._thread.is_alive()
+    assert prog._thread.is_alive() is False

@@ -139,6 +139,168 @@ def _hmc_kernel(logp_and_grad, steps):
     return kernel
 
 
+def _nuts_kernel(logp_and_grad, max_depth=8, max_delta_energy=1000.0):
+    """One No-U-Turn transition with the same state contract as
+    :func:`_hmc_kernel`: (q, logp, ∇logp, key, eps, inv_mass) → (q, lp, g,
+    key, accept_stat).
+
+    Iterative multinomial NUTS (Hoffman & Gelman 2014 termination;
+    Betancourt 2017 multinomial leaf sampling; the iterative subtree
+    U-turn bookkeeping of Phan & Pradhan's numpyro formulation, which
+    needs only a ``max_depth``-deep checkpoint stack instead of
+    recursion): the trajectory doubles in a random direction until a
+    sub- or whole-trajectory U-turn or a divergence, each doubling one
+    masked ``lax.while_loop`` of leapfrog steps; the proposal is drawn
+    ∝ exp(−ΔH) progressively within subtrees and biased-progressively
+    across doublings.  Per transition ≤ 2^max_depth gradient
+    evaluations; accept_stat is the trajectory-mean min(1, e^{−ΔH}),
+    which feeds the same dual-averaging schedule as HMC."""
+    max_depth = int(max_depth)
+
+    def _popcount(x):
+        c = jnp.int32(0)
+        for k in range(max_depth + 1):
+            c = c + ((x >> k) & 1)
+        return c
+
+    def _trailing_ones(x):
+        c = jnp.int32(0)
+        alive = jnp.bool_(True)
+        for k in range(max_depth + 1):
+            alive = alive & (((x >> k) & 1) == 1)
+            c = c + alive.astype(jnp.int32)
+        return c
+
+    def kernel(q, lp, g, key, eps, inv_mass):
+        d = q.shape[-1]
+        kp, key = jax.random.split(key)
+        p0 = jax.random.normal(kp, q.shape) / jnp.sqrt(inv_mass)
+
+        def ke(p):
+            return 0.5 * jnp.sum(inv_mass * p * p)
+
+        h0 = -lp + ke(p0)
+
+        def leapfrog(qq, pp, gg, dirn):
+            e = eps * dirn
+            p1 = pp + 0.5 * e * gg
+            q1 = qq + e * inv_mass * p1
+            lp1, g1 = logp_and_grad(q1)
+            return q1, p1 + 0.5 * e * g1, lp1, g1
+
+        def uturn(dq, p_a, p_b):
+            return (jnp.sum(dq * inv_mass * p_a) < 0.0) | (
+                jnp.sum(dq * inv_mass * p_b) < 0.0)
+
+        # outer state: trajectory edges (physical left/right), current
+        # proposal, total multinomial log-weight, flags, accept-stat sums
+        def outer_cond(s):
+            depth, turning, diverged = s[0], s[1], s[2]
+            return (depth < jnp.int32(max_depth)) & ~turning & ~diverged
+
+        def outer_body(s):
+            (depth, _, _, key, ql, pl, gl, lpl, qr, pr, gr, lpr,
+             qp_, lpp_, gp_, log_w, s_acc, n_leaf) = s
+            key, kdir, ktree = jax.random.split(key, 3)
+            dirn = jnp.where(jax.random.bernoulli(kdir), 1.0, -1.0)
+            qe = jnp.where(dirn > 0, qr, ql)
+            pe = jnp.where(dirn > 0, pr, pl)
+            ge = jnp.where(dirn > 0, gr, gl)
+            lpe = jnp.where(dirn > 0, lpr, lpl)
+
+            n_sub = jnp.left_shift(jnp.int32(1), depth)
+
+            # ---- build one subtree of up to n_sub leaves ---------------- #
+            def sub_cond(ss):
+                i, turn, div = ss[0], ss[1], ss[2]
+                return (i < n_sub) & ~turn & ~div
+
+            def sub_body(ss):
+                (i, _, _, skey, qq, pp, gg, llp, qsp, lpsp, gsp, lws,
+                 sacc, nl, cq, cp) = ss
+                skey, ksel = jax.random.split(skey)
+                qq, pp, llp, gg = leapfrog(qq, pp, gg, dirn)
+                h = -llp + ke(pp)
+                de = h - h0
+                div = ~jnp.isfinite(de) | (de > max_delta_energy)
+                lw_leaf = jnp.where(div, -jnp.inf, -de)
+                new_tot = jnp.logaddexp(lws, lw_leaf)
+                take = jnp.log(jax.random.uniform(ksel)) < lw_leaf - new_tot
+                qsp = jnp.where(take, qq, qsp)
+                lpsp = jnp.where(take, llp, lpsp)
+                gsp = jnp.where(take, gg, gsp)
+                sacc = sacc + jnp.where(
+                    jnp.isfinite(de), jnp.minimum(1.0, jnp.exp(-de)), 0.0)
+                nl = nl + 1
+                # checkpoint stack (numpyro's leaf→slot map): even leaves
+                # push their state at slot popcount(i >> 1); odd leaves
+                # U-turn-check against slots [idx_max − trailing_ones(i)
+                # + 1, idx_max]
+                idx_max = _popcount(i >> 1)
+                even = (i & 1) == 0
+                cq = jnp.where(even, cq.at[idx_max].set(qq), cq)
+                cp = jnp.where(even, cp.at[idx_max].set(pp), cp)
+                idx_min = idx_max - _trailing_ones(i) + 1
+                turn = jnp.bool_(False)
+                for slot in range(max_depth + 1):
+                    active = (~even) & (jnp.int32(slot) >= idx_min) & (
+                        jnp.int32(slot) <= idx_max)
+                    dq = dirn * (qq - cq[slot])
+                    turn = turn | (active & uturn(dq, cp[slot], pp))
+                return (i + 1, turn, div, skey, qq, pp, gg, llp,
+                        qsp, lpsp, gsp, new_tot, sacc, nl, cq, cp)
+
+            sub0 = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False),
+                    ktree, qe, pe, ge, lpe,
+                    qe, lpe, ge, -jnp.inf,
+                    jnp.float64(0.0), jnp.int32(0),
+                    jnp.zeros((max_depth + 1, d), q.dtype),
+                    jnp.zeros((max_depth + 1, d), q.dtype))
+            (_, s_turn, s_div, key2, qq, pp, gg, llp, qsp, lpsp, gsp,
+             lws, sacc, nl, _, _) = lax.while_loop(sub_cond, sub_body, sub0)
+            key = key2
+
+            # ---- merge the subtree into the trajectory ------------------ #
+            ok = ~s_turn & ~s_div
+            # biased progressive: take the subtree's proposal with
+            # probability min(1, W_sub / W_total)
+            key, kacc = jax.random.split(key)
+            take = ok & (jnp.log(jax.random.uniform(kacc)) < lws - log_w)
+            qp_ = jnp.where(take, qsp, qp_)
+            lpp_ = jnp.where(take, lpsp, lpp_)
+            gp_ = jnp.where(take, gsp, gp_)
+            log_w = jnp.where(ok, jnp.logaddexp(log_w, lws), log_w)
+            # advance the grown edge (only meaningful when the subtree
+            # completed; a turning/diverged subtree ends the trajectory)
+            grow_r = ok & (dirn > 0)
+            grow_l = ok & (dirn < 0)
+            qr = jnp.where(grow_r, qq, qr)
+            pr = jnp.where(grow_r, pp, pr)
+            gr = jnp.where(grow_r, gg, gr)
+            lpr = jnp.where(grow_r, llp, lpr)
+            ql = jnp.where(grow_l, qq, ql)
+            pl = jnp.where(grow_l, pp, pl)
+            gl = jnp.where(grow_l, gg, gl)
+            lpl = jnp.where(grow_l, llp, lpl)
+            whole_turn = ok & uturn(qr - ql, pl, pr)
+            return (depth + 1, s_turn | whole_turn, s_div, key,
+                    ql, pl, gl, lpl, qr, pr, gr, lpr,
+                    qp_, lpp_, gp_, log_w,
+                    s_acc + sacc, n_leaf + nl)
+
+        s0 = (jnp.int32(0), jnp.bool_(False), jnp.bool_(False), key,
+              q, p0, g, lp, q, p0, g, lp,
+              q, lp, g, jnp.float64(0.0),
+              jnp.float64(0.0), jnp.int32(0))
+        out = lax.while_loop(outer_cond, outer_body, s0)
+        (_, _, _, key, _, _, _, _, _, _, _, _,
+         qp_, lpp_, gp_, _, s_acc, n_leaf) = out
+        accept_stat = s_acc / jnp.maximum(n_leaf, 1)
+        return qp_, lpp_, gp_, key, accept_stat
+
+    return kernel
+
+
 def sample_posterior(
     logp: Callable,
     x0,
@@ -152,6 +314,8 @@ def sample_posterior(
     jitter: float = 0.01,
     seed: int = 0,
     mesh=None,
+    algorithm: str = "hmc",
+    max_tree_depth: int = 8,
 ) -> dict:
     """Adaptive Hamiltonian Monte Carlo over a differentiable log-density.
 
@@ -172,6 +336,12 @@ def sample_posterior(
     evaluations (the state carries ∇logp).  ``mesh=`` shards the chain
     axis across all mesh axes (zero collectives in the kernel) — pad
     ``num_chains`` to a multiple of the mesh size.
+
+    ``algorithm="nuts"`` (round 5) swaps the fixed-length kernel for the
+    No-U-Turn sampler (:func:`_nuts_kernel`): trajectory lengths adapt per
+    transition up to ``max_tree_depth`` doublings, ``num_leapfrog`` is
+    ignored, and the same dual-averaging/mass-adaptation machinery drives
+    the step size off the trajectory-mean acceptance statistic.
 
     Returns ``{"samples" (num_chains, num_samples, d), "log_prob"
     (num_chains, num_samples), "accept_rate" (num_chains,), "step_size",
@@ -194,7 +364,13 @@ def sample_posterior(
         )
 
     logp_and_grad = jax.value_and_grad(logp)
-    kernel = _hmc_kernel(logp_and_grad, int(num_leapfrog))
+    if algorithm == "nuts":
+        kernel = _nuts_kernel(logp_and_grad, int(max_tree_depth))
+    elif algorithm == "hmc":
+        kernel = _hmc_kernel(logp_and_grad, int(num_leapfrog))
+    else:
+        raise ValueError(
+            f'algorithm must be "hmc" or "nuts", got {algorithm!r}')
 
     # dual-averaging constants (Hoffman & Gelman 2014, §3.2); warmup budget
     # splits 3:1 between the unit-mass window (mass estimated from its

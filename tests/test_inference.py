@@ -41,6 +41,54 @@ def test_hmc_recovers_correlated_gaussian():
     assert out["accept_rate"].mean() > 0.6
 
 
+def test_nuts_recovers_correlated_gaussian():
+    """The NUTS kernel (round 5) must reproduce the same correlated
+    Gaussian as HMC — same target, adaptive trajectory lengths."""
+    cov = np.array([[1.0, 0.6, 0.0], [0.6, 2.0, 0.3], [0.0, 0.3, 0.5]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mean = jnp.array([1.0, -2.0, 0.5])
+
+    def logp(q):
+        r = q - mean
+        return -0.5 * r @ prec @ r
+
+    out = inference.sample_posterior(
+        logp, np.zeros(3), num_samples=1500, num_warmup=600,
+        num_chains=4, seed=2, algorithm="nuts", max_tree_depth=7,
+    )
+    s = out["samples"].reshape(-1, 3)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mean), atol=0.08)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.25)
+    assert np.all(out["r_hat"] < 1.02)
+    assert np.all(out["ess"] > 200)
+    assert out["accept_rate"].mean() > 0.5
+
+
+def test_nuts_handles_anisotropic_scales():
+    """A 100:1 scale ratio: NUTS's adaptive trajectory length + the
+    warmup mass matrix must still mix every direction (fixed-L HMC with
+    too-short trajectories under-mixes the wide direction)."""
+    sig = jnp.asarray([10.0, 0.1])
+
+    def logp(q):
+        return -0.5 * jnp.sum((q / sig) ** 2)
+
+    out = inference.sample_posterior(
+        logp, np.array([1.0, 0.1]), num_samples=1500, num_warmup=600,
+        num_chains=4, seed=4, algorithm="nuts", max_tree_depth=8,
+    )
+    s = out["samples"].reshape(-1, 2)
+    np.testing.assert_allclose(s.std(0), np.asarray(sig), rtol=0.15)
+    assert np.all(out["r_hat"] < 1.05)
+    assert np.all(out["ess"] > 150)
+
+
+def test_nuts_bad_algorithm_raises():
+    with pytest.raises(ValueError, match="algorithm"):
+        inference.sample_posterior(lambda q: -q @ q, np.zeros(2),
+                                   algorithm="mala")
+
+
 def test_posterior_matches_fisher_forecast(trivial_artifact):
     """MCMC posterior covariance vs the Cramér–Rao forecast — two
     independent routes to the same constraint (the prior term kills the

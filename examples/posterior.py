@@ -64,6 +64,8 @@ logp = inference.observable_log_posterior(artifact, x_pivot, data, sigma,
                                           prior=prior)
 
 # ---- 3. sample -------------------------------------------------------------- #
+# (pass algorithm="nuts" to let trajectory lengths adapt per transition —
+# preferable when a good fixed num_leapfrog is unknown)
 out = inference.sample_posterior(
     logp, theta_true, num_samples=3000, num_warmup=1000,
     num_chains=4, num_leapfrog=24, seed=0,

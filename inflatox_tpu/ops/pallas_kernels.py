@@ -334,9 +334,28 @@ def _model_trace_weight(model) -> int:
                 model.grad_square.source)
     except Exception:
         return w
+    # the round-4 hypergeometric/error/gamma family unrolls 60-420-term
+    # compensated series per distinct call (df32_special.py:831-1253) —
+    # leaving them uncounted let a 1F1+2F1+erf+gamma model trace its
+    # chains once per 128-wide strip at a 1024-wide tile, blowing a
+    # ~4-minute build out past 25 minutes (round-5 cfg4b incident)
+    # per-chain jaxpr sizes: the 2F1 series runs 700 compensated
+    # iterations (~10 DF ops each), 1F1 420 — heavier than a Miller chain
+    _HYP_WEIGHTS = {
+        "hyp1f1": 8000, "hyp2f1": 12000, "hyp2f0": 1500, "hyp0f1": 800,
+        "erf": 1000, "erfc": 1000, "gamma": 1500, "lgamma": 1500,
+        "digamma": 2000, "trigamma": 2000, "polygamma": 2500,
+    }
     seen_frac = set()
     for src in srcs:
         for m in re.finditer(r"_special\.(\w+)\(\s*([^,)]+)[,)]", src):
+            hw = _HYP_WEIGHTS.get(m.group(1))
+            if hw is not None:
+                # per OCCURRENCE: the call memo only dedups identical DF
+                # argument objects, so distinct call sites (the Hesse's
+                # derivative arguments) each trace their own chain
+                w += hw
+                continue
             first = m.group(2).strip()
             try:
                 from fractions import Fraction  # noqa: PLC0415

@@ -856,10 +856,9 @@ def run_cfg4b_gsl_family(ctx):
             small = 64
             tpu_maps = scan_pallas_df64(art, "complete_analysis", hargs,
                                         hextent, (small, small))
+            # native complete_analysis already returns a tuple of 6 maps
             c_maps = hnat.complete_analysis(hargs, *hextent, small, small,
                                             threads=0)
-            c_maps = np.moveaxis(np.asarray(c_maps).reshape(
-                small, small, 6), -1, 0)
             q95 = []
             for g, r in zip(tpu_maps, c_maps):
                 g, r = np.asarray(g), np.asarray(r)
@@ -1324,12 +1323,22 @@ def main():
     except Exception as e:
         log(f"cpu baseline FAILED: {type(e).__name__}: {e}")
 
+    # BENCH_ONLY=<name>[,<name>…] runs just those scheduler entries (plus
+    # the CPU denominator above) — for targeted re-measurement after a
+    # config-specific fix; merge-on-start keeps every other row
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",")}
+        entries = [e for e in ENTRIES if e[0] in names]
+    else:
+        entries = ENTRIES
+
     # priority: configs with no matrix row yet, then stale re-measurements;
     # the headline leads its group either way
-    fresh_needed = [e for e in ENTRIES
+    fresh_needed = [e for e in entries
                     if any(k not in MATRIX for k in e[2])]
-    stale = [e for e in ENTRIES if e not in fresh_needed]
-    head = [e for e in ENTRIES if e[0] == "cfg1_headline"]
+    stale = [e for e in entries if e not in fresh_needed]
+    head = [e for e in entries if e[0] == "cfg1_headline"]
     order = head + [e for e in fresh_needed if e[0] != "cfg1_headline"] + \
         [e for e in stale if e[0] != "cfg1_headline"]
 

@@ -370,10 +370,13 @@ def test_df32_compatible_gates_on_namespace_coverage():
     # missing #1) — erf/gamma models no longer demote to emulated-f64 XLA
     assert compat((m * x) ** 2 + sympy.erf(y))
     assert compat((m * x) ** 2 + sympy.gamma(2 + y))
-    # still-ungated constructs keep routing to XLA: a fractional Bessel
-    # order outside the df engine's |nu| <= 8 envelope
-    assert not compat(
+    # round 5: |ν| ≤ 30 fractional orders (near-integer included) are
+    # df-engine-covered; beyond the cap still routes to XLA
+    assert compat(
         (m * x) ** 2 + sympy.besselj(sympy.Rational(25, 2), 3 + y**2)
+    )
+    assert not compat(
+        (m * x) ** 2 + sympy.besselj(sympy.Rational(65, 2), 3 + y**2)
     )
     # (floor/ceil cannot appear in a buildable potential at all — their
     # field derivatives stay unevaluated and the strict printer rejects

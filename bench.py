@@ -1212,6 +1212,52 @@ def run_cfg7_hmc(ctx):
     )
 
 
+def run_cfg7b_nuts(ctx):
+    """NUTS over the same observable posterior as cfg7 (round 5) —
+    regression anchor for the adaptive-trajectory sampler; gradient evals
+    per transition vary (≤ 2^max_tree_depth), so the comparable number is
+    effective samples per second."""
+    import jax.numpy as jnp
+
+    from inflatox_tpu import inference as _inf
+
+    quad_art = ctx.quad()
+
+    def _prior(th):
+        return -0.5 * jnp.sum(((th - 1.0) / 0.05) ** 2)
+
+    logp = _inf.observable_log_posterior(
+        quad_art, np.array([12.0, 0.5]),
+        data={"n_s": 0.965, "r": 0.06},
+        sigma={"n_s": 0.004, "r": 0.01},
+        prior=_prior,
+    )
+    chains, warm, samp = 32, 200, 200
+
+    def run_nuts():
+        t0 = time.perf_counter()
+        out = _inf.sample_posterior(
+            logp, np.array([1.0, 1.0]), num_samples=samp,
+            num_warmup=warm, num_chains=chains, seed=3,
+            algorithm="nuts", max_tree_depth=7,
+        )
+        assert np.isfinite(out["samples"]).all()
+        return time.perf_counter() - t0, out
+
+    run_nuts()  # compile
+    (t_nuts, out) = min((run_nuts() for _ in range(2)), key=lambda p: p[0])
+    emit(
+        "cfg7b_nuts_32chain_quadratic",
+        s_wall=round(t_nuts, 2),
+        ess_min=round(float(np.min(out["ess"])), 1),
+        ess_per_s=round(float(np.min(out["ess"])) / t_nuts, 1),
+        r_hat_max=round(float(np.max(out["r_hat"])), 4),
+        note="NUTS (max_tree_depth=7) over the cfg7 posterior, 32 chains "
+             "x 400 transitions; min-ESS/s is the cross-sampler metric; "
+             "no reference equivalent",
+    )
+
+
 def run_final_baseline_recheck(ctx):
     """Re-measure the CPU baseline at the end and keep the FASTER reading —
     a transiently busy host during either phase would otherwise corrupt
@@ -1298,6 +1344,7 @@ ENTRIES = [
     ("cfg6c_transport_sweep", run_cfg6c_transport_sweep,
      ["cfg6c_transport_sweep_8x8piv"], 120),
     ("cfg7_hmc", run_cfg7_hmc, ["cfg7_hmc_32chain_quadratic"], 150),
+    ("cfg7b_nuts", run_cfg7b_nuts, ["cfg7b_nuts_32chain_quadratic"], 240),
 ]
 
 

@@ -1315,8 +1315,10 @@ ENTRIES = [
      ["cfg1_hyper_fp32_xla_4096"], 60),
     ("cfg1_emulated_f64", run_cfg1_emulated_f64,
      ["cfg1_hyper_emulatedf64_xla_1024"], 60),
+    # NB: ~870 s even warm-cache — the in-process JAX trace of the hyp
+    # chains is minutes and only the XLA/Mosaic compile caches
     ("cfg4b_gsl_family", run_cfg4b_gsl_family,
-     ["cfg4b_hyp_gsl_df64_pallas_1024", "cpu_refstyle_256_hyp_gsl"], 420),
+     ["cfg4b_hyp_gsl_df64_pallas_1024", "cpu_refstyle_256_hyp_gsl"], 900),
     ("cfg0_array", run_cfg0_array,
      ["cfg0_array_V_fp32_pallas_8000", "cfg0_array_V_df64_pallas_8000",
       "cpu_V_grid_2048_hyper"], 180),

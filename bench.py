@@ -410,6 +410,16 @@ def _vs(ctx, pts_rate):
             if ctx.baseline_pps else None)
 
 
+def _stored_den(ctx_val, key, field="mpts_per_s_32core", scale=1e6):
+    """A config's vs_ref32 denominator: the value measured this run, else
+    the merged-matrix row (the scheduler may run a dependent config before
+    — or instead of — the one that measures the denominator)."""
+    if ctx_val:
+        return ctx_val
+    v = MATRIX.get(key, {}).get(field)
+    return v * scale if v else None
+
+
 def run_cfg1_headline(ctx):
     """df64 (double-f32 parity engine) 4096² — kernel production of all six
     quantities as (hi, lo) f32 pairs in HBM (the engine's native
@@ -742,13 +752,13 @@ def run_cfg3b_egno_tf64(ctx):
 
     t = amortized(run_tf, (scal_tf,), K1=2, K2=12)
     pts_rate = en * en / t
+    den = _stored_den(ctx.e_pps32, "cpu_refstyle_512_egno_rapidturn")
     emit(
         "cfg3b_egno_rapidturn_tf64_pallas_2048",
         ms_per_call=round(t * 1e3, 3),
         gpts_per_s=round(pts_rate / 1e9, 3),
         engine="pallas_tf64 (triple-f32 extended precision)",
-        **({"vs_ref32": round(pts_rate / ctx.e_pps32, 2)}
-           if ctx.e_pps32 else {}),
+        **({"vs_ref32": round(pts_rate / den, 2)} if den else {}),
     )
 
 
@@ -1010,12 +1020,13 @@ def run_cfg5d_pallas_solver(ctx):
 
     t_dev = amortized(chain, (scal_s,), K1=1, K2=5)
     rate = Bd / t_dev
+    den = _stored_den(ctx.s_traj32, "cpu_solver_rkf_8x2000",
+                      field="traj_per_s_32core", scale=1.0)
     emit(
         "cfg5d_pallas_solver_4096x2000",
         s_device=round(t_dev, 4),
         trajectories_per_s=round(rate),
-        **({"vs_ref32": round(rate / ctx.s_traj32, 2)}
-           if ctx.s_traj32 else {}),
+        **({"vs_ref32": round(rate / den, 2)} if den else {}),
         engine="pallas DF RKF45 (ops/pallas_solver.py; fused-output "
                "block_mult=2 kernel), amortized K-chained device time",
     )

@@ -285,6 +285,18 @@ def _memo(key, z_objs, compute):
     return hit[0]
 
 
+def _reject_noninteger_order(n, name):
+    """Non-integer static orders outside the fractional envelope must raise
+    like every cylindrical sibling — ``int(n)`` would silently truncate
+    (the bug the round-5 sph fix removed from the XLA engine)."""
+    if isinstance(n, (int, float, np.floating)) and float(n) != int(n):
+        raise NotImplementedError(
+            f"{name} in the df32 engine needs a static order: integer, or "
+            f"any non-integer with |ν| ≤ {_FRAC_NUMAX - 0.5}; use the f64 "
+            "XLA engine (engine='xla') otherwise"
+        )
+
+
 def _static_frac_order(nu):
     """The order as a Python float when it is a supported static non-integer
     fractional order, else None.  Round 5: ANY non-integer |ν| ≤ 30 — the
@@ -757,8 +769,14 @@ def _sincospi_const(a: float) -> tuple:
     if two_r == round(two_r):
         quarter = int(round(two_r)) % 4  # r ∈ {0, ½, 1, 3⁄2}
         return ((0.0, 1.0), (1.0, 0.0), (0.0, -1.0), (-1.0, 0.0))[quarter]
-    # reduce to |r| ≤ ½ around the nearest half-turn for accuracy
-    return math.sin(math.pi * r), math.cos(math.pi * r)
+    # reduce to |dr| ≤ ½ around the nearest half-turn: sin(π·0.9999)
+    # evaluated directly turns ~3e-16 of absolute rounding into ~1e-12
+    # RELATIVE error in the small coefficient that multiplies the huge
+    # Y_a term of the reflections — anchor at the nearest integer instead
+    n0 = int(round(r))  # 0, 1 or 2
+    dr = r - n0
+    s, c = math.sin(math.pi * dr), math.cos(math.pi * dr)
+    return (-s, -c) if n0 == 1 else (s, c)
 
 
 def _besselj_frac(frac: float, z) -> DF:
@@ -1106,6 +1124,7 @@ def sph_jn(n, z) -> DF:
     if frac is not None:
         return _memo(("sph_jn", round(frac, 12)), (z,),
                      lambda: _sph_frac(frac, z, "j"))
+    _reject_noninteger_order(n, "sph_jn")
     n = int(n)
     z = DF.of(z)
     zero = z.hi == 0
@@ -1169,6 +1188,7 @@ def sph_yn(n, z) -> DF:
     if frac is not None:
         return _memo(("sph_yn", round(frac, 12)), (z,),
                      lambda: _sph_frac(frac, z, "y"))
+    _reject_noninteger_order(n, "sph_yn")
     n = int(n)
     z = DF.of(z)
     bad = z.hi <= 0

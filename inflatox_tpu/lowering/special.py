@@ -605,16 +605,48 @@ def _sincospi(r):
 
 
 def _bessjy_frac(nu, z):
-    """(J_ν, Y_ν) for real ν (any sign), x > 0: Steed for x ≤ _STEED_ZMAX,
-    Hankel asymptotics beyond, negative orders by the reflection formulas
-    J_{−ν} = J_ν cos νπ − Y_ν sin νπ, Y_{−ν} = J_ν sin νπ + Y_ν cos νπ."""
+    """(J_ν, Y_ν) for real ν (any sign, |ν| ≤ 30.5), x > 0: Steed for
+    x ≤ _STEED_ZMAX, Hankel asymptotics beyond, negative orders by the
+    reflection formulas J_{−ν} = J_ν cos νπ − Y_ν sin νπ,
+    Y_{−ν} = J_ν sin νπ + Y_ν cos νπ.
+
+    Round 5: beyond _STEED_ZMAX, orders > 8 use REDUCED-order asymptotics
+    (|μ| ≤ ½) plus masked upward recurrence — the full-order Hankel
+    expansion needs z ≫ ν²/8 and silently degraded for 8 < ν ≤ 30 at
+    moderate z (upward is stable there: z > 40 > ν).  Orders beyond the
+    Steed clip (|ν| > 30.5) would be silently wrong and are NaN-poisoned
+    loudly instead."""
     dtype = _dtype_of(nu, z)
     nu = jnp.asarray(nu, dtype)
     z = jnp.asarray(z, dtype)
     anu = jnp.abs(nu)
     js, ys = _bessjy_steed(anu, jnp.minimum(z, _STEED_ZMAX))
-    ja = _jy_asymptotic(anu, jnp.maximum(z, _STEED_ZMAX), "j")
-    ya = _jy_asymptotic(anu, jnp.maximum(z, _STEED_ZMAX), "y")
+    zb = jnp.maximum(z, _STEED_ZMAX)
+    ja = _jy_asymptotic(anu, zb, "j")
+    ya = _jy_asymptotic(anu, zb, "y")
+    nl = jnp.floor(anu + 0.5)
+    mu = anu - nl  # in [−½, ½]
+    jmu = _jy_asymptotic(mu, zb, "j")
+    jmu1 = _jy_asymptotic(mu + 1.0, zb, "j")
+    ymu = _jy_asymptotic(mu, zb, "y")
+    ymu1 = _jy_asymptotic(mu + 1.0, zb, "y")
+    xi2 = 2.0 / zb
+
+    def up_body(i, carry):
+        jk, jk1, yk, yk1 = carry
+        fi = i.astype(dtype)
+        step = fi < nl
+        fac = (mu + fi + 1.0) * xi2
+        jn = fac * jk1 - jk
+        yn = fac * yk1 - yk
+        return (jnp.where(step, jk1, jk), jnp.where(step, jn, jk1),
+                jnp.where(step, yk1, yk), jnp.where(step, yn, yk1))
+
+    jred, _, yred, _ = lax.fori_loop(0, _STEED_MAX_NL, up_body,
+                                     (jmu, jmu1, ymu, ymu1))
+    hi_order = anu > 8.0
+    ja = jnp.where(hi_order, jred, ja)
+    ya = jnp.where(hi_order, yred, ya)
     big = z > _STEED_ZMAX
     j = jnp.where(big, ja, js)
     y = jnp.where(big, ya, ys)
@@ -622,7 +654,17 @@ def _bessjy_frac(nu, z):
     j_neg = j * c - y * sn
     y_neg = j * sn + y * c
     neg = nu < 0
-    return jnp.where(neg, j_neg, j), jnp.where(neg, y_neg, y)
+    j = jnp.where(neg, j_neg, j)
+    y = jnp.where(neg, y_neg, y)
+    bad_nu = anu > float(_STEED_MAX_NL) + 0.5
+    _warn_once_out_of_domain(
+        "fractional Bessel order", bad_nu,
+        "J_ν/Y_ν fractional orders are supported for |ν| ≤ 30.5 (the Steed "
+        "order-reduction budget); larger fractional orders have no "
+        "full-accuracy path on any engine here",
+    )
+    return (jnp.where(bad_nu, jnp.nan, j),
+            jnp.where(bad_nu, jnp.nan, y))
 
 
 

@@ -96,10 +96,13 @@ def timed(row_unroll, block_mult, fused_out, reps=3, K1=1, K2=5):
 
 
 def words(row_unroll, block_mult, fused_out):
-    """Launch -> list of 12 np word planes in canonical layout."""
+    """Launch -> list of 12 np word planes in canonical layout.  The fold
+    must match _launch_solver's (incl. the VMEM-budget term, which shrinks
+    bm for fused layouts) or the split shuffles blocks across words."""
     outs = launch(row_unroll, block_mult, fused_out)
     if fused_out:
-        S = psolve._fold_bm(n_blocks, block_mult) * psolve._SUB
+        S = psolve._fold_bm(n_blocks, block_mult, n_words=12,
+                            fused=True) * psolve._SUB
         return [np.asarray(w) for w in
                 psolve._split_fused(np.asarray(outs[0]), 5, S)]
     return [np.asarray(o) for o in outs]

@@ -238,6 +238,12 @@ def test_df_fractional_spherical():
     assert j[0] == 0.0 and np.isnan(j[1])
     y = np.asarray(dsp.sph_yn(2.3, Z0).to_f64())
     assert np.isnan(y).all()
+    # beyond the envelope: raise, never silently truncate to int(n)
+    # (round-5 review fix)
+    with pytest.raises(NotImplementedError, match="static order"):
+        dsp.sph_jn(30.7, Z0)
+    with pytest.raises(NotImplementedError, match="static order"):
+        dsp.sph_yn(-31.4, Z0)
 
 
 def test_df32_compatible_fractional():

@@ -61,6 +61,40 @@ def test_besselj_fractional():
         assert rel.max() < 1e-11, (nu, rel.max())
 
 
+def test_besselj_fractional_large_order_large_z():
+    """Round-5 review fix: for 8 < ν ≤ 30 at z > 40 the full-order Hankel
+    expansion diverges (needs z ≫ ν²/8) and was silently wrong; the
+    reduced-order asymptotics + upward recurrence hold ~1e-14.  Orders
+    beyond the Steed budget (|ν| > 30.5) NaN-poison loudly instead of
+    returning the clipped-order value."""
+    z = _z(41.0, 200.0, 60)
+    amp = np.sqrt(2.0 / (np.pi * z))
+    for nu in (8.5, 12.7, 20.45, 25.3, 29.9, -12.7):
+        gj = np.asarray(sp.besselj(nu, z))
+        gy = np.asarray(sp.bessely(nu, z))
+        assert np.max(np.abs(gj - sps.jv(nu, z)) / amp) < 1e-11, nu
+        assert np.max(np.abs(gy - sps.yv(nu, z)) / amp) < 1e-11, nu
+    assert np.isnan(np.asarray(sp.besselj(35.3, z))).all()
+    assert np.isnan(np.asarray(sp.bessely(-31.2, z))).all()
+
+
+def test_sph_fractional_orders():
+    """Fractional spherical orders use the half-integer connection (the
+    old int(n) silently truncated j_2.3 to j_2 — round-5 fix); orders
+    beyond the cylindrical cap NaN-poison."""
+    z = _z(0.5, 40.0, 100)
+    for nu in (2.3, 0.7, 12.6):
+        want = np.sqrt(np.pi / (2 * z)) * sps.jv(nu + 0.5, z)
+        got = np.asarray(sp.sph_jn(nu, z))
+        rel = np.abs(got - want) / np.maximum(np.abs(want), 1.0 / z)
+        assert rel.max() < 1e-11, nu
+        want_y = np.sqrt(np.pi / (2 * z)) * sps.yv(nu + 0.5, z)
+        got_y = np.asarray(sp.sph_yn(nu, z))
+        rel = np.abs(got_y - want_y) / np.maximum(np.abs(want_y), 1.0 / z)
+        assert rel.max() < 1e-11, nu
+    assert np.isnan(np.asarray(sp.sph_jn(35.3, z))).all()
+
+
 def test_besseli():
     z = _z(0.1, 15.0)
     for n in (0, 1, 3):

@@ -1485,6 +1485,35 @@ _HYP2F1_ITERS_DF = 340  # |z| ≤ ~0.9 at ≤1e-13 truncation; nearer 1 the
 # series guard poisons (same |z| < 1 domain contract as the f64 path/GSL)
 _HYP2F0_ITERS_DF = 48
 
+#: opt-in trace-time series budgets (round-6 lever, measured by
+#: scripts/probe_r5_hyp_budget.py): the fixed chain lengths above cover the
+#: full argument envelope, but a scan whose arguments are known to stay in
+#: a small window converges in far fewer terms — the engine range-probe
+#: already samples the domain and could set this per launch.  ``None`` =
+#: the full-envelope defaults; the series guard still NaN-poisons any
+#: under-budgeted lane loudly, so a too-small budget is visible, never
+#: silently wrong.
+_SERIES_BUDGET: contextvars.ContextVar = contextvars.ContextVar(
+    "df32_series_budget", default=None
+)
+
+
+@contextlib.contextmanager
+def series_budget(**counts):
+    """Override hyp-series chain lengths for kernels traced inside the
+    scope, e.g. ``series_budget(hyp1f1=48, hyp2f1=90)``."""
+    tok = _SERIES_BUDGET.set(dict(counts))
+    try:
+        yield
+    finally:
+        _SERIES_BUDGET.reset(tok)
+
+
+def _series_iters(name, default):
+    b = _SERIES_BUDGET.get()
+    v = b.get(name) if b else None
+    return max(4, int(v)) if v else default
+
 
 def _static_num(v):
     """The value as a Python float when it is a trace-time constant."""
@@ -1497,14 +1526,15 @@ def _hyp1f1_series_df(a, b, z: DF) -> DF:
     acc = DF.const(1.0) + (z * 0.0)
     term = acc
     af, bf = _static_num(a), _static_num(b)
+    iters = _series_iters("hyp1f1", _HYP1F1_ITERS_DF)
     if af is not None and bf is not None:
-        for n in range(_HYP1F1_ITERS_DF):
+        for n in range(iters):
             term = term * z * ((af + n) / ((bf + n) * (n + 1.0)))
             acc = acc + term
     else:
         a = DF.of(a)
         b = DF.of(b)
-        for n in range(_HYP1F1_ITERS_DF):
+        for n in range(iters):
             term = term * (a + float(n)) * z / ((b + float(n)) * (n + 1.0))
             acc = acc + term
     return _series_guard(acc, term)
@@ -1545,8 +1575,9 @@ def _hyp2f1_impl(a, b, c, z) -> DF:
     acc = DF.const(1.0) + (zc * 0.0)
     term = acc
     af, bf, cf = _static_num(a), _static_num(b), _static_num(c)
+    iters = _series_iters("hyp2f1", _HYP2F1_ITERS_DF)
     if af is not None and bf is not None and cf is not None:
-        for n in range(_HYP2F1_ITERS_DF):
+        for n in range(iters):
             term = term * zc * (
                 (af + n) * (bf + n) / ((cf + n) * (n + 1.0))
             )
@@ -1555,7 +1586,7 @@ def _hyp2f1_impl(a, b, c, z) -> DF:
         a = DF.of(a)
         b = DF.of(b)
         c = DF.of(c)
-        for n in range(_HYP2F1_ITERS_DF):
+        for n in range(iters):
             term = (term * (a + float(n)) * (b + float(n)) * zc
                     / ((c + float(n)) * (n + 1.0)))
             acc = acc + term
